@@ -1,0 +1,55 @@
+"""stormtpu — TPU-native all-pairs bitmap intersection-count engine.
+
+A brand-new JAX/XLA/Pallas engine with the capability surface of the
+reference C library ``mklarqvist/StormBitmaps``: given N binary vectors
+(bitmaps) over M bits, compute the exact N×N pairwise intersection-count
+matrix ``C[i, j] = popcount(x_i AND x_j)`` — i.e. XXᵀ over a bit-packed
+matrix — with density-adaptive kernel dispatch and multi-host scaling.
+
+Provenance note on citations: the read-only reference mount
+``/root/reference`` is an **empty directory** (verified; see SURVEY.md §0),
+so ``file:line`` citations into it are impossible. Citations throughout this
+package therefore point at the structural survey (``SURVEY.md §3``
+component IDs C1–C16 / kernel IDs K1–K3 / driver IDs D1–D2) and at the
+binding behavioral spec ``BASELINE.json``.
+
+Layer map (TPU-native redesign, not a port):
+
+- ``layout``    — bit-packed containers (reference container layer C7–C10)
+- ``oracle``    — exact NumPy ground truth (reference scalar kernels C2)
+- ``kernels``   — Pallas/XLA compute kernels K1 (VPU AND+popcount),
+                  K2 (MXU int8 XXᵀ), K3 (sparse positions)
+                  (reference SIMD kernel layer C3–C5, C12–C13)
+- ``dispatch``  — density/shape-adaptive kernel selection D1 (reference
+                  runtime CPUID dispatch C6)
+- ``allpairs``  — blocked triangular all-pairs driver D2 (reference
+                  cache-blocked driver C11)
+- ``parallel``  — mesh / shard_map / collectives distributed driver
+                  (new surface; the reference is single-threaded)
+"""
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.layout import BitMatrix, pack_bits, unpack_bits
+from stormtpu.oracle import (
+    oracle_count_matrix,
+    oracle_pair_count,
+)
+from stormtpu.api import (
+    intersect_count_matrix,
+    pair_count,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BitMatrix",
+    "EngineConfig",
+    "default_config",
+    "pack_bits",
+    "unpack_bits",
+    "oracle_count_matrix",
+    "oracle_pair_count",
+    "intersect_count_matrix",
+    "pair_count",
+    "__version__",
+]

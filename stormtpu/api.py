@@ -1,0 +1,110 @@
+"""User-facing API.
+
+Analog of the reference's top-level entry points (SURVEY.md §3 C9–C11:
+``STORM_pairw_intersect_cardinality`` and the contiguous blocked variants),
+re-shaped for a host-orchestrated accelerator: build a :class:`BitMatrix`,
+then call :func:`intersect_count_matrix` (all-pairs) or :func:`pair_count`
+(one pair). Strategy selection is automatic (D1) but overridable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.dispatch import STRATEGIES, choose_strategy
+from stormtpu.layout import BitMatrix
+from stormtpu.kernels import xla as kx
+
+__all__ = ["pair_count", "intersect_count_matrix", "count_block"]
+
+MatrixLike = Union[BitMatrix, np.ndarray]
+
+
+def _as_bitmatrix(x: MatrixLike) -> BitMatrix:
+    if isinstance(x, BitMatrix):
+        return x
+    x = np.asarray(x)
+    if x.dtype == np.uint32:
+        raise TypeError(
+            "raw uint32 arrays are ambiguous; wrap packed words with "
+            "BitMatrix.from_packed(packed, m_bits=...)"
+        )
+    return BitMatrix.from_dense(x)
+
+
+def pair_count(a: MatrixLike, b: MatrixLike) -> int:
+    """Exact |A ∩ B| for two bitmaps (each a 1×M BitMatrix or {0,1} row).
+
+    Config "single pair dense AND+popcount" (BASELINE.json:7).
+    """
+    bm_a = _as_bitmatrix(np.atleast_2d(a) if not isinstance(a, BitMatrix) else a)
+    bm_b = _as_bitmatrix(np.atleast_2d(b) if not isinstance(b, BitMatrix) else b)
+    if bm_a.m_bits != bm_b.m_bits:
+        raise ValueError("bit-universe mismatch")
+    out = kx.pair_count_xla(
+        jnp.asarray(bm_a.packed[0]), jnp.asarray(bm_b.packed[0])
+    )
+    return int(out)
+
+
+def intersect_count_matrix(
+    x: MatrixLike,
+    *,
+    strategy: str = "auto",
+    config: Optional[EngineConfig] = None,
+) -> np.ndarray:
+    """Exact N×N pairwise intersection-count matrix, int32.
+
+    ``strategy``: "auto" (D1 dispatch) or one of ``dispatch.STRATEGIES``.
+    All strategies are bit-exact against the NumPy oracle.
+    """
+    bm = _as_bitmatrix(x)
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if strategy == "auto":
+        strategy = choose_strategy(bm.n, bm.m_bits, bm.density, cfg)
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
+
+    packed = jnp.asarray(bm.packed)
+    if strategy == "popcount":
+        out = kx.count_matrix_popcount_xla(packed)
+    elif strategy == "mxu":
+        out = kx.count_matrix_int8_xla(packed)
+    elif strategy == "pallas_dense":
+        from stormtpu.kernels.dense import count_matrix_pallas_dense
+
+        out = count_matrix_pallas_dense(packed, config=cfg)
+    elif strategy == "pallas_mxu":
+        from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+
+        out = count_matrix_pallas_mxu(packed, config=cfg)
+    else:  # sparse
+        from stormtpu.kernels.sparse import count_matrix_sparse
+
+        out = count_matrix_sparse(bm, config=cfg)
+    return np.asarray(out)[: bm.n, : bm.n]
+
+
+def count_block(
+    a: MatrixLike,
+    b: MatrixLike,
+    *,
+    config: Optional[EngineConfig] = None,
+) -> np.ndarray:
+    """Exact cross counts int32 [Na, Nb] between two bitmap sets
+    (the rectangular primitive the distributed driver composes)."""
+    bm_a = _as_bitmatrix(a)
+    bm_b = _as_bitmatrix(b)
+    if bm_a.m_bits != bm_b.m_bits:
+        raise ValueError("bit-universe mismatch")
+    cfg = config or default_config()
+    cfg.validate(bm_a.m_bits)
+    out = kx.count_block_int8_xla(
+        jnp.asarray(bm_a.packed), jnp.asarray(bm_b.packed)
+    )
+    return np.asarray(out)

@@ -1,0 +1,68 @@
+"""Engine configuration.
+
+Analog of the reference's compile-time macro / function-arg configuration
+(SURVEY.md §6 "Config / flag system": ``STORM_HAVE_*`` macros, forced-scalar
+overrides, block-size arguments). On TPU there is no CPUID; the knobs that
+matter are tile shapes (VMEM budget / MXU alignment), dispatch density
+thresholds, and mesh layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Hardware layout constants (TPU VPU lane structure; see pallas_guide.md).
+LANE = 128          # last-dim vector lane count
+SUBLANE = 8         # second-to-last dim for 32-bit dtypes
+WORD_BITS = 32      # packed word width; uint32 is the natural TPU word
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Frozen knobs for kernels, dispatch, and distribution.
+
+    Defaults are tuned for TPU v5e-class chips (16 MiB VMEM/core,
+    ~819 GB/s HBM, int8 MXU). All sizes in elements unless noted.
+    """
+
+    # --- K1 dense VPU kernel (AND + popcount) tiles ---
+    k1_tile_rows: int = 128        # rows per (i, j) output tile side
+    k1_tile_words: int = 512       # packed uint32 words per K step (16 Kbit)
+
+    # --- K2 MXU int8 XXᵀ kernel tiles ---
+    k2_tile_rows: int = 256        # rows per output tile side (MXU-aligned)
+    k2_tile_words: int = 64        # packed words per K step → 2048 int8 K
+
+    # --- D1 dispatch thresholds ---
+    # Density below which the sparse positions path (K3) is considered.
+    sparse_density_threshold: float = 0.001
+    # Minimum all-pairs work (N^2 * W words) before K2/MXU beats K1/VPU.
+    mxu_min_rows: int = 64         # tiny-N problems stay on the VPU path
+
+    # --- K3 sparse path ---
+    k3_pair_block: int = 512       # row-pairs processed per sparse step
+
+    # --- distribution ---
+    mesh_axis: str = "rows"        # row-shard axis name
+
+    # --- safety ---
+    # Counts are exact in int32 for M < 2^31; assert at config time.
+    max_bits: int = 2**31 - 1
+
+    def validate(self, m_bits: int) -> None:
+        if m_bits > self.max_bits:
+            raise ValueError(
+                f"M={m_bits} bits exceeds exact-int32 accumulator range "
+                f"({self.max_bits}); counts would not be exact."
+            )
+
+
+_DEFAULT: Optional[EngineConfig] = None
+
+
+def default_config() -> EngineConfig:
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = EngineConfig()
+    return _DEFAULT

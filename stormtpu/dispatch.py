@@ -1,0 +1,60 @@
+"""D1 — density/shape-adaptive kernel dispatch.
+
+TPU-native analog of the reference's runtime dispatch (SURVEY.md §3 C6 /
+§4.4 ``STORM_get_intersect_count_func``): where the reference queries CPUID
+once and picks the widest ISA kernel with small-length scalar fallbacks,
+here dispatch is a pure host-Python decision over **(N, M, density,
+backend)** producing a strategy name. It must be semantics-free: every
+eligible strategy returns the identical exact count matrix (tested in
+``tests/test_dispatch.py``).
+
+Strategies:
+
+- ``popcount``      — XLA word-wise AND+popcount (VPU). Small N (matmul
+                      shapes degenerate) or single-pair-like workloads.
+- ``mxu``           — XLA int8 XXᵀ (materializes unpacked operand; small M).
+- ``pallas_dense``  — K1 Pallas tiled AND+popcount.
+- ``pallas_mxu``    — K2 Pallas tiled int8 XXᵀ with in-kernel unpack
+                      (large M; never materializes the 8× unpacked matrix).
+- ``sparse``        — K3 scattered-position path (very sparse inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from stormtpu.config import EngineConfig, default_config
+
+__all__ = ["choose_strategy", "STRATEGIES"]
+
+STRATEGIES = ("popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse")
+
+# Above this many int8 K-columns (= 32·W), materializing the unpacked
+# operand for the XLA mxu path is memory-hostile; use the Pallas K2 kernel.
+_MXU_XLA_MAX_BITS = 1 << 17
+
+
+def choose_strategy(
+    n: int,
+    m_bits: int,
+    density: float,
+    config: Optional[EngineConfig] = None,
+) -> str:
+    """Pick the all-pairs strategy for an N×M bit matrix.
+
+    Thresholds mirror the reference's honest measured crossovers (C6):
+    the sparse path only wins at extreme sparsity on TPU because the MXU
+    dense path is disproportionately fast (SURVEY.md §7 "Sparse on TPU").
+    """
+    cfg = config or default_config()
+    cfg.validate(m_bits)
+    if density < cfg.sparse_density_threshold and n >= 2:
+        return "sparse"
+    if n < cfg.mxu_min_rows:
+        # Matmul shapes degenerate below an MXU tile; the streaming
+        # popcount path wins (analog of the reference's short-input
+        # scalar fallback).
+        return "popcount"
+    if m_bits <= _MXU_XLA_MAX_BITS:
+        return "mxu"
+    return "pallas_mxu"

@@ -1,0 +1,159 @@
+"""K1 — Pallas dense tile kernel: word-wise AND + population_count.
+
+TPU-native replacement of the reference's AVX2/AVX-512 AND+popcount inner
+loops (SURVEY.md §3 C4–C5 ``STORM_intersect_count_avx2/_avx512`` with
+Harley–Seal CSA accumulation) fused with its cache-blocked all-pairs driver
+(C11, §4.3). Design differences from the reference, driven by the hardware:
+
+- No CSA/popcount-amortization tricks: ``lax.population_count`` is a native
+  VPU op on TPU (verified on this backend), so the kernel is a plain
+  AND → popcount → int32 accumulate over uint32 lanes.
+- The (i-block, j-block) L2 tiling becomes a Pallas grid with VMEM-resident
+  row tiles; the triangular (ib ≤ jb) walk is expressed with scalar-prefetch
+  block indices so only T = nb(nb+1)/2 tile pairs are streamed from HBM.
+- The K (word) axis is a third grid dimension accumulating into the output
+  tile in VMEM, so arbitrarily large M streams without VMEM pressure.
+
+Exactness: popcount ≤ 32 per word; int32 tile accumulators are exact for
+M < 2³¹ (EngineConfig.validate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.utils import (
+    assemble_triangular,
+    pallas_interpret_default,
+    round_up,
+    triangular_tile_ids,
+)
+
+__all__ = ["count_tiles_pallas_dense", "count_matrix_pallas_dense"]
+
+
+def _k1_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
+    """One (tile-pair t, K-step k) grid cell.
+
+    a_ref: uint32 [TI, WK] — row block ibs[t], word slice k
+    b_ref: uint32 [TJ, WK] — row block jbs[t], word slice k
+    o_ref: int32  [TI, TJ] — count tile, revisited across k (accumulate)
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    b = b_ref[:]
+    ti = a_ref.shape[0]
+
+    def row_step(ii, _):
+        # One A-row against the whole B tile: (TJ, WK) VPU pass.
+        # (o_ref block is (1, TI, TJ): leading axis is the tile-pair id.)
+        row = a_ref[ii, :]
+        c = jax.lax.population_count(row[None, :] & b)
+        o_ref[0, ii, :] += jnp.sum(c.astype(jnp.int32), axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, ti, row_step, 0, unroll=4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_rows", "tile_words", "interpret"),
+)
+def count_tiles_pallas_dense(
+    packed: jax.Array,
+    ibs: jax.Array,
+    jbs: jax.Array,
+    *,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+) -> jax.Array:
+    """Compute T count tiles int32 [T, TI, TI] for row-block pairs
+    (ibs[t], jbs[t]) of a padded packed matrix uint32 [N_pad, W_pad]."""
+    n_pad, w_pad = packed.shape
+    assert n_pad % tile_rows == 0 and w_pad % tile_words == 0
+    t = ibs.shape[0]
+    nk = w_pad // tile_words
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda ti, k, ibs_ref, jbs_ref: (ibs_ref[ti], k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda ti, k, ibs_ref, jbs_ref: (jbs_ref[ti], k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, tile_rows),
+            lambda ti, k, ibs_ref, jbs_ref: (ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops_per_cell = 3 * tile_rows * tile_rows * tile_words
+    return pl.pallas_call(
+        _k1_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, tile_rows, tile_rows), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * t * nk,
+            bytes_accessed=(2 * tile_rows * tile_words * 4 + tile_rows**2 * 4)
+            * t
+            * nk,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ibs, jbs, packed, packed)
+
+
+def count_matrix_pallas_dense(
+    packed: jax.Array,
+    *,
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> np.ndarray:
+    """Full N×N exact counts via the K1 kernel (triangular tile walk +
+    symmetric mirror at assembly)."""
+    cfg = config or default_config()
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    packed = jnp.asarray(packed)
+    n, w = packed.shape
+    ti = min(cfg.k1_tile_rows, round_up(max(n, 8), 8))
+    wk = min(cfg.k1_tile_words, round_up(max(w, 128), 128))
+    n_pad = round_up(n, ti)
+    w_pad = round_up(w, wk)
+    xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)
+    xp = xp.at[:n, :w].set(packed)
+    nb = n_pad // ti
+    ibs, jbs = triangular_tile_ids(nb)
+    tiles = count_tiles_pallas_dense(
+        xp,
+        jnp.asarray(ibs),
+        jnp.asarray(jbs),
+        tile_rows=ti,
+        tile_words=wk,
+        interpret=bool(interpret),
+    )
+    return assemble_triangular(np.asarray(tiles), ibs, jbs, nb, n)

@@ -1,0 +1,239 @@
+"""Bit-matrix layout: packing, containers, density statistics.
+
+TPU-native redesign of the reference container layer (SURVEY.md §3
+C7–C10: ``STORM_bitmap_t`` / ``STORM_bitmap_cont_t`` / ``STORM_t`` /
+``STORM_contiguous_t``). The reference keeps per-2¹⁶-bit-block hybrid
+containers (bitmap OR sorted uint16 position list) chosen by a cardinality
+threshold at build time; per-tile representation polymorphism is hostile to
+XLA, so here the **primary representation is the contiguous packed matrix**
+``uint32[N, W]`` (the analog of ``STORM_contiguous_t``, the reference's own
+fast path), with:
+
+- a *global* density statistic per matrix (and per-row nnz) computed at
+  ingest — the dispatch signal D1 uses instead of per-block thresholds;
+- an optional CSR positions view for the sparse path K3 (analog of the
+  uint16 position-list representation, widened to uint32 over the full
+  universe because TPU kernels prefer one flat index space);
+- a per-row block-occupancy summary bitmap (analog of the reference's
+  non-empty-block summary in ``STORM_bitmap_cont_t`` C8) for tile-skip
+  statistics.
+
+Bit order: bit ``p`` of row ``i`` lives at ``packed[i, p >> 5]`` bit
+``(p & 31)`` (LSB-first within a uint32 word).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from stormtpu.config import WORD_BITS
+
+__all__ = [
+    "BitMatrix",
+    "pack_bits",
+    "unpack_bits",
+    "pack_positions",
+    "pad_rows",
+    "pad_words",
+    "words_for_bits",
+]
+
+
+def words_for_bits(m_bits: int) -> int:
+    return -(-m_bits // WORD_BITS)
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def pack_bits(dense01: np.ndarray) -> np.ndarray:
+    """Pack a {0,1} matrix [N, M] into uint32 words [N, ceil(M/32)].
+
+    LSB-first within each word (bit p → word p>>5, bit p&31).
+    """
+    dense01 = np.asarray(dense01)
+    if dense01.ndim != 2:
+        raise ValueError(f"expected 2-D {{0,1}} matrix, got shape {dense01.shape}")
+    n, m = dense01.shape
+    w = words_for_bits(m)
+    # np.packbits packs MSB-first per byte; request little bit order then
+    # view 4 bytes as one little-endian uint32 → LSB-first per word.
+    padded_bits = _round_up(m, WORD_BITS)
+    buf = np.zeros((n, padded_bits), dtype=np.uint8)
+    buf[:, :m] = dense01.astype(np.uint8)
+    bytes_ = np.packbits(buf, axis=1, bitorder="little")
+    return bytes_.reshape(n, w, 4).view("<u4").reshape(n, w)
+
+
+def unpack_bits(packed: np.ndarray, m_bits: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` → uint8 {0,1} matrix [N, m_bits]."""
+    packed = np.ascontiguousarray(np.asarray(packed, dtype=np.uint32))
+    n, w = packed.shape
+    bytes_ = packed.reshape(n, w, 1).view("<u1").reshape(n, w * 4)
+    bits = np.unpackbits(bytes_, axis=1, bitorder="little")
+    return bits[:, :m_bits]
+
+
+def pack_positions(
+    row_ids: np.ndarray, positions: np.ndarray, n: int, m_bits: int
+) -> np.ndarray:
+    """Pack COO set-bit coordinates into uint32 words [N, ceil(M/32)].
+
+    Ingest analog of the reference's ``STORM_add`` position path (SURVEY.md
+    §4.1): O(total set bits). Duplicate positions are idempotent (bitwise OR).
+    """
+    row_ids = np.asarray(row_ids, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    if row_ids.shape != positions.shape:
+        raise ValueError("row_ids and positions must have the same shape")
+    if positions.size and (positions.min() < 0 or positions.max() >= m_bits):
+        raise ValueError("position out of range")
+    if row_ids.size and (row_ids.min() < 0 or row_ids.max() >= n):
+        raise ValueError("row id out of range")
+    w = words_for_bits(m_bits)
+    packed = np.zeros((n, w), dtype=np.uint32)
+    np.bitwise_or.at(
+        packed,
+        (row_ids, positions >> 5),
+        (np.uint32(1) << (positions & 31).astype(np.uint32)),
+    )
+    return packed
+
+
+def pad_rows(packed: np.ndarray, row_mult: int) -> np.ndarray:
+    """Zero-pad rows to a multiple of ``row_mult`` (zero rows ⇒ zero counts)."""
+    n = packed.shape[0]
+    n_pad = _round_up(max(n, 1), row_mult)
+    if n_pad == n:
+        return packed
+    out = np.zeros((n_pad,) + packed.shape[1:], dtype=packed.dtype)
+    out[:n] = packed
+    return out
+
+
+def pad_words(packed: np.ndarray, word_mult: int) -> np.ndarray:
+    """Zero-pad the word axis to a multiple of ``word_mult`` (exactness-safe)."""
+    w = packed.shape[1]
+    w_pad = _round_up(max(w, 1), word_mult)
+    if w_pad == w:
+        return packed
+    out = np.zeros(packed.shape[:1] + (w_pad,) + packed.shape[2:], dtype=packed.dtype)
+    out[:, :w] = packed
+    return out
+
+
+@dataclasses.dataclass
+class BitMatrix:
+    """N bitmaps over an M-bit universe, bit-packed row-major.
+
+    The top-level set container (analog of ``STORM_t`` + ``STORM_contiguous_t``,
+    SURVEY.md §3 C9–C10) carrying the ingest-time statistics D1 dispatches on.
+    """
+
+    packed: np.ndarray        # uint32 [N, W], W = ceil(m_bits / 32)
+    n: int
+    m_bits: int
+    row_nnz: np.ndarray       # int64 [N] set-bit count per row
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def from_dense(cls, dense01: np.ndarray) -> "BitMatrix":
+        dense01 = np.asarray(dense01)
+        packed = pack_bits(dense01)
+        return cls.from_packed(packed, m_bits=dense01.shape[1])
+
+    @classmethod
+    def from_packed(cls, packed: np.ndarray, m_bits: int) -> "BitMatrix":
+        packed = np.ascontiguousarray(np.asarray(packed, dtype=np.uint32))
+        n, w = packed.shape
+        if w != words_for_bits(m_bits):
+            raise ValueError(
+                f"packed has {w} words but m_bits={m_bits} needs "
+                f"{words_for_bits(m_bits)}"
+            )
+        tail = m_bits % WORD_BITS
+        if tail and n and np.any(packed[:, -1] >> tail):
+            raise ValueError("set bits beyond m_bits in final word")
+        row_nnz = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
+        return cls(packed=packed, n=n, m_bits=m_bits, row_nnz=row_nnz)
+
+    @classmethod
+    def from_positions(
+        cls, row_ids: np.ndarray, positions: np.ndarray, n: int, m_bits: int
+    ) -> "BitMatrix":
+        return cls.from_packed(
+            pack_positions(row_ids, positions, n, m_bits), m_bits=m_bits
+        )
+
+    @classmethod
+    def from_position_lists(
+        cls, lists: Sequence[np.ndarray], m_bits: int
+    ) -> "BitMatrix":
+        n = len(lists)
+        if n:
+            row_ids = np.concatenate(
+                [np.full(len(np.atleast_1d(l)), i, dtype=np.int64)
+                 for i, l in enumerate(lists)]
+            )
+            positions = np.concatenate(
+                [np.atleast_1d(np.asarray(l, dtype=np.int64)) for l in lists]
+            ) if row_ids.size else np.zeros(0, dtype=np.int64)
+        else:
+            row_ids = positions = np.zeros(0, dtype=np.int64)
+        return cls.from_positions(row_ids, positions, n, m_bits)
+
+    # ------------------------------------------------------------------ views
+    def to_dense(self) -> np.ndarray:
+        return unpack_bits(self.packed, self.m_bits)
+
+    def positions_csr(self) -> tuple[np.ndarray, np.ndarray]:
+        """(indptr int64 [N+1], indices int32 [nnz]) sorted per row.
+
+        The sparse-path view (analog of the reference's sorted uint16
+        position lists, C7/C12 — widened to int32 over the full universe).
+        """
+        dense = self.to_dense()
+        rows, cols = np.nonzero(dense)
+        indptr = np.zeros(self.n + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, cols.astype(np.int32)
+
+    def block_summary(self, block_bits: int = 65536) -> np.ndarray:
+        """Per-row non-empty-block summary, uint8 [N, ceil(M/block_bits)].
+
+        Analog of ``STORM_bitmap_cont_t``'s summary bitmap (C8): entry
+        [i, b] is 1 iff row i has any set bit in block b. Used for tile-skip
+        statistics / clustered-sparsity detection in dispatch.
+        """
+        wpb = max(1, block_bits // WORD_BITS)
+        w = self.packed.shape[1]
+        nb = -(-w // wpb)
+        padded = pad_words(self.packed, wpb * nb if nb else wpb)
+        grouped = padded[:, : nb * wpb].reshape(self.n, nb, wpb)
+        return (grouped != 0).any(axis=2).astype(np.uint8)
+
+    # ------------------------------------------------------------------ stats
+    @property
+    def nnz(self) -> int:
+        return int(self.row_nnz.sum())
+
+    @property
+    def density(self) -> float:
+        if self.n == 0 or self.m_bits == 0:
+            return 0.0
+        return self.nnz / (self.n * self.m_bits)
+
+    @property
+    def n_words(self) -> int:
+        return self.packed.shape[1]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"BitMatrix(n={self.n}, m_bits={self.m_bits}, "
+            f"density={self.density:.4g})"
+        )

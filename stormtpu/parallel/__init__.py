@@ -1,0 +1,17 @@
+"""Distributed execution layer.
+
+The reference is a single-process, single-thread C library (SURVEY.md §2:
+"no scheduler, no communication layer, ... no multi-process anything"), so
+everything here is new TPU-native surface, constrained by the binding
+sharding prescription (BASELINE.json:5): the bitmap matrix is row-sharded
+across hosts, tile pairs of row blocks are streamed through chips
+data-parallel, and the count matrix is assembled via jax.lax collectives.
+
+- ``mesh``     — device mesh construction (single- and multi-host)
+- ``allpairs`` — ring-streaming row-sharded all-pairs driver
+"""
+
+from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.parallel.allpairs import distributed_count_matrix
+
+__all__ = ["make_row_mesh", "distributed_count_matrix"]

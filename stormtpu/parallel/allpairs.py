@@ -1,0 +1,114 @@
+"""Ring-streaming row-sharded all-pairs driver (D2, distributed form).
+
+Design (BASELINE.json:5, SURVEY.md §3 parallelism table):
+
+- X (packed uint32 [N, W]) is **row-sharded**: device d holds shard
+  X_d = X[d·n_loc : (d+1)·n_loc].
+- The partner shard **streams around the ring**: at step s, device d
+  computes the rectangular count block X_d × X_{(d+s) mod R} while
+  ``lax.ppermute`` rotates the streaming buffer one hop for step s+1 —
+  the ring-attention-shaped pattern SURVEY.md §6 prescribes for the
+  1M×1M multi-host config. Communication rides ICI within a slice and
+  DCN across hosts; XLA overlaps the ppermute with the block compute.
+- After R steps every ordered shard pair (d, e) has been computed exactly
+  once; the result C stays **row-sharded** ([n_loc, N] per device), which
+  is the only layout that scales (full C is O(N²)).
+
+The per-step rectangular block kernel is pluggable (``block_fn``): the
+XLA int8 path for small W, the Pallas MXU kernel for large W.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 stable location
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.kernels import xla as kx
+from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.utils import round_up
+
+__all__ = ["distributed_count_matrix", "ring_count_rows"]
+
+BlockFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn):
+    def local_fn(x_local: jax.Array) -> jax.Array:
+        my = jax.lax.axis_index(axis)
+        out = jnp.zeros((x_local.shape[0], r * n_loc), dtype=jnp.int32)
+        buf = x_local
+        for s in range(r):
+            partner = (my + s) % r
+            counts = block_fn(x_local, buf).astype(jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, counts, (0, partner * n_loc))
+            if s + 1 < r:
+                # device i sends its buffer to i-1 ⇒ after the hop,
+                # device d holds shard (d + s + 1) mod R.
+                buf = jax.lax.ppermute(
+                    buf, axis, [(i, (i - 1) % r) for i in range(r)]
+                )
+        return out
+
+    return local_fn
+
+
+def ring_count_rows(
+    mesh: Mesh,
+    axis: str,
+    n_loc: int,
+    block_fn: BlockFn,
+):
+    """Jittable sharded fn: row-sharded packed [N_pad, W] → row-sharded
+    counts int32 [N_pad, N_pad]."""
+    r = mesh.shape[axis]
+    local = _ring_local_fn(axis, r, n_loc, block_fn)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+    )
+
+
+def distributed_count_matrix(
+    packed: np.ndarray,
+    *,
+    mesh: Optional[Mesh] = None,
+    config: Optional[EngineConfig] = None,
+    block_fn: Optional[BlockFn] = None,
+) -> np.ndarray:
+    """Exact N×N counts computed data-parallel over a row-sharded mesh.
+
+    Returns the gathered matrix (host np.ndarray) — callers at 1M-row
+    scale should instead keep the row-sharded device result
+    (:func:`ring_count_rows`) or stream stripes (stream.py).
+    """
+    cfg = config or default_config()
+    if mesh is None:
+        mesh = make_row_mesh()
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    packed = np.asarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    cfg.validate(w * 32)
+    n_pad = round_up(max(n, r), r * 8)
+    xp = np.zeros((n_pad, w), dtype=np.uint32)
+    xp[:n] = packed
+    n_loc = n_pad // r
+    if block_fn is None:
+        block_fn = kx.count_block_int8_xla
+
+    x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
+    fn = jax.jit(ring_count_rows(mesh, axis, n_loc, block_fn))
+    c = fn(x_sharded)
+    return np.asarray(c)[:n, :n]

@@ -1,0 +1,41 @@
+"""Device-mesh construction.
+
+Row-sharding axis per BASELINE.json:5 ("bitmap matrix is row-sharded
+across hosts"). For the all-pairs workload a 1-D mesh suffices: the pair
+space is streamed through the ring (allpairs.py), so there is no second
+model axis; ICI carries the ring ppermute within a slice, DCN across
+hosts — both expressed through the same jax.sharding mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh
+
+from stormtpu.config import default_config
+
+__all__ = ["make_row_mesh"]
+
+
+def make_row_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    axis: Optional[str] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D mesh over ``n_devices`` (default: all) named after the
+    row-shard axis."""
+    axis = axis or default_config().mesh_axis
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"asked for {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), axis_names=(axis,))

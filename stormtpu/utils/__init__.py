@@ -1,0 +1,14 @@
+from stormtpu.utils.tiling import (
+    assemble_triangular,
+    round_up,
+    triangular_tile_ids,
+)
+from stormtpu.utils.backend import is_tpu_backend, pallas_interpret_default
+
+__all__ = [
+    "assemble_triangular",
+    "round_up",
+    "triangular_tile_ids",
+    "is_tpu_backend",
+    "pallas_interpret_default",
+]

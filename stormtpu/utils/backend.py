@@ -1,0 +1,28 @@
+"""Backend probing.
+
+Analog of the reference's one-time CPUID query (SURVEY.md §3 C1/C6): on
+TPU there is no runtime ISA detection — the only probe that matters is
+"are we on a real TPU (compile Pallas via Mosaic) or on CPU (run Pallas in
+interpreter mode for tests)". The axon PJRT plugin canonicalizes its
+platform to TPU but reports platform name "axon"; treat it as TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def is_tpu_backend() -> bool:
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:  # pragma: no cover
+        return False
+    return dev.platform.lower() in _TPU_PLATFORMS or "tpu" in str(dev).lower()
+
+
+def pallas_interpret_default() -> bool:
+    """Pallas kernels compile via Mosaic on TPU; anywhere else (CPU test
+    backend) they run in interpreter mode — same semantics, slower."""
+    return not is_tpu_backend()

@@ -1,0 +1,58 @@
+"""Public API + dispatch invariance (D1 must be semantics-free —
+SURVEY.md §5 item 3)."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu import BitMatrix, intersect_count_matrix, pair_count
+from stormtpu.api import count_block
+from stormtpu.dispatch import choose_strategy
+from stormtpu.oracle import oracle_count_block, oracle_count_matrix
+
+
+def test_pair_count_api(rng):
+    a = (rng.random(512) < 0.4).astype(np.uint8)
+    b = (rng.random(512) < 0.4).astype(np.uint8)
+    assert pair_count(a, b) == int((a & b).sum())
+
+
+def test_intersect_count_matrix_auto(rng):
+    bm = random_bitmatrix(20, 300, 0.2, seed=5)
+    got = intersect_count_matrix(bm)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+@pytest.mark.parametrize("strategy", ["popcount", "mxu"])
+def test_dispatch_invariance_xla(strategy):
+    bm = random_bitmatrix(33, 500, 0.15, seed=6)
+    got = intersect_count_matrix(bm, strategy=strategy)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_choose_strategy_shapes():
+    assert choose_strategy(10_000, 1_000_000, 0.5) == "pallas_mxu"
+    assert choose_strategy(10_000, 1_000_000, 0.00001) == "sparse"
+    assert choose_strategy(2, 1_000_000, 0.5) == "popcount"  # single pair
+    assert choose_strategy(10, 4096, 0.5) == "popcount"   # tiny N
+    assert choose_strategy(1000, 65536, 0.5) == "mxu"
+
+
+def test_count_block_api(rng):
+    a = random_bitmatrix(9, 200, 0.3, seed=11)
+    b = random_bitmatrix(14, 200, 0.6, seed=12)
+    np.testing.assert_array_equal(
+        count_block(a, b), oracle_count_block(a.packed, b.packed)
+    )
+
+
+def test_rejects_mismatched_universe():
+    a = BitMatrix.from_dense(np.ones((1, 64), dtype=np.uint8))
+    b = BitMatrix.from_dense(np.ones((1, 128), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        pair_count(a, b)
+
+
+def test_rejects_raw_uint32():
+    with pytest.raises(TypeError):
+        intersect_count_matrix(np.zeros((2, 2), dtype=np.uint32))

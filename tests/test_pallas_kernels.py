@@ -1,0 +1,70 @@
+"""Pallas K1/K2 kernel exactness vs the NumPy oracle (interpret mode on the
+CPU test backend; identical semantics to the Mosaic-compiled TPU path).
+Density sweep + ragged shapes, per SURVEY.md §5 items 1–3."""
+
+import numpy as np
+import pytest
+
+from conftest import DENSITY_SWEEP, random_bitmatrix
+from stormtpu.kernels.dense import count_matrix_pallas_dense
+from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.utils import assemble_triangular, triangular_tile_ids
+
+
+@pytest.mark.parametrize("density", (0.01, 0.5, 1.0))
+def test_k1_exact_density(density):
+    bm = random_bitmatrix(24, 700, density, seed=21)
+    got = count_matrix_pallas_dense(bm.packed, interpret=True)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+@pytest.mark.parametrize("density", (0.01, 0.5, 1.0))
+def test_k2_exact_density(density):
+    bm = random_bitmatrix(24, 700, density, seed=22)
+    got = count_matrix_pallas_mxu(bm.packed, interpret=True)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_k1_multi_tile():
+    # Exercise >1 row-block and >1 K step: n > tile_rows cap below.
+    from stormtpu.config import EngineConfig
+
+    cfg = EngineConfig(k1_tile_rows=8, k1_tile_words=128)
+    bm = random_bitmatrix(37, 128 * 32 * 2 + 60, 0.3, seed=23)
+    got = count_matrix_pallas_dense(bm.packed, config=cfg, interpret=True)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_k2_multi_tile():
+    from stormtpu.config import EngineConfig
+
+    cfg = EngineConfig(k2_tile_rows=32, k2_tile_words=8)
+    bm = random_bitmatrix(70, 700, 0.3, seed=24)
+    got = count_matrix_pallas_mxu(bm.packed, config=cfg, interpret=True)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_triangular_assembly():
+    rng = np.random.default_rng(0)
+    nb, ti = 3, 4
+    ibs, jbs = triangular_tile_ids(nb)
+    n = nb * ti
+    # build a symmetric ground-truth matrix, cut upper tiles, reassemble
+    m = rng.integers(0, 100, (n, n))
+    m = (m + m.T).astype(np.int32)
+    tiles = np.stack(
+        [m[i * ti : (i + 1) * ti, j * ti : (j + 1) * ti] for i, j in zip(ibs, jbs)]
+    )
+    out = assemble_triangular(tiles, ibs, jbs, nb, n - 2)
+    np.testing.assert_array_equal(out, m[: n - 2, : n - 2])
+
+
+def test_dispatch_invariance_pallas():
+    from stormtpu import intersect_count_matrix
+
+    bm = random_bitmatrix(40, 900, 0.2, seed=25)
+    want = oracle_count_matrix(bm.packed)
+    for strategy in ("pallas_dense", "pallas_mxu"):
+        got = intersect_count_matrix(bm, strategy=strategy)
+        np.testing.assert_array_equal(got, want, err_msg=strategy)

@@ -1,0 +1,57 @@
+"""Distributed driver tests on the 8-device forced-CPU mesh
+(SURVEY.md §5 item 4): sharded == single-device == oracle, every shard
+pair computed exactly once, N not divisible by shard count."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.parallel import distributed_count_matrix, make_row_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 host devices"
+    return make_row_mesh(8)
+
+
+def test_distributed_exact_vs_oracle(mesh8):
+    bm = random_bitmatrix(64, 2048, 0.3, seed=41)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_distributed_ragged_n(mesh8):
+    # N = 53 not divisible by 8 shards (zero-row padding must be invisible)
+    bm = random_bitmatrix(53, 1024, 0.2, seed=42)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_distributed_matches_single_device(mesh8):
+    bm = random_bitmatrix(40, 512, 0.5, seed=43)
+    got8 = distributed_count_matrix(bm.packed, mesh=mesh8)
+    got1 = distributed_count_matrix(bm.packed, mesh=make_row_mesh(1))
+    np.testing.assert_array_equal(got8, got1)
+
+
+def test_each_block_pair_computed_once(mesh8):
+    # Structural dedup check: a counting block_fn must be invoked exactly
+    # R times per device (R steps), covering all R^2 ordered shard pairs —
+    # verified by exactness of a sum-sensitive input (identity-ish rows).
+    n = 32
+    dense = np.eye(n, 64, dtype=np.uint8)  # row i has single bit i
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(dense)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8)
+    np.testing.assert_array_equal(got, np.eye(n, dtype=np.int32))
+
+
+def test_distributed_sparse_and_dense_inputs(mesh8):
+    for density, seed in ((0.001, 44), (0.9, 45)):
+        bm = random_bitmatrix(24, 4096, density, seed=seed)
+        got = distributed_count_matrix(bm.packed, mesh=mesh8)
+        np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
