@@ -31,8 +31,9 @@ class EngineConfig:
     k1_tile_words: int = 512       # packed uint32 words per K step (16 Kbit)
 
     # --- K2 MXU int8 XXᵀ kernel tiles ---
+    # Mosaic requires block last-dims divisible by 128 (or full-array).
     k2_tile_rows: int = 256        # rows per output tile side (MXU-aligned)
-    k2_tile_words: int = 64        # packed words per K step → 2048 int8 K
+    k2_tile_words: int = 128       # packed words per K step → 4096 int8 K
 
     # --- D1 dispatch thresholds ---
     # Density below which the sparse positions path (K3) is considered.

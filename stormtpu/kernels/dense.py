@@ -64,7 +64,8 @@ def _k1_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
         o_ref[0, ii, :] += jnp.sum(c.astype(jnp.int32), axis=1)
         return 0
 
-    jax.lax.fori_loop(0, ti, row_step, 0, unroll=4)
+    # NOTE: Mosaic's fori lowering only supports unroll=1 or full unroll.
+    jax.lax.fori_loop(0, ti, row_step, 0)
 
 
 @functools.partial(
@@ -141,7 +142,11 @@ def count_matrix_pallas_dense(
     packed = jnp.asarray(packed)
     n, w = packed.shape
     ti = min(cfg.k1_tile_rows, round_up(max(n, 8), 8))
-    wk = min(cfg.k1_tile_words, round_up(max(w, 128), 128))
+    # Mosaic constraint: block last dim divisible by 128, or full-array.
+    if w <= cfg.k1_tile_words:
+        wk = round_up(max(w, 128), 128)
+    else:
+        wk = round_up(cfg.k1_tile_words, 128)
     n_pad = round_up(n, ti)
     w_pad = round_up(w, wk)
     xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)

@@ -151,7 +151,12 @@ def count_matrix_pallas_mxu(
     packed = jnp.asarray(packed)
     n, w = packed.shape
     ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
-    wk = min(cfg.k2_tile_words, round_up(max(w, 8), 8))
+    # Mosaic constraint: block last dim divisible by 128, or equal to the
+    # full (padded) array dim. Small W collapses to a single K step.
+    if w <= cfg.k2_tile_words:
+        wk = round_up(max(w, 8), 8)
+    else:
+        wk = round_up(cfg.k2_tile_words, 128)
     n_pad = round_up(n, ti)
     w_pad = round_up(w, wk)
     xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)

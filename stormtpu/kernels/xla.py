@@ -28,6 +28,7 @@ from stormtpu.config import WORD_BITS
 
 __all__ = [
     "pair_count_xla",
+    "pair_count_batch_xla",
     "count_block_popcount_xla",
     "count_matrix_popcount_xla",
     "unpack_to_int8",
@@ -49,6 +50,18 @@ def pair_count_xla(a_packed: jax.Array, b_packed: jax.Array) -> jax.Array:
     """
     c = jax.lax.population_count(a_packed & b_packed)
     return jnp.sum(c.astype(jnp.int32), dtype=jnp.int32)
+
+
+@jax.jit
+def pair_count_batch_xla(a_packed: jax.Array, b_packed: jax.Array) -> jax.Array:
+    """Row-wise counts int32 [R]: popcount(A[r] AND B[r]) per row.
+
+    The batched form of the single-pair config — on TPU a single 2×125 KB
+    pair is dispatch-latency-bound, so throughput-oriented callers (and the
+    bench harness) stream many pairs per launch.
+    """
+    c = jax.lax.population_count(a_packed & b_packed)
+    return jnp.sum(c.astype(jnp.int32), axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))

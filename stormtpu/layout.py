@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+import stormtpu.native as _native
 from stormtpu.config import WORD_BITS
 
 __all__ = [
@@ -53,13 +54,17 @@ def _round_up(x: int, mult: int) -> int:
 def pack_bits(dense01: np.ndarray) -> np.ndarray:
     """Pack a {0,1} matrix [N, M] into uint32 words [N, ceil(M/32)].
 
-    LSB-first within each word (bit p → word p>>5, bit p&31).
+    LSB-first within each word (bit p → word p>>5, bit p&31). Uses the
+    native C++ ingest library when built (stormtpu/native), else NumPy.
     """
     dense01 = np.asarray(dense01)
     if dense01.ndim != 2:
         raise ValueError(f"expected 2-D {{0,1}} matrix, got shape {dense01.shape}")
     n, m = dense01.shape
     w = words_for_bits(m)
+    out = _native.pack_bits_native(dense01, w)
+    if out is not None:
+        return out
     # np.packbits packs MSB-first per byte; request little bit order then
     # view 4 bytes as one little-endian uint32 → LSB-first per word.
     padded_bits = _round_up(m, WORD_BITS)
@@ -72,6 +77,9 @@ def pack_bits(dense01: np.ndarray) -> np.ndarray:
 def unpack_bits(packed: np.ndarray, m_bits: int) -> np.ndarray:
     """Inverse of :func:`pack_bits` → uint8 {0,1} matrix [N, m_bits]."""
     packed = np.ascontiguousarray(np.asarray(packed, dtype=np.uint32))
+    out = _native.unpack_bits_native(packed, m_bits)
+    if out is not None:
+        return out
     n, w = packed.shape
     bytes_ = packed.reshape(n, w, 1).view("<u1").reshape(n, w * 4)
     bits = np.unpackbits(bytes_, axis=1, bitorder="little")
@@ -95,6 +103,9 @@ def pack_positions(
     if row_ids.size and (row_ids.min() < 0 or row_ids.max() >= n):
         raise ValueError("row id out of range")
     w = words_for_bits(m_bits)
+    out = _native.pack_positions_native(row_ids, positions, n, m_bits, w)
+    if out is not None:
+        return out
     packed = np.zeros((n, w), dtype=np.uint32)
     np.bitwise_or.at(
         packed,
@@ -158,7 +169,9 @@ class BitMatrix:
         tail = m_bits % WORD_BITS
         if tail and n and np.any(packed[:, -1] >> tail):
             raise ValueError("set bits beyond m_bits in final word")
-        row_nnz = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
+        row_nnz = _native.row_popcounts_native(packed)
+        if row_nnz is None:
+            row_nnz = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
         return cls(packed=packed, n=n, m_bits=m_bits, row_nnz=row_nnz)
 
     @classmethod
@@ -196,6 +209,9 @@ class BitMatrix:
         The sparse-path view (analog of the reference's sorted uint16
         position lists, C7/C12 — widened to int32 over the full universe).
         """
+        res = _native.positions_csr_native(self.packed, self.m_bits)
+        if res is not None:
+            return res
         dense = self.to_dense()
         rows, cols = np.nonzero(dense)
         indptr = np.zeros(self.n + 1, dtype=np.int64)

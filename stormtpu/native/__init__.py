@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host-ingest library.
+
+Loads ``libstormtpu_native.so`` (built with ``make -C stormtpu/native`` or
+automatically on first import when a compiler is available). Every entry
+point has a NumPy fallback with identical semantics, so the package works
+unbuilt; ``HAVE_NATIVE`` reports which tier is active. The layout layer
+(stormtpu.layout) routes through here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libstormtpu_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        _try_build()
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.stpu_pack_positions.restype = ctypes.c_int
+    lib.stpu_pack_positions.argtypes = [p_i64, p_i64, i64, p_u32, i64, i64, i64]
+    lib.stpu_pack_bits.restype = None
+    lib.stpu_pack_bits.argtypes = [p_u8, i64, i64, p_u32, i64]
+    lib.stpu_unpack_bits.restype = None
+    lib.stpu_unpack_bits.argtypes = [p_u32, i64, i64, p_u8, i64]
+    lib.stpu_row_popcounts.restype = None
+    lib.stpu_row_popcounts.argtypes = [p_u32, i64, i64, p_i64]
+    lib.stpu_positions_csr.restype = None
+    lib.stpu_positions_csr.argtypes = [p_u32, i64, i64, i64, p_i64, ctypes.c_void_p]
+    lib.stpu_pair_count.restype = i64
+    lib.stpu_pair_count.argtypes = [p_u32, p_u32, i64]
+    _lib = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+# --------------------------------------------------------------------- ops
+def pack_positions_native(
+    rows: np.ndarray, pos: np.ndarray, n: int, m_bits: int, w: int
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    out = np.zeros((n, w), dtype=np.uint32)
+    rc = lib.stpu_pack_positions(rows, pos, rows.size, out, n, m_bits, w)
+    if rc != 0:
+        raise ValueError("position or row id out of range")
+    return out
+
+
+def pack_bits_native(dense: np.ndarray, w: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    dense = np.ascontiguousarray(dense, dtype=np.uint8)
+    n, m = dense.shape
+    out = np.zeros((n, w), dtype=np.uint32)
+    lib.stpu_pack_bits(dense, n, m, out, w)
+    return out
+
+
+def unpack_bits_native(packed: np.ndarray, m_bits: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    out = np.empty((n, m_bits), dtype=np.uint8)
+    lib.stpu_unpack_bits(packed, n, w, out, m_bits)
+    return out
+
+
+def row_popcounts_native(packed: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    out = np.empty(n, dtype=np.int64)
+    lib.stpu_row_popcounts(packed, n, w, out)
+    return out
+
+
+def positions_csr_native(
+    packed: np.ndarray, m_bits: int
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    lib.stpu_positions_csr(packed, n, w, m_bits, indptr, None)
+    indices = np.empty(int(indptr[-1]), dtype=np.int32)
+    lib.stpu_positions_csr(
+        packed, n, w, m_bits, indptr,
+        indices.ctypes.data_as(ctypes.c_void_p),
+    )
+    return indptr, indices
+
+
+def pair_count_native(a: np.ndarray, b: np.ndarray) -> Optional[int]:
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    return int(lib.stpu_pair_count(a, b, a.size))
+
+
+HAVE_NATIVE = have_native()

@@ -1,0 +1,118 @@
+// Native host-side ingest kernels.
+//
+// The reference's native tier is C with x86 SIMD (SURVEY.md §3: the whole
+// library is C99 compiled with AVX2/AVX-512 intrinsics). On TPU the device
+// compute tier is Pallas/Mosaic, but the *host* ingest path — packing
+// set-bit positions / dense 0/1 bytes into uint32 words, row popcounts,
+// CSR extraction (the reference's STORM_add / container-build loops,
+// SURVEY.md §4.1) — stays on the CPU and is hot for large matrices
+// (NumPy's np.bitwise_or.at is an unbuffered ufunc and orders of magnitude
+// slower). This file is that ingest path, exposed via ctypes
+// (stormtpu/native/__init__.py) with a NumPy fallback when unbuilt.
+//
+// Build: make -C stormtpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Scatter-OR COO set-bit coordinates into packed words.
+// rows/pos: int64[nnz]; out: uint32[n*w] zero-initialised by caller.
+// Returns 0 on success, 1 on out-of-range input (out left partially
+// written; caller discards).
+int stpu_pack_positions(const int64_t* rows, const int64_t* pos,
+                        int64_t nnz, uint32_t* out, int64_t n,
+                        int64_t m_bits, int64_t w) {
+  for (int64_t k = 0; k < nnz; ++k) {
+    const int64_t r = rows[k];
+    const int64_t p = pos[k];
+    if (r < 0 || r >= n || p < 0 || p >= m_bits) return 1;
+    out[r * w + (p >> 5)] |= (uint32_t{1} << (p & 31));
+  }
+  return 0;
+}
+
+// Pack a dense 0/1 byte matrix [n, m] into uint32 words [n, w], LSB-first.
+// Any nonzero byte counts as a set bit.
+void stpu_pack_bits(const uint8_t* dense, int64_t n, int64_t m,
+                    uint32_t* out, int64_t w) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* row = dense + i * m;
+    uint32_t* orow = out + i * w;
+    int64_t j = 0;
+    for (; j + 32 <= m; j += 32) {
+      uint32_t word = 0;
+      for (int b = 0; b < 32; ++b) word |= (uint32_t)(row[j + b] != 0) << b;
+      orow[j >> 5] = word;
+    }
+    if (j < m) {
+      uint32_t word = 0;
+      for (int64_t b = 0; j + b < m; ++b)
+        word |= (uint32_t)(row[j + b] != 0) << b;
+      orow[j >> 5] = word;
+    }
+  }
+}
+
+// Unpack packed words back to a dense 0/1 byte matrix.
+void stpu_unpack_bits(const uint32_t* packed, int64_t n, int64_t w,
+                      uint8_t* dense, int64_t m) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* prow = packed + i * w;
+    uint8_t* drow = dense + i * m;
+    for (int64_t p = 0; p < m; ++p)
+      drow[p] = (uint8_t)((prow[p >> 5] >> (p & 31)) & 1u);
+  }
+}
+
+// Per-row set-bit counts.
+void stpu_row_popcounts(const uint32_t* packed, int64_t n, int64_t w,
+                        int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* row = packed + i * w;
+    int64_t acc = 0;
+    for (int64_t j = 0; j < w; ++j) acc += __builtin_popcount(row[j]);
+    out[i] = acc;
+  }
+}
+
+// CSR extraction: sorted set-bit positions per row.
+// Pass 1 (indices == nullptr): fill indptr[n+1] with row nnz prefix sums.
+// Pass 2: fill indices[nnz] (int32 positions), indptr already computed.
+void stpu_positions_csr(const uint32_t* packed, int64_t n, int64_t w,
+                        int64_t m_bits, int64_t* indptr, int32_t* indices) {
+  if (indices == nullptr) {
+    indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint32_t* row = packed + i * w;
+      int64_t acc = 0;
+      for (int64_t j = 0; j < w; ++j) acc += __builtin_popcount(row[j]);
+      indptr[i + 1] = indptr[i] + acc;
+    }
+    return;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t* row = packed + i * w;
+    int32_t* out = indices + indptr[i];
+    for (int64_t j = 0; j < w; ++j) {
+      uint32_t word = row[j];
+      const int32_t base = (int32_t)(j << 5);
+      while (word) {
+        const int b = __builtin_ctz(word);
+        *out++ = base + b;
+        word &= word - 1;
+      }
+    }
+  }
+}
+
+// Reference-semantics scalar pairwise count (host oracle / cross-check):
+// exact popcount(a AND b) over two packed rows.
+int64_t stpu_pair_count(const uint32_t* a, const uint32_t* b, int64_t w) {
+  int64_t acc = 0;
+  for (int64_t j = 0; j < w; ++j) acc += __builtin_popcount(a[j] & b[j]);
+  return acc;
+}
+
+}  // extern "C"

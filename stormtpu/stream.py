@@ -1,0 +1,174 @@
+"""Streaming all-pairs driver with checkpoint/resume.
+
+For large N the N×N count matrix cannot be materialized (100k rows → 40 GB
+int32; 1M rows → 4 TB), so results are produced as **superblock stripes**
+written incrementally to disk, keyed by (row-superblock, col-superblock)
+pair id — the checkpoint/resume design SURVEY.md §6 prescribes (the
+reference has none: its calls are seconds-long, C library). A re-run
+resumes at superblock-pair granularity by skipping completed shards.
+
+Output format: one ``stripe_{I:05d}_{J:05d}.npz`` per superblock pair
+(upper triangle only; mirror at read time) plus ``manifest.json`` with the
+matrix shape, superblock size, and completion record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.layout import BitMatrix
+from stormtpu.utils import pallas_interpret_default, round_up, triangular_tile_ids
+
+__all__ = ["stream_count_matrix", "load_streamed_matrix", "stripe_path"]
+
+
+def stripe_path(out_dir: str, i: int, j: int) -> str:
+    return os.path.join(out_dir, f"stripe_{i:05d}_{j:05d}.npz")
+
+
+def _superblock_pairs(n_super: int) -> Iterator[tuple[int, int]]:
+    for i in range(n_super):
+        for j in range(i, n_super):
+            yield i, j
+
+
+def _compute_stripe(
+    xp: jnp.ndarray,
+    sb_i: int,
+    sb_j: int,
+    tiles_per_super: int,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+    kernel: str,
+) -> np.ndarray:
+    """Counts int32 [SB, SB] for superblock pair (sb_i, sb_j) of the padded
+    packed matrix, using the tile kernels' scalar-prefetch pair lists."""
+    if kernel == "mxu":
+        from stormtpu.kernels.mxu import count_tiles_pallas_mxu as count_tiles
+    else:
+        from stormtpu.kernels.dense import count_tiles_pallas_dense as count_tiles
+
+    base_i = sb_i * tiles_per_super
+    base_j = sb_j * tiles_per_super
+    if sb_i == sb_j:
+        loc_i, loc_j = triangular_tile_ids(tiles_per_super)
+    else:
+        loc_i, loc_j = np.meshgrid(
+            np.arange(tiles_per_super, dtype=np.int32),
+            np.arange(tiles_per_super, dtype=np.int32),
+            indexing="ij",
+        )
+        loc_i, loc_j = loc_i.ravel(), loc_j.ravel()
+    ibs = (loc_i + base_i).astype(np.int32)
+    jbs = (loc_j + base_j).astype(np.int32)
+    tiles = np.asarray(
+        count_tiles(
+            xp,
+            jnp.asarray(ibs),
+            jnp.asarray(jbs),
+            tile_rows=tile_rows,
+            tile_words=tile_words,
+            interpret=interpret,
+        )
+    )
+    sb = tiles_per_super * tile_rows
+    out = np.zeros((sb, sb), dtype=np.int32)
+    for t in range(len(loc_i)):
+        ib, jb = int(loc_i[t]), int(loc_j[t])
+        out[ib * tile_rows : (ib + 1) * tile_rows,
+            jb * tile_rows : (jb + 1) * tile_rows] = tiles[t]
+        if sb_i == sb_j and ib != jb:
+            out[jb * tile_rows : (jb + 1) * tile_rows,
+                ib * tile_rows : (ib + 1) * tile_rows] = tiles[t].T
+    return out
+
+
+def stream_count_matrix(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    superblock_rows: int = 4096,
+    kernel: str = "mxu",
+    config: Optional[EngineConfig] = None,
+    resume: bool = True,
+    interpret: Optional[bool] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> dict:
+    """Compute all upper-triangular superblock stripes of the count matrix,
+    writing each to ``out_dir`` as it completes. Returns the manifest.
+
+    ``resume=True`` skips stripes whose shard file already exists (resume
+    at block-pair granularity after interruption).
+    """
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    tile_rows = cfg.k2_tile_rows if kernel == "mxu" else cfg.k1_tile_rows
+    tile_words = cfg.k2_tile_words if kernel == "mxu" else cfg.k1_tile_words
+    superblock_rows = round_up(superblock_rows, tile_rows)
+    tiles_per_super = superblock_rows // tile_rows
+
+    n_pad = round_up(bm.n, superblock_rows)
+    w_pad = round_up(bm.n_words, tile_words)
+    xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)
+    xp = xp.at[: bm.n, : bm.n_words].set(jnp.asarray(bm.packed))
+    n_super = n_pad // superblock_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {
+        "n": bm.n,
+        "m_bits": bm.m_bits,
+        "superblock_rows": superblock_rows,
+        "n_super": n_super,
+        "kernel": kernel,
+        "completed": [],
+    }
+    total = n_super * (n_super + 1) // 2
+    done = 0
+    for i, j in _superblock_pairs(n_super):
+        path = stripe_path(out_dir, i, j)
+        if resume and os.path.exists(path):
+            manifest["completed"].append([i, j])
+            done += 1
+            continue
+        stripe = _compute_stripe(
+            xp, i, j, tiles_per_super, tile_rows, tile_words,
+            bool(interpret), kernel,
+        )
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, counts=stripe, i=i, j=j)
+        os.replace(tmp, path)
+        manifest["completed"].append([i, j])
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def load_streamed_matrix(out_dir: str) -> np.ndarray:
+    """Reassemble the full symmetric N×N matrix from stripes (moderate N
+    only — intended for tests and downstream tooling)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    n = manifest["n"]
+    sb = manifest["superblock_rows"]
+    n_super = manifest["n_super"]
+    full = np.zeros((n_super * sb, n_super * sb), dtype=np.int32)
+    for i in range(n_super):
+        for j in range(i, n_super):
+            with np.load(stripe_path(out_dir, i, j)) as z:
+                stripe = z["counts"]
+            full[i * sb : (i + 1) * sb, j * sb : (j + 1) * sb] = stripe
+            if i != j:
+                full[j * sb : (j + 1) * sb, i * sb : (i + 1) * sb] = stripe.T
+    return full[:n, :n]
