@@ -38,6 +38,7 @@ from stormtpu.api import (
     intersect_count_matrix,
     pair_count,
 )
+from stormtpu.setops import pairwise_cardinality, similarity_matrix
 
 __version__ = "0.1.0"
 
@@ -51,5 +52,7 @@ __all__ = [
     "oracle_pair_count",
     "intersect_count_matrix",
     "pair_count",
+    "pairwise_cardinality",
+    "similarity_matrix",
     "__version__",
 ]

@@ -1,0 +1,133 @@
+"""Command-line harness (reference C14/C15 analog).
+
+The reference ships bench/example binaries that generate random bitmaps
+across a density sweep, time every kernel path, and cross-check each
+against the scalar ground truth (SURVEY.md §4.5). Same shape here:
+
+  python -m stormtpu sweep   --n 256 --m 8192 --densities 0.001,0.01,0.1,0.5
+  python -m stormtpu count   --in positions.npz --out counts.npy
+  python -m stormtpu info
+
+``sweep`` verifies every timed path against the NumPy oracle before
+printing its row — a mismatch aborts, exactly like the reference harness.
+``count`` ingests a COO .npz (row_ids, positions, n, m_bits) or a dense
+0/1 .npy and writes the exact count matrix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cmd_info(_args: argparse.Namespace) -> int:
+    import jax
+
+    import stormtpu
+    from stormtpu import native
+
+    print(f"stormtpu {stormtpu.__version__}")
+    print(f"jax {jax.__version__}; devices: {jax.devices()}")
+    print(f"native ingest library: {'built' if native.have_native() else 'NumPy fallback'}")
+    return 0
+
+
+def cmd_sweep(args: argparse.Namespace) -> int:
+    import jax.numpy as jnp
+
+    from stormtpu import BitMatrix, intersect_count_matrix
+    from stormtpu.dispatch import STRATEGIES, choose_strategy
+    from stormtpu.oracle import oracle_count_matrix
+
+    densities = [float(d) for d in args.densities.split(",")]
+    strategies = (
+        args.strategies.split(",") if args.strategies else list(STRATEGIES)
+    )
+    rng = np.random.default_rng(args.seed)
+    pairs = args.n * args.n
+    print(f"{'density':>9} {'strategy':>14} {'ms/run':>10} {'M-pairs/s':>11} "
+          f"{'vs oracle':>9}  {'auto' :>5}")
+    for d in densities:
+        dense = (rng.random((args.n, args.m)) < d).astype(np.uint8)
+        bm = BitMatrix.from_dense(dense)
+        want = oracle_count_matrix(bm.packed)
+        auto = choose_strategy(bm.n, bm.m_bits, bm.density)
+        for strat in strategies:
+            try:
+                got = intersect_count_matrix(bm, strategy=strat)
+            except Exception as e:  # pragma: no cover
+                print(f"{d:9.4f} {strat:>14} {'—':>10} {'—':>11} "
+                      f"error: {type(e).__name__}")
+                continue
+            if not np.array_equal(got, want):
+                print(f"{d:9.4f} {strat:>14}  *** MISMATCH vs oracle ***")
+                return 1
+            t0 = time.time()
+            for _ in range(args.reps):
+                got = intersect_count_matrix(bm, strategy=strat)
+            dt = (time.time() - t0) / args.reps
+            mark = "<-" if strat == auto else ""
+            print(f"{d:9.4f} {strat:>14} {dt * 1e3:10.2f} "
+                  f"{pairs / dt / 1e6:11.2f} {'exact':>9}  {mark:>5}")
+    return 0
+
+
+def cmd_count(args: argparse.Namespace) -> int:
+    from stormtpu import BitMatrix, intersect_count_matrix
+    from stormtpu.setops import pairwise_cardinality
+
+    if args.infile.endswith(".npz"):
+        with np.load(args.infile) as z:
+            bm = BitMatrix.from_positions(
+                z["row_ids"], z["positions"], int(z["n"]), int(z["m_bits"])
+            )
+    else:
+        bm = BitMatrix.from_dense(np.load(args.infile))
+    _log(f"loaded {bm}")
+    if args.op == "intersect":
+        out = intersect_count_matrix(bm, strategy=args.strategy)
+    else:
+        out = pairwise_cardinality(bm, args.op, strategy=args.strategy)
+    np.save(args.out, out)
+    _log(f"wrote {args.out} shape={out.shape} dtype={out.dtype}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="stormtpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("info", help="backend / version info")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("sweep", help="density-sweep benchmark with oracle cross-check")
+    sp.add_argument("--n", type=int, default=256)
+    sp.add_argument("--m", type=int, default=8192)
+    sp.add_argument("--densities", default="0.001,0.01,0.1,0.5")
+    sp.add_argument("--strategies", default="", help="comma list; default all")
+    sp.add_argument("--reps", type=int, default=2)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("count", help="compute a pairwise count matrix from a file")
+    sp.add_argument("--in", dest="infile", required=True,
+                    help=".npz with row_ids/positions/n/m_bits, or dense .npy")
+    sp.add_argument("--out", required=True, help="output .npy")
+    sp.add_argument("--op", default="intersect",
+                    choices=("intersect", "union", "xor", "andnot", "nand"))
+    sp.add_argument("--strategy", default="auto")
+    sp.set_defaults(fn=cmd_count)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

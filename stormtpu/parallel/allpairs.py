@@ -80,14 +80,39 @@ def ring_count_rows(
     )
 
 
+def kshard_count_rows(mesh: Mesh, axis: str, block_fn: BlockFn):
+    """Jittable sharded fn for the **bit-axis (K-dim) sharding** variant:
+    each device holds a word slice of every row, computes the partial
+    count matrix from its slice, and ``psum`` merges the exact integer
+    partials — the honest "sequence parallelism" analog of this workload
+    (SURVEY.md §6: the reduction dim is sharded, not the batch)."""
+
+    def local_fn(x_local: jax.Array) -> jax.Array:
+        partial = block_fn(x_local, x_local).astype(jnp.int32)
+        return jax.lax.psum(partial, axis)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=P(None, None),
+    )
+
+
 def distributed_count_matrix(
     packed: np.ndarray,
     *,
     mesh: Optional[Mesh] = None,
     config: Optional[EngineConfig] = None,
     block_fn: Optional[BlockFn] = None,
+    shard_axis: str = "rows",
 ) -> np.ndarray:
-    """Exact N×N counts computed data-parallel over a row-sharded mesh.
+    """Exact N×N counts computed data-parallel over a device mesh.
+
+    ``shard_axis="rows"``: row-sharded X, ring-streamed partner shards
+    (the BASELINE.json:5 layout; scales N). ``shard_axis="bits"``:
+    word-sharded X, psum of exact int32 partial counts (scales M when a
+    single row-slice exceeds per-device HBM).
 
     Returns the gathered matrix (host np.ndarray) — callers at 1M-row
     scale should instead keep the row-sharded device result
@@ -101,13 +126,23 @@ def distributed_count_matrix(
     packed = np.asarray(packed, dtype=np.uint32)
     n, w = packed.shape
     cfg.validate(w * 32)
+    if block_fn is None:
+        block_fn = kx.count_block_int8_xla
+
+    if shard_axis == "bits":
+        w_pad = round_up(max(w, r), r)
+        xp = np.zeros((n, w_pad), dtype=np.uint32)
+        xp[:, :w] = packed
+        x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
+        fn = jax.jit(kshard_count_rows(mesh, axis, block_fn))
+        return np.asarray(fn(x_sharded))[:n, :n]
+    if shard_axis != "rows":
+        raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
+
     n_pad = round_up(max(n, r), r * 8)
     xp = np.zeros((n_pad, w), dtype=np.uint32)
     xp[:n] = packed
     n_loc = n_pad // r
-    if block_fn is None:
-        block_fn = kx.count_block_int8_xla
-
     x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
     fn = jax.jit(ring_count_rows(mesh, axis, n_loc, block_fn))
     c = fn(x_sharded)

@@ -1,0 +1,98 @@
+"""Derived pairwise set-operation cardinalities and similarity measures.
+
+The reference's kernel family (shared with the author's ``libalgebra.h``
+lineage, SURVEY.md §1) exposes AND/OR/XOR/diff population counts; for
+*pairwise* matrices every one of them is derivable from the intersection
+engine plus per-row cardinalities — no extra device passes:
+
+    |A ∪ B| = |A| + |B| − |A ∩ B|
+    |A ⊕ B| = |A| + |B| − 2·|A ∩ B|
+    |A \\ B| = |A| − |A ∩ B|
+
+and the similarity coefficients used on genotype bitmaps (LD/co-occurrence
+screens): Jaccard, Dice–Sørensen, Ochiai/cosine, overlap.
+
+So the TPU engine computes the one hard matrix (XXᵀ) with whichever kernel
+D1 dispatches, and everything else is O(N²) elementwise on host/device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from stormtpu.api import MatrixLike, _as_bitmatrix, intersect_count_matrix
+from stormtpu.config import EngineConfig
+
+__all__ = ["pairwise_cardinality", "similarity_matrix", "CARD_OPS", "SIM_OPS"]
+
+CARD_OPS = ("intersect", "union", "xor", "andnot", "nand")
+SIM_OPS = ("jaccard", "dice", "cosine", "overlap")
+
+
+def pairwise_cardinality(
+    x: MatrixLike,
+    op: str = "intersect",
+    *,
+    strategy: str = "auto",
+    config: Optional[EngineConfig] = None,
+) -> np.ndarray:
+    """N×N exact pairwise cardinality matrix for a bitwise set operation.
+
+    op: "intersect" |A∩B|, "union" |A∪B|, "xor" |A⊕B|,
+        "andnot" |A\\B| (row minus column), "nand" M−|A∩B|.
+    Always int64 (unions can exceed int32 only for M ≥ 2³¹, which config
+    validation already excludes, but int64 keeps arithmetic headroom).
+    """
+    if op not in CARD_OPS:
+        raise ValueError(f"unknown op {op!r}; want one of {CARD_OPS}")
+    bm = _as_bitmatrix(x)
+    inter = intersect_count_matrix(bm, strategy=strategy, config=config).astype(
+        np.int64
+    )
+    if op == "intersect":
+        return inter
+    card = bm.row_nnz.astype(np.int64)
+    if op == "union":
+        return card[:, None] + card[None, :] - inter
+    if op == "xor":
+        return card[:, None] + card[None, :] - 2 * inter
+    if op == "andnot":
+        return card[:, None] - inter
+    # nand: popcount(NOT(a AND b)) over the M-bit universe
+    return np.int64(bm.m_bits) - inter
+
+
+def similarity_matrix(
+    x: MatrixLike,
+    measure: str = "jaccard",
+    *,
+    strategy: str = "auto",
+    config: Optional[EngineConfig] = None,
+) -> np.ndarray:
+    """N×N float64 similarity from exact integer counts.
+
+    jaccard = ∩/∪ · dice = 2∩/(|A|+|B|) · cosine = ∩/√(|A||B|) (Ochiai)
+    · overlap = ∩/min(|A|,|B|). Pairs where the denominator is 0 (both
+    rows empty) yield 0.0.
+    """
+    if measure not in SIM_OPS:
+        raise ValueError(f"unknown measure {measure!r}; want one of {SIM_OPS}")
+    bm = _as_bitmatrix(x)
+    inter = intersect_count_matrix(bm, strategy=strategy, config=config).astype(
+        np.float64
+    )
+    card = bm.row_nnz.astype(np.float64)
+    if measure == "jaccard":
+        denom = card[:, None] + card[None, :] - inter
+    elif measure == "dice":
+        inter = 2.0 * inter
+        denom = card[:, None] + card[None, :]
+    elif measure == "cosine":
+        denom = np.sqrt(card[:, None] * card[None, :])
+    else:  # overlap
+        denom = np.minimum(card[:, None], card[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
+    return out

@@ -1,0 +1,50 @@
+"""CLI harness: sweep verifies and prints, count round-trips files."""
+
+import numpy as np
+
+from stormtpu.cli import main
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "stormtpu" in out and "devices" in out
+
+
+def test_cli_sweep_small(capsys):
+    rc = main([
+        "sweep", "--n", "40", "--m", "512",
+        "--densities", "0.05,0.5",
+        "--strategies", "popcount,mxu", "--reps", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("exact") == 4  # 2 densities × 2 strategies, all verified
+
+
+def test_cli_count_positions_roundtrip(tmp_path, rng):
+    n, m = 12, 300
+    dense = (rng.random((n, m)) < 0.1).astype(np.uint8)
+    rows, cols = np.nonzero(dense)
+    infile = tmp_path / "in.npz"
+    outfile = tmp_path / "out.npy"
+    np.savez(infile, row_ids=rows, positions=cols, n=n, m_bits=m)
+    rc = main(["count", "--in", str(infile), "--out", str(outfile)])
+    assert rc == 0
+    got = np.load(outfile)
+    want = dense.astype(np.int64) @ dense.T.astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_count_dense_union(tmp_path, rng):
+    dense = (rng.random((8, 128)) < 0.4).astype(np.uint8)
+    infile = tmp_path / "in.npy"
+    outfile = tmp_path / "out.npy"
+    np.save(infile, dense)
+    rc = main(["count", "--in", str(infile), "--out", str(outfile),
+               "--op", "union"])
+    assert rc == 0
+    got = np.load(outfile)
+    a = dense[:, None, :].astype(np.int64)
+    b = dense[None, :, :].astype(np.int64)
+    np.testing.assert_array_equal(got, (a | b).sum(axis=2))

@@ -55,3 +55,26 @@ def test_distributed_sparse_and_dense_inputs(mesh8):
         bm = random_bitmatrix(24, 4096, density, seed=seed)
         got = distributed_count_matrix(bm.packed, mesh=mesh8)
         np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_kshard_bits_axis_exact(mesh8):
+    # word-axis sharding + psum of exact partials (the K-dim variant)
+    bm = random_bitmatrix(30, 2048, 0.3, seed=46)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="bits")
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_kshard_ragged_w(mesh8):
+    # W=19 words not divisible by 8 shards (zero-word padding invisible)
+    bm = random_bitmatrix(16, 19 * 32, 0.5, seed=47)
+    assert bm.packed.shape[1] == 19
+    got = distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="bits")
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_bad_shard_axis(mesh8):
+    import pytest as _pytest
+
+    bm = random_bitmatrix(8, 256, 0.5, seed=48)
+    with _pytest.raises(ValueError):
+        distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="cols")

@@ -1,0 +1,71 @@
+"""Derived set-op cardinalities / similarities vs brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.setops import (
+    CARD_OPS,
+    SIM_OPS,
+    pairwise_cardinality,
+    similarity_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    bm = random_bitmatrix(25, 700, 0.3, seed=61)
+    dense = bm.to_dense().astype(np.int64)
+    return bm, dense
+
+
+@pytest.mark.parametrize("op", CARD_OPS)
+def test_cardinality_exact(op, data):
+    bm, dense = data
+    got = pairwise_cardinality(bm, op)
+    a = dense[:, None, :]
+    b = dense[None, :, :]
+    want = {
+        "intersect": (a & b).sum(axis=2),
+        "union": (a | b).sum(axis=2),
+        "xor": (a ^ b).sum(axis=2),
+        "andnot": (a & ~b & 1).sum(axis=2),
+        "nand": bm.m_bits - (a & b).sum(axis=2),
+    }[op]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("measure", SIM_OPS)
+def test_similarity_exact(measure, data):
+    bm, dense = data
+    got = similarity_matrix(bm, measure)
+    inter = (dense[:, None, :] & dense[None, :, :]).sum(axis=2).astype(np.float64)
+    card = dense.sum(axis=1).astype(np.float64)
+    if measure == "jaccard":
+        want = inter / (card[:, None] + card[None, :] - inter)
+    elif measure == "dice":
+        want = 2 * inter / (card[:, None] + card[None, :])
+    elif measure == "cosine":
+        want = inter / np.sqrt(card[:, None] * card[None, :])
+    else:
+        want = inter / np.minimum(card[:, None], card[None, :])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_empty_rows_similarity_zero():
+    from stormtpu import BitMatrix
+
+    dense = np.zeros((3, 64), dtype=np.uint8)
+    dense[1, :5] = 1
+    bm = BitMatrix.from_dense(dense)
+    s = similarity_matrix(bm, "jaccard")
+    assert s[0, 0] == 0.0 and s[0, 2] == 0.0  # empty vs empty -> 0, not nan
+    assert s[1, 1] == 1.0
+
+
+def test_bad_op_rejected(data):
+    bm, _ = data
+    with pytest.raises(ValueError):
+        pairwise_cardinality(bm, "xnor")
+    with pytest.raises(ValueError):
+        similarity_matrix(bm, "pearson")
