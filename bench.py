@@ -3,7 +3,7 @@
 Like the reference's harness, every number is **verified against the exact
 oracle before being reported** — an unverified benchmark is never printed.
 
-Headline config: dense all-pairs N=1024 × M=65536 bits (BASELINE.json:8
+Headline config: dense all-pairs N=4096 × M=65536 bits (BASELINE.json:8
 shape). All exact kernel paths are measured (XLA popcount, XLA int8 XXᵀ,
 Pallas K1 VPU, Pallas K2 MXU) and the best verified path is reported —
 the density/shape-adaptive engine ships whichever kernel wins on the
@@ -34,7 +34,7 @@ import time
 
 import numpy as np
 
-N_HEAD = 1024
+N_HEAD = 4096
 M_HEAD = 65536
 REPS = 3
 
@@ -185,7 +185,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "allpairs_intersect_count_1024x65536_dense",
+                "metric": "allpairs_intersect_count_4096x65536_dense",
                 "value": round(gpairs, 6),
                 "unit": "G-pairs/s",
                 "vs_baseline": round(vs_baseline, 3),

@@ -79,6 +79,13 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tune(args: argparse.Namespace) -> int:
+    from stormtpu.tuning import tune
+
+    tune(n=args.n, m_bits=args.m, reps=args.reps, log=_log)
+    return 0
+
+
 def cmd_count(args: argparse.Namespace) -> int:
     from stormtpu import BitMatrix, intersect_count_matrix
     from stormtpu.setops import pairwise_cardinality
@@ -115,6 +122,15 @@ def main(argv=None) -> int:
     sp.add_argument("--reps", type=int, default=2)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser(
+        "tune",
+        help="measure kernel crossovers on this device and cache them for dispatch",
+    )
+    sp.add_argument("--n", type=int, default=1024)
+    sp.add_argument("--m", type=int, default=65536)
+    sp.add_argument("--reps", type=int, default=3)
+    sp.set_defaults(fn=cmd_tune)
 
     sp = sub.add_parser("count", help="compute a pairwise count matrix from a file")
     sp.add_argument("--in", dest="infile", required=True,

@@ -55,6 +55,17 @@ def choose_strategy(
         # popcount path wins (analog of the reference's short-input
         # scalar fallback).
         return "popcount"
+    # Measured crossover, when the device has been tuned
+    # (`python -m stormtpu tune`) — the C6-style honest threshold.
+    from stormtpu.tuning import measured_dense_winner
+
+    winner = measured_dense_winner()
+    if winner is not None:
+        if winner == "mxu" and m_bits > _MXU_XLA_MAX_BITS:
+            # the XLA int8 path materializes the 8× unpacked operand;
+            # at large M only the in-kernel-unpack Pallas form is viable
+            return "pallas_mxu"
+        return winner
     if m_bits <= _MXU_XLA_MAX_BITS:
         return "mxu"
     return "pallas_mxu"

@@ -41,7 +41,7 @@ __all__ = ["count_tiles_pallas_dense", "count_matrix_pallas_dense"]
 
 
 def _k1_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
-    """One (tile-pair t, K-step k) grid cell.
+    """One (tile-pair t, K-step k) grid cell — "rows" variant.
 
     a_ref: uint32 [TI, WK] — row block ibs[t], word slice k
     b_ref: uint32 [TJ, WK] — row block jbs[t], word slice k
@@ -68,9 +68,31 @@ def _k1_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
     jax.lax.fori_loop(0, ti, row_step, 0)
 
 
+def _k1_kernel_chunk(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
+    """"chunk" variant: statically-unrolled 8-row chunks of A against the
+    whole B tile — one (8, TJ, WK) VPU pass per chunk instead of TI
+    scalar-indexed row passes."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    b = b_ref[:]
+    ti = a_ref.shape[0]
+    ch = 8
+    for ii0 in range(0, ti, ch):
+        chunk = a_ref[ii0 : ii0 + ch, :]
+        c = jax.lax.population_count(chunk[:, None, :] & b[None, :, :])
+        o_ref[0, ii0 : ii0 + ch, :] += jnp.sum(c.astype(jnp.int32), axis=2)
+
+
+_K1_VARIANTS = {"rows": _k1_kernel, "chunk": _k1_kernel_chunk}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_rows", "tile_words", "interpret"),
+    static_argnames=("tile_rows", "tile_words", "interpret", "variant"),
 )
 def count_tiles_pallas_dense(
     packed: jax.Array,
@@ -80,6 +102,7 @@ def count_tiles_pallas_dense(
     tile_rows: int,
     tile_words: int,
     interpret: bool,
+    variant: str = "rows",
 ) -> jax.Array:
     """Compute T count tiles int32 [T, TI, TI] for row-block pairs
     (ibs[t], jbs[t]) of a padded packed matrix uint32 [N_pad, W_pad]."""
@@ -111,7 +134,7 @@ def count_tiles_pallas_dense(
     )
     flops_per_cell = 3 * tile_rows * tile_rows * tile_words
     return pl.pallas_call(
-        _k1_kernel,
+        _K1_VARIANTS[variant],
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, tile_rows, tile_rows), jnp.int32),
         compiler_params=pltpu.CompilerParams(
@@ -133,6 +156,7 @@ def count_matrix_pallas_dense(
     *,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    variant: str = "rows",
 ) -> np.ndarray:
     """Full N×N exact counts via the K1 kernel (triangular tile walk +
     symmetric mirror at assembly)."""
@@ -160,5 +184,6 @@ def count_matrix_pallas_dense(
         tile_rows=ti,
         tile_words=wk,
         interpret=bool(interpret),
+        variant=variant,
     )
     return assemble_triangular(np.asarray(tiles), ibs, jbs, nb, n)

@@ -54,7 +54,7 @@ def _unpack_bits_int8(tile: jax.Array) -> jax.Array:
 
 
 def _k2_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
-    """One (tile-pair t, K-step k) grid cell.
+    """One (tile-pair t, K-step k) grid cell — "concat" variant.
 
     a_ref: uint32 [TI, WK] packed; unpacked in-VMEM to int8 [TI, 32·WK]
     b_ref: uint32 [TJ, WK] likewise
@@ -77,9 +77,37 @@ def _k2_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
     )
 
 
+def _k2_kernel_planes(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
+    """"planes" variant: one MXU dot per bit plane (32 dots of K=WK),
+    avoiding the lane-concatenate of the unpacked operand — trades one big
+    matmul for 32 small ones with zero reshuffle traffic."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), dtype=jnp.int32)
+    for bit in range(WORD_BITS):
+        ua = ((a >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        ub = ((b >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            ua,
+            ub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    o_ref[0] += acc
+
+
+_K2_VARIANTS = {"concat": _k2_kernel, "planes": _k2_kernel_planes}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_rows", "tile_words", "interpret"),
+    static_argnames=("tile_rows", "tile_words", "interpret", "variant"),
 )
 def count_tiles_pallas_mxu(
     packed: jax.Array,
@@ -89,6 +117,7 @@ def count_tiles_pallas_mxu(
     tile_rows: int,
     tile_words: int,
     interpret: bool,
+    variant: str = "concat",
 ) -> jax.Array:
     """T count tiles int32 [T, TI, TI] for row-block pairs (ibs[t], jbs[t])
     of a padded packed matrix uint32 [N_pad, W_pad], via MXU int8 matmul."""
@@ -120,7 +149,7 @@ def count_tiles_pallas_mxu(
         ),
     )
     return pl.pallas_call(
-        _k2_kernel,
+        _K2_VARIANTS[variant],
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, tile_rows, tile_rows), jnp.int32),
         compiler_params=pltpu.CompilerParams(
@@ -142,6 +171,7 @@ def count_matrix_pallas_mxu(
     *,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    variant: str = "concat",
 ) -> np.ndarray:
     """Full N×N exact counts via the K2 MXU kernel (triangular walk +
     symmetric mirror)."""
@@ -170,5 +200,6 @@ def count_matrix_pallas_mxu(
         tile_rows=ti,
         tile_words=wk,
         interpret=bool(interpret),
+        variant=variant,
     )
     return assemble_triangular(np.asarray(tiles), ibs, jbs, nb, n)

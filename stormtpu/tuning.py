@@ -1,0 +1,149 @@
+"""On-device kernel tuning — measured dispatch crossovers.
+
+The reference's dispatch constants (SURVEY.md §3 C6/C7: ISA ladder, the
+Roaring-style container threshold) encode *measured* crossovers for x86.
+The TPU analog: probe every exact kernel path on the live device at a
+representative shape, record pairs/s in a cache file, and let D1 dispatch
+prefer the measured winner. Tuning is explicit (``python -m stormtpu
+tune``) because first-compiles are expensive; without a cache, dispatch
+falls back to its static heuristics.
+
+Timing methodology matches bench.py: warmup compile, then per-rep host
+materialization (this environment's relay memoizes identical executions
+and its block_until_ready can return early).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+CACHE_ENV = "STORMTPU_TUNING_CACHE"
+_DEFAULT_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "stormtpu", "tuning.json"
+)
+
+_DENSE_PATHS = ("popcount", "mxu", "pallas_dense", "pallas_mxu")
+
+
+def cache_path() -> str:
+    return os.environ.get(CACHE_ENV, _DEFAULT_CACHE)
+
+
+def load_tuning() -> Optional[dict]:
+    try:
+        with open(cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def measured_dense_winner() -> Optional[str]:
+    """Best dense all-pairs strategy from the cache, if tuned on this
+    backend; None otherwise."""
+    import jax
+
+    t = load_tuning()
+    if not t:
+        return None
+    if t.get("device") != str(jax.devices()[0]):
+        return None
+    rates = t.get("dense_pairs_per_s", {})
+    if not rates:
+        return None
+    return max(rates, key=rates.get)
+
+
+def _timeit(f, reps: int = 3) -> float:
+    import jax
+
+    out = f()
+    np.asarray(jax.tree.leaves(out)[0].sum())
+    t0 = time.time()
+    for _ in range(reps):
+        out = f()
+        np.asarray(jax.tree.leaves(out)[0].sum())
+    return (time.time() - t0) / reps
+
+
+def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
+    """Measure all dense paths (and Pallas kernel variants) at shape
+    (n, m_bits); verify each against the oracle; write the cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from stormtpu.kernels import xla as kx
+    from stormtpu.kernels.dense import count_matrix_pallas_dense
+    from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+    from stormtpu.oracle import oracle_count_block
+
+    w = m_bits // 32
+    rng = np.random.default_rng(99)
+    packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    xd = jnp.asarray(packed)
+    nc = min(n, 128)
+    want_tile = oracle_count_block(packed[:nc], packed[:nc])
+    sq = float(n) * n
+    tri = n * (n + 1) / 2
+
+    rates: dict[str, float] = {}
+    variants: dict[str, float] = {}
+
+    def check(c_np, name):
+        if not np.array_equal(np.asarray(c_np)[:nc, :nc], want_tile):
+            raise AssertionError(f"tuning candidate {name} is INEXACT")
+
+    check(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount")
+    rates["popcount"] = sq / _timeit(
+        lambda: kx.count_block_popcount_xla(xd, xd, tile_rows=8), reps
+    )
+    log(f"popcount: {rates['popcount']:,.0f} pairs/s")
+
+    check(kx.count_block_int8_xla(xd, xd), "mxu")
+    rates["mxu"] = sq / _timeit(lambda: kx.count_block_int8_xla(xd, xd), reps)
+    log(f"mxu: {rates['mxu']:,.0f} pairs/s")
+
+    for variant in ("rows", "chunk"):
+        f = lambda v=variant: count_matrix_pallas_dense(xd, variant=v)
+        check(f(), f"pallas_dense/{variant}")
+        variants[f"pallas_dense/{variant}"] = tri / _timeit(f, reps)
+        log(f"pallas_dense/{variant}: "
+            f"{variants[f'pallas_dense/{variant}']:,.0f} pairs/s")
+    rates["pallas_dense"] = max(
+        v for k, v in variants.items() if k.startswith("pallas_dense")
+    )
+
+    for variant in ("concat", "planes"):
+        f = lambda v=variant: count_matrix_pallas_mxu(xd, variant=v)
+        check(f(), f"pallas_mxu/{variant}")
+        variants[f"pallas_mxu/{variant}"] = tri / _timeit(f, reps)
+        log(f"pallas_mxu/{variant}: "
+            f"{variants[f'pallas_mxu/{variant}']:,.0f} pairs/s")
+    rates["pallas_mxu"] = max(
+        v for k, v in variants.items() if k.startswith("pallas_mxu")
+    )
+
+    result = {
+        "device": str(jax.devices()[0]),
+        "shape": {"n": n, "m_bits": m_bits},
+        "dense_pairs_per_s": rates,
+        "variant_pairs_per_s": variants,
+        "best_k1_variant": max(
+            (k for k in variants if k.startswith("pallas_dense")),
+            key=variants.get,
+        ).split("/")[1],
+        "best_k2_variant": max(
+            (k for k in variants if k.startswith("pallas_mxu")),
+            key=variants.get,
+        ).split("/")[1],
+    }
+    path = cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    log(f"wrote {path}")
+    return result

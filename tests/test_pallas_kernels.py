@@ -68,3 +68,41 @@ def test_dispatch_invariance_pallas():
     for strategy in ("pallas_dense", "pallas_mxu"):
         got = intersect_count_matrix(bm, strategy=strategy)
         np.testing.assert_array_equal(got, want, err_msg=strategy)
+
+
+@pytest.mark.parametrize("variant", ("rows", "chunk"))
+def test_k1_variants_exact(variant):
+    import jax.numpy as jnp
+
+    from stormtpu.kernels.dense import count_tiles_pallas_dense
+
+    bm = random_bitmatrix(16, 512 * 32, 0.4, seed=26)
+    xp = np.zeros((16, 512), dtype=np.uint32)
+    xp[:, : bm.n_words] = bm.packed
+    ibs = np.array([0], np.int32)
+    tiles = count_tiles_pallas_dense(
+        jnp.asarray(xp), jnp.asarray(ibs), jnp.asarray(ibs),
+        tile_rows=16, tile_words=256, interpret=True, variant=variant,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tiles[0]), oracle_count_matrix(bm.packed)
+    )
+
+
+@pytest.mark.parametrize("variant", ("concat", "planes"))
+def test_k2_variants_exact(variant):
+    import jax.numpy as jnp
+
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+
+    bm = random_bitmatrix(32, 512 * 32, 0.4, seed=27)
+    xp = np.zeros((32, 512), dtype=np.uint32)
+    xp[:, : bm.n_words] = bm.packed
+    ibs = np.array([0], np.int32)
+    tiles = count_tiles_pallas_mxu(
+        jnp.asarray(xp), jnp.asarray(ibs), jnp.asarray(ibs),
+        tile_rows=32, tile_words=256, interpret=True, variant=variant,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tiles[0]), oracle_count_matrix(bm.packed)
+    )
