@@ -72,8 +72,14 @@ def _verify_sample(c: np.ndarray, packed: np.ndarray, n_samples: int, seed: int 
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default="", help="jax.profiler trace dir")
+    cli = ap.parse_args()
 
     from stormtpu.kernels import xla as kx
     from stormtpu.kernels.dense import count_tiles_pallas_dense
@@ -97,6 +103,9 @@ def main() -> None:
     pairs_sq = float(n) * n
 
     candidates = {}
+
+    if cli.profile:
+        jax.profiler.start_trace(cli.profile)
 
     # --- reference-style baseline: streaming AND+popcount, no reuse ------
     # One full 2×(M/8)-byte stream per pair, batched R pairs per launch.
@@ -155,6 +164,10 @@ def main() -> None:
         )
     )
     candidates["pallas_k2_mxu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
+
+    if cli.profile:
+        jax.profiler.stop_trace()
+        log(f"[profile] trace written to {cli.profile}")
 
     for name, d in sorted(candidates.items(), key=lambda kv: -kv[1]["pairs_per_s"]):
         log(f"[{name:>14}] {d['pairs_per_s'] / 1e9:.6f} G-pairs/s "

@@ -77,12 +77,18 @@ def intersect_count_matrix(
         out = kx.count_matrix_int8_xla(packed)
     elif strategy == "pallas_dense":
         from stormtpu.kernels.dense import count_matrix_pallas_dense
+        from stormtpu.tuning import tuned_variant
 
-        out = count_matrix_pallas_dense(packed, config=cfg)
+        out = count_matrix_pallas_dense(
+            packed, config=cfg, variant=tuned_variant("k1", "rows")
+        )
     elif strategy == "pallas_mxu":
         from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+        from stormtpu.tuning import tuned_variant
 
-        out = count_matrix_pallas_mxu(packed, config=cfg)
+        out = count_matrix_pallas_mxu(
+            packed, config=cfg, variant=tuned_variant("k2", "concat")
+        )
     else:  # sparse
         from stormtpu.kernels.sparse import count_matrix_sparse
 

@@ -13,5 +13,14 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 
 from stormtpu.parallel.mesh import make_row_mesh
 from stormtpu.parallel.allpairs import distributed_count_matrix
+from stormtpu.parallel.multihost import (
+    distributed_stream_count_matrix,
+    initialize_multihost,
+)
 
-__all__ = ["make_row_mesh", "distributed_count_matrix"]
+__all__ = [
+    "make_row_mesh",
+    "distributed_count_matrix",
+    "distributed_stream_count_matrix",
+    "initialize_multihost",
+]

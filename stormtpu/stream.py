@@ -49,7 +49,19 @@ def _compute_stripe(
     kernel: str,
 ) -> np.ndarray:
     """Counts int32 [SB, SB] for superblock pair (sb_i, sb_j) of the padded
-    packed matrix, using the tile kernels' scalar-prefetch pair lists."""
+    packed matrix, using the tile kernels' scalar-prefetch pair lists (or a
+    whole-stripe XLA kernel for the xla_* choices)."""
+    if kernel in ("xla_int8", "xla_popcount"):
+        from stormtpu.kernels import xla as kx
+
+        sb = tiles_per_super * tile_rows
+        xi = xp[sb_i * sb : (sb_i + 1) * sb]
+        xj = xp[sb_j * sb : (sb_j + 1) * sb]
+        if kernel == "xla_int8":
+            out = kx.count_block_int8_xla(xi, xj)
+        else:
+            out = kx.count_block_popcount_xla(xi, xj)
+        return np.asarray(out)
     if kernel == "mxu":
         from stormtpu.kernels.mxu import count_tiles_pallas_mxu as count_tiles
     else:

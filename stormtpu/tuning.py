@@ -42,6 +42,17 @@ def load_tuning() -> Optional[dict]:
         return None
 
 
+def tuned_variant(kernel: str, default: str) -> str:
+    """Best measured Pallas kernel variant ("k1" or "k2") on this device,
+    or ``default`` when untuned."""
+    import jax
+
+    t = load_tuning()
+    if not t or t.get("device") != str(jax.devices()[0]):
+        return default
+    return t.get(f"best_{kernel}_variant", default)
+
+
 def measured_dense_winner() -> Optional[str]:
     """Best dense all-pairs strategy from the cache, if tuned on this
     backend; None otherwise."""
@@ -77,40 +88,62 @@ def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
     import jax.numpy as jnp
 
     from stormtpu.kernels import xla as kx
-    from stormtpu.kernels.dense import count_matrix_pallas_dense
-    from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+    from stormtpu.kernels.dense import count_tiles_pallas_dense
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
     from stormtpu.oracle import oracle_count_block
+    from stormtpu.utils import (
+        pallas_interpret_default,
+        round_up,
+        triangular_tile_ids,
+    )
 
+    interpret = pallas_interpret_default()
     w = m_bits // 32
     rng = np.random.default_rng(99)
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
     xd = jnp.asarray(packed)
-    nc = min(n, 128)
-    want_tile = oracle_count_block(packed[:nc], packed[:nc])
     sq = float(n) * n
     tri = n * (n + 1) / 2
 
     rates: dict[str, float] = {}
     variants: dict[str, float] = {}
 
-    def check(c_np, name):
-        if not np.array_equal(np.asarray(c_np)[:nc, :nc], want_tile):
+    # All candidates are timed identically: device output + host checksum
+    # only (full-matrix D2H would swamp kernel time on tunneled devices and
+    # is the same cost for every path anyway).
+    def check_block(c_np, name, nc):
+        want = oracle_count_block(packed[:nc], packed[:nc])
+        if not np.array_equal(np.asarray(c_np)[:nc, :nc], want):
             raise AssertionError(f"tuning candidate {name} is INEXACT")
 
-    check(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount")
+    check_block(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount",
+                min(n, 128))
     rates["popcount"] = sq / _timeit(
         lambda: kx.count_block_popcount_xla(xd, xd, tile_rows=8), reps
     )
     log(f"popcount: {rates['popcount']:,.0f} pairs/s")
 
-    check(kx.count_block_int8_xla(xd, xd), "mxu")
+    check_block(kx.count_block_int8_xla(xd, xd), "mxu", min(n, 128))
     rates["mxu"] = sq / _timeit(lambda: kx.count_block_int8_xla(xd, xd), reps)
     log(f"mxu: {rates['mxu']:,.0f} pairs/s")
 
+    def pallas_candidate(count_tiles, ti_cap, wk_cap, variant):
+        ti = min(ti_cap, round_up(max(n, 8), 8))
+        wk = round_up(max(w, 128), 128) if w <= wk_cap else round_up(wk_cap, 128)
+        n_pad, w_pad = round_up(n, ti), round_up(w, wk)
+        xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32).at[:n, :w].set(xd)
+        ibs, jbs = map(jnp.asarray, triangular_tile_ids(n_pad // ti))
+        f = lambda: count_tiles(
+            xp, ibs, jbs, tile_rows=ti, tile_words=wk,
+            interpret=interpret, variant=variant,
+        )
+        check_block(f()[0], variant, min(ti, n))
+        return tri / _timeit(f, reps)
+
     for variant in ("rows", "chunk"):
-        f = lambda v=variant: count_matrix_pallas_dense(xd, variant=v)
-        check(f(), f"pallas_dense/{variant}")
-        variants[f"pallas_dense/{variant}"] = tri / _timeit(f, reps)
+        variants[f"pallas_dense/{variant}"] = pallas_candidate(
+            count_tiles_pallas_dense, 128, 512, variant
+        )
         log(f"pallas_dense/{variant}: "
             f"{variants[f'pallas_dense/{variant}']:,.0f} pairs/s")
     rates["pallas_dense"] = max(
@@ -118,9 +151,9 @@ def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
     )
 
     for variant in ("concat", "planes"):
-        f = lambda v=variant: count_matrix_pallas_mxu(xd, variant=v)
-        check(f(), f"pallas_mxu/{variant}")
-        variants[f"pallas_mxu/{variant}"] = tri / _timeit(f, reps)
+        variants[f"pallas_mxu/{variant}"] = pallas_candidate(
+            count_tiles_pallas_mxu, 256, 128, variant
+        )
         log(f"pallas_mxu/{variant}: "
             f"{variants[f'pallas_mxu/{variant}']:,.0f} pairs/s")
     rates["pallas_mxu"] = max(

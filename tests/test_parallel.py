@@ -78,3 +78,35 @@ def test_bad_shard_axis(mesh8):
     bm = random_bitmatrix(8, 256, 0.5, seed=48)
     with _pytest.raises(ValueError):
         distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="cols")
+
+
+def test_distributed_stream_exact(mesh8, tmp_path):
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import distributed_stream_count_matrix
+    from stormtpu.stream import load_streamed_matrix
+
+    bm = random_bitmatrix(100, 2048, 0.2, seed=49)
+    man = distributed_stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, mesh=mesh8
+    )
+    assert man["n_super"] == 2  # 100 -> 128 padded / 64
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_distributed_stream_resume(mesh8, tmp_path):
+    from stormtpu.parallel import distributed_stream_count_matrix
+
+    bm = random_bitmatrix(80, 1024, 0.3, seed=50)
+    calls = []
+    distributed_stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, mesh=mesh8,
+        progress=lambda d, t: calls.append(d),
+    )
+    first = len(calls)
+    calls.clear()
+    distributed_stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, mesh=mesh8,
+        progress=lambda d, t: calls.append(d),
+    )
+    assert first > 0 and calls == []

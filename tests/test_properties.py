@@ -1,0 +1,70 @@
+"""Property-based invariants (hypothesis): the algebra the engine must
+satisfy on arbitrary inputs, mirroring the reference's randomized
+cross-check philosophy but with adversarial shrinking."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from stormtpu import BitMatrix, intersect_count_matrix
+from stormtpu.layout import pack_bits, unpack_bits
+from stormtpu.oracle import oracle_count_matrix
+
+_shapes = st.tuples(
+    st.integers(min_value=1, max_value=12),   # N
+    st.integers(min_value=1, max_value=200),  # M
+)
+
+
+@st.composite
+def bit_matrices(draw):
+    n, m = draw(_shapes)
+    data = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << min(m, 60)) - 1),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    dense = np.zeros((n, m), dtype=np.uint8)
+    for i, v in enumerate(data):
+        for b in range(min(m, 60)):
+            dense[i, b] = (v >> b) & 1
+    return dense
+
+
+@given(bit_matrices())
+@settings(max_examples=30, deadline=None)
+def test_pack_roundtrip_property(dense):
+    packed = pack_bits(dense)
+    np.testing.assert_array_equal(unpack_bits(packed, dense.shape[1]), dense)
+
+
+@given(bit_matrices())
+@settings(max_examples=15, deadline=None)
+def test_count_matrix_properties(dense):
+    bm = BitMatrix.from_dense(dense)
+    c = intersect_count_matrix(bm, strategy="popcount")
+    # symmetry
+    np.testing.assert_array_equal(c, c.T)
+    # diagonal = row cardinality
+    np.testing.assert_array_equal(np.diag(c), bm.row_nnz)
+    # bounds: 0 <= C[i,j] <= min(|i|, |j|)
+    assert (c >= 0).all()
+    bound = np.minimum(bm.row_nnz[:, None], bm.row_nnz[None, :])
+    assert (c <= bound).all()
+    # exactness vs oracle
+    np.testing.assert_array_equal(c, oracle_count_matrix(bm.packed))
+
+
+@given(bit_matrices(), st.integers(min_value=0, max_value=100))
+@settings(max_examples=15, deadline=None)
+def test_count_invariant_under_column_permutation(dense, seed):
+    # XX^T is invariant under any permutation of bit columns — the property
+    # K2's bit-major unpack relies on.
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(dense.shape[1])
+    a = BitMatrix.from_dense(dense)
+    b = BitMatrix.from_dense(dense[:, perm])
+    np.testing.assert_array_equal(
+        oracle_count_matrix(a.packed), oracle_count_matrix(b.packed)
+    )

@@ -73,3 +73,17 @@ def test_stream_k1_kernel(tmp_path):
     )
     got = load_streamed_matrix(str(tmp_path))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_xla_kernels(tmp_path):
+    for kernel in ("xla_int8", "xla_popcount"):
+        d = tmp_path / kernel
+        bm = random_bitmatrix(20, 400, 0.3, seed=55)
+        stream_count_matrix(
+            bm, str(d), superblock_rows=8, kernel=kernel,
+            config=_small_cfg(), interpret=True,
+        )
+        got = load_streamed_matrix(str(d))
+        np.testing.assert_array_equal(
+            got, oracle_count_matrix(bm.packed), err_msg=kernel
+        )
