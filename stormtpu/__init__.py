@@ -39,6 +39,7 @@ from stormtpu.api import (
     pair_count,
 )
 from stormtpu.setops import pairwise_cardinality, similarity_matrix
+from stormtpu.query import pair_counts, pairs_above, topk_neighbors
 
 __version__ = "0.1.0"
 
@@ -54,5 +55,8 @@ __all__ = [
     "pair_count",
     "pairwise_cardinality",
     "similarity_matrix",
+    "pair_counts",
+    "pairs_above",
+    "topk_neighbors",
     "__version__",
 ]

@@ -1,0 +1,79 @@
+"""Query layer: explicit pairs, top-k neighbors, threshold screens — all
+exact vs brute force."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.query import pair_counts, pairs_above, topk_neighbors
+
+
+@pytest.fixture(scope="module")
+def data():
+    bm = random_bitmatrix(50, 1500, 0.3, seed=71)
+    return bm, oracle_count_matrix(bm.packed)
+
+
+def test_pair_counts_exact(data, rng):
+    bm, want = data
+    ii = rng.integers(0, bm.n, 200).astype(np.int32)
+    jj = rng.integers(0, bm.n, 200).astype(np.int32)
+    got = pair_counts(bm, ii, jj)
+    np.testing.assert_array_equal(got, want[ii, jj])
+
+
+def test_pair_counts_validation(data):
+    bm, _ = data
+    with pytest.raises(ValueError):
+        pair_counts(bm, [0], [bm.n])
+    with pytest.raises(ValueError):
+        pair_counts(bm, [0, 1], [0])
+    assert pair_counts(bm, [], []).size == 0
+
+
+def test_topk_exact(data):
+    bm, want = data
+    k = 5
+    vals, idx = topk_neighbors(bm, k, block_rows=16)
+    w = want.astype(np.int64).copy()
+    np.fill_diagonal(w, -1)
+    for i in range(bm.n):
+        expect = np.sort(w[i])[::-1][:k]
+        np.testing.assert_array_equal(np.sort(vals[i])[::-1], expect)
+        # indices actually achieve the reported counts
+        np.testing.assert_array_equal(want[i, idx[i]], vals[i])
+
+
+def test_topk_validation(data):
+    bm, _ = data
+    with pytest.raises(ValueError):
+        topk_neighbors(bm, 0)
+    with pytest.raises(ValueError):
+        topk_neighbors(bm, bm.n)
+
+
+def test_pairs_above_exact(data):
+    bm, want = data
+    thresh = int(np.percentile(want[np.triu_indices(bm.n, 1)], 90))
+    ii, jj, counts = pairs_above(bm, thresh, block_rows=32)
+    # every returned pair is a real hit with the right count
+    assert (ii < jj).all()
+    np.testing.assert_array_equal(counts, want[ii, jj])
+    assert (counts >= thresh).all()
+    # and the set of hits is complete
+    wi, wj = np.nonzero(np.triu(want, 1) >= thresh)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    assert got == set(zip(wi.tolist(), wj.tolist()))
+
+
+def test_pairs_above_none(data):
+    bm, want = data
+    ii, jj, counts = pairs_above(bm, int(want.max()) + 1, block_rows=32)
+    assert ii.size == 0 and jj.size == 0 and counts.size == 0
+
+
+def test_pairs_above_threshold_validation(data):
+    bm, _ = data
+    with pytest.raises(ValueError):
+        pairs_above(bm, 0)
