@@ -70,7 +70,17 @@ def intersect_count_matrix(
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
 
-    packed = jnp.asarray(bm.packed)
+    packed_np = bm.packed
+    if strategy != "sparse" and bm.n > 1:
+        # Clustered-sparsity compaction (reference C8 block-skip, done the
+        # XLA way: globally, once): drop all-empty word columns — exact.
+        occupied = packed_np.any(axis=0)
+        occ_frac = float(occupied.mean()) if occupied.size else 1.0
+        if occ_frac < cfg.compact_occupancy_threshold:
+            packed_np = np.ascontiguousarray(packed_np[:, occupied])
+            if packed_np.shape[1] == 0:
+                return np.zeros((bm.n, bm.n), dtype=np.int32)
+    packed = jnp.asarray(packed_np)
     if strategy == "popcount":
         out = kx.count_matrix_popcount_xla(packed)
     elif strategy == "mxu":

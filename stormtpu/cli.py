@@ -86,6 +86,13 @@ def cmd_tune(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_accept(args: argparse.Namespace) -> int:
+    from stormtpu.acceptance import run_acceptance
+
+    run_acceptance(args.config, full=args.full, log=_log, out_path=args.out)
+    return 0
+
+
 def cmd_count(args: argparse.Namespace) -> int:
     from stormtpu import BitMatrix, intersect_count_matrix
     from stormtpu.setops import pairwise_cardinality
@@ -131,6 +138,17 @@ def main(argv=None) -> int:
     sp.add_argument("--m", type=int, default=65536)
     sp.add_argument("--reps", type=int, default=3)
     sp.set_defaults(fn=cmd_tune)
+
+    sp = sub.add_parser(
+        "accept",
+        help="run the BASELINE acceptance configs (verified, timed)",
+    )
+    sp.add_argument("--config", type=int, action="append", default=None,
+                    help="config id 1-5 (repeatable; default all)")
+    sp.add_argument("--full", action="store_true",
+                    help="spec sizes instead of scaled (hours on one chip)")
+    sp.add_argument("--out", default="acceptance.json")
+    sp.set_defaults(fn=cmd_accept)
 
     sp = sub.add_parser("count", help="compute a pairwise count matrix from a file")
     sp.add_argument("--in", dest="infile", required=True,

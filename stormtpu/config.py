@@ -44,6 +44,13 @@ class EngineConfig:
     # --- K3 sparse path ---
     k3_pair_block: int = 512       # row-pairs processed per sparse step
 
+    # --- clustered-sparsity word compaction (C8 block-skip analog) ---
+    # Before dense all-pairs, drop word columns empty in EVERY row when
+    # the occupied fraction is below this (exact: empty words contribute
+    # nothing to AND counts). One O(N·W) host pass saves O(N²·W) device
+    # work on clustered inputs; uniform-random sparsity never triggers it.
+    compact_occupancy_threshold: float = 0.9
+
     # --- distribution ---
     mesh_axis: str = "rows"        # row-shard axis name
 

@@ -69,16 +69,24 @@ def measured_dense_winner() -> Optional[str]:
     return max(rates, key=rates.get)
 
 
-def _timeit(f, reps: int = 3) -> float:
+def _timeit(f, xs) -> float:
+    """Warmup on xs[0], time over the remaining DISTINCT inputs, each rep
+    materializing a nonlinear in-jit checksum (see bench.py: the relay
+    memoizes identical executions, block_until_ready returns early, and
+    linear reductions of lazy results can be short-circuited)."""
     import jax
+    import jax.numpy as jnp
 
-    out = f()
-    np.asarray(jax.tree.leaves(out)[0].sum())
+    @jax.jit
+    def g(x):
+        c = f(x)
+        return jnp.sum(jax.tree.leaves(c)[0] % jnp.int32(251))
+
+    np.asarray(g(xs[0]))
     t0 = time.time()
-    for _ in range(reps):
-        out = f()
-        np.asarray(jax.tree.leaves(out)[0].sum())
-    return (time.time() - t0) / reps
+    for x in xs[1:]:
+        np.asarray(g(x))
+    return (time.time() - t0) / (len(xs) - 1)
 
 
 def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
@@ -101,7 +109,11 @@ def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
     w = m_bits // 32
     rng = np.random.default_rng(99)
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
-    xd = jnp.asarray(packed)
+    xds = [jnp.asarray(packed)] + [
+        jnp.asarray(rng.integers(0, 2**32, (n, w), dtype=np.uint32))
+        for _ in range(reps)
+    ]
+    xd = xds[0]
     sq = float(n) * n
     tri = n * (n + 1) / 2
 
@@ -119,26 +131,29 @@ def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
     check_block(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount",
                 min(n, 128))
     rates["popcount"] = sq / _timeit(
-        lambda: kx.count_block_popcount_xla(xd, xd, tile_rows=8), reps
+        lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8), xds
     )
     log(f"popcount: {rates['popcount']:,.0f} pairs/s")
 
     check_block(kx.count_block_int8_xla(xd, xd), "mxu", min(n, 128))
-    rates["mxu"] = sq / _timeit(lambda: kx.count_block_int8_xla(xd, xd), reps)
+    rates["mxu"] = sq / _timeit(lambda x: kx.count_block_int8_xla(x, x), xds)
     log(f"mxu: {rates['mxu']:,.0f} pairs/s")
 
     def pallas_candidate(count_tiles, ti_cap, wk_cap, variant):
         ti = min(ti_cap, round_up(max(n, 8), 8))
         wk = round_up(max(w, 128), 128) if w <= wk_cap else round_up(wk_cap, 128)
         n_pad, w_pad = round_up(n, ti), round_up(w, wk)
-        xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32).at[:n, :w].set(xd)
+        xps = [
+            jnp.zeros((n_pad, w_pad), dtype=jnp.uint32).at[:n, :w].set(x)
+            for x in xds
+        ]
         ibs, jbs = map(jnp.asarray, triangular_tile_ids(n_pad // ti))
-        f = lambda: count_tiles(
-            xp, ibs, jbs, tile_rows=ti, tile_words=wk,
+        f = lambda x: count_tiles(
+            x, ibs, jbs, tile_rows=ti, tile_words=wk,
             interpret=interpret, variant=variant,
         )
-        check_block(f()[0], variant, min(ti, n))
-        return tri / _timeit(f, reps)
+        check_block(f(xps[0])[0], variant, min(ti, n))
+        return tri / _timeit(f, xps)
 
     for variant in ("rows", "chunk"):
         variants[f"pallas_dense/{variant}"] = pallas_candidate(

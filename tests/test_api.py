@@ -56,3 +56,25 @@ def test_rejects_mismatched_universe():
 def test_rejects_raw_uint32():
     with pytest.raises(TypeError):
         intersect_count_matrix(np.zeros((2, 2), dtype=np.uint32))
+
+
+def test_clustered_compaction_exact(rng):
+    # all set bits live in 2 of 64 word-columns -> compaction kicks in
+    from stormtpu.oracle import oracle_count_matrix
+
+    n, m = 30, 2048
+    dense = np.zeros((n, m), dtype=np.uint8)
+    dense[:, 40:60] = (rng.random((n, 20)) < 0.5).astype(np.uint8)
+    dense[:, 1990:2000] = (rng.random((n, 10)) < 0.5).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    for strategy in ("popcount", "mxu", "pallas_mxu"):
+        got = intersect_count_matrix(bm, strategy=strategy)
+        np.testing.assert_array_equal(
+            got, oracle_count_matrix(bm.packed), err_msg=strategy
+        )
+
+
+def test_all_empty_matrix_compaction():
+    bm = BitMatrix.from_dense(np.zeros((5, 640), dtype=np.uint8))
+    got = intersect_count_matrix(bm, strategy="mxu")
+    assert got.shape == (5, 5) and got.sum() == 0
