@@ -43,6 +43,11 @@ def pair_count(a: MatrixLike, b: MatrixLike) -> int:
     """
     bm_a = _as_bitmatrix(np.atleast_2d(a) if not isinstance(a, BitMatrix) else a)
     bm_b = _as_bitmatrix(np.atleast_2d(b) if not isinstance(b, BitMatrix) else b)
+    if bm_a.n != 1 or bm_b.n != 1:
+        raise ValueError(
+            f"pair_count takes single bitmaps (got {bm_a.n} and {bm_b.n} "
+            f"rows); use intersect_count_matrix / count_block for sets"
+        )
     if bm_a.m_bits != bm_b.m_bits:
         raise ValueError("bit-universe mismatch")
     out = kx.pair_count_xla(
@@ -120,7 +125,14 @@ def count_block(
         raise ValueError("bit-universe mismatch")
     cfg = config or default_config()
     cfg.validate(bm_a.m_bits)
-    out = kx.count_block_int8_xla(
-        jnp.asarray(bm_a.packed), jnp.asarray(bm_b.packed)
-    )
+    if bm_a.m_bits > 1 << 17:
+        # large W: in-kernel-unpack Pallas rectangle (the XLA form would
+        # materialize the 8× unpacked operands)
+        from stormtpu.kernels.mxu import count_block_pallas_mxu
+
+        out = count_block_pallas_mxu(bm_a.packed, bm_b.packed, config=cfg)
+    else:
+        out = kx.count_block_int8_xla(
+            jnp.asarray(bm_a.packed), jnp.asarray(bm_b.packed)
+        )
     return np.asarray(out)

@@ -39,7 +39,11 @@ from stormtpu.utils import (
     triangular_tile_ids,
 )
 
-__all__ = ["count_tiles_pallas_mxu", "count_matrix_pallas_mxu"]
+__all__ = [
+    "count_tiles_pallas_mxu",
+    "count_matrix_pallas_mxu",
+    "count_block_pallas_mxu",
+]
 
 
 def _unpack_bits_int8(tile: jax.Array) -> jax.Array:
@@ -164,6 +168,93 @@ def count_tiles_pallas_mxu(
         ),
         interpret=interpret,
     )(ibs, jbs, packed, packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_rows", "tile_words", "interpret", "variant"),
+)
+def _count_block_padded(
+    a_pad: jax.Array,
+    b_pad: jax.Array,
+    *,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+    variant: str,
+) -> jax.Array:
+    """Rectangular counts int32 [Na_pad, Nb_pad] via the K2 tile kernel:
+    stack A above B in one matrix, enumerate the full (A-block, B-block)
+    rectangle as scalar-prefetch tile pairs, and reassemble by reshape
+    (row-major rectangle ⇒ no scatter). Fully traced — usable inside
+    shard_map as the distributed ring's block_fn for large W."""
+    na, w = a_pad.shape
+    nb_rows, _ = b_pad.shape
+    stacked = jnp.concatenate([a_pad, b_pad], axis=0)
+    nba = na // tile_rows
+    nbb = nb_rows // tile_rows
+    ib, jb = jnp.meshgrid(
+        jnp.arange(nba, dtype=jnp.int32),
+        jnp.arange(nbb, dtype=jnp.int32) + nba,
+        indexing="ij",
+    )
+    tiles = count_tiles_pallas_mxu(
+        stacked,
+        ib.ravel(),
+        jb.ravel(),
+        tile_rows=tile_rows,
+        tile_words=tile_words,
+        interpret=interpret,
+        variant=variant,
+    )
+    return (
+        tiles.reshape(nba, nbb, tile_rows, tile_rows)
+        .transpose(0, 2, 1, 3)
+        .reshape(na, nb_rows)
+    )
+
+
+def count_block_pallas_mxu(
+    a_packed: jax.Array,
+    b_packed: jax.Array,
+    *,
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+    variant: str = "concat",
+) -> jax.Array:
+    """Rectangular cross counts int32 [Na, Nb] with in-kernel bit-unpack —
+    the large-W form of ``count_block_int8_xla`` (which materializes the
+    8× unpacked operands). Returns a device array."""
+    cfg = config or default_config()
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    a_packed = jnp.asarray(a_packed)
+    b_packed = jnp.asarray(b_packed)
+    na, w = a_packed.shape
+    nb_rows, wb = b_packed.shape
+    if w != wb:
+        raise ValueError("word-count mismatch")
+    ti = min(cfg.k2_tile_rows, round_up(max(na, nb_rows, 32), 32))
+    if w <= cfg.k2_tile_words:
+        wk = round_up(max(w, 8), 8)
+    else:
+        wk = round_up(cfg.k2_tile_words, 128)
+    w_pad = round_up(w, wk)
+    na_pad = round_up(na, ti)
+    nb_pad = round_up(nb_rows, ti)
+    a_pad = jnp.zeros((na_pad, w_pad), dtype=jnp.uint32).at[:na, :w].set(a_packed)
+    b_pad = jnp.zeros((nb_pad, w_pad), dtype=jnp.uint32).at[:nb_rows, :w].set(
+        b_packed
+    )
+    out = _count_block_padded(
+        a_pad,
+        b_pad,
+        tile_rows=ti,
+        tile_words=wk,
+        interpret=bool(interpret),
+        variant=variant,
+    )
+    return out[:na, :nb_rows]
 
 
 def count_matrix_pallas_mxu(

@@ -77,6 +77,7 @@ def ring_count_rows(
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=P(axis, None),
+        check_vma=False,  # pallas outputs carry no vma metadata
     )
 
 
@@ -96,6 +97,7 @@ def kshard_count_rows(mesh: Mesh, axis: str, block_fn: BlockFn):
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=P(None, None),
+        check_vma=False,
     )
 
 
@@ -127,7 +129,13 @@ def distributed_count_matrix(
     n, w = packed.shape
     cfg.validate(w * 32)
     if block_fn is None:
-        block_fn = kx.count_block_int8_xla
+        if w * 32 > 1 << 17:
+            # large W: in-kernel-unpack Pallas rectangle per ring step
+            from stormtpu.kernels.mxu import count_block_pallas_mxu
+
+            block_fn = lambda a, b: count_block_pallas_mxu(a, b, config=cfg)
+        else:
+            block_fn = kx.count_block_int8_xla
 
     if shard_axis == "bits":
         w_pad = round_up(max(w, r), r)

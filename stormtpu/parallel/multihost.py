@@ -65,6 +65,7 @@ def _sharded_block_fn(mesh: Mesh, axis: str, block_fn: BlockFn):
         mesh=mesh,
         in_specs=(P(axis, None), P(None, None)),
         out_specs=P(axis, None),
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -91,7 +92,12 @@ def distributed_stream_count_matrix(
     r = mesh.shape[axis]
     superblock_rows = round_up(superblock_rows, r * 8)
     if block_fn is None:
-        block_fn = kx.count_block_int8_xla
+        if bm.m_bits > 1 << 17:
+            from stormtpu.kernels.mxu import count_block_pallas_mxu
+
+            block_fn = lambda a, b: count_block_pallas_mxu(a, b, config=cfg)
+        else:
+            block_fn = kx.count_block_int8_xla
 
     n_pad = round_up(bm.n, superblock_rows)
     n_super = n_pad // superblock_rows

@@ -109,3 +109,25 @@ def test_density_stats(rng):
     assert bm.nnz == int(dense.sum())
     np.testing.assert_array_equal(bm.row_nnz, dense.sum(axis=1))
     assert abs(bm.density - dense.mean()) < 1e-12
+
+
+def test_bitmatrix_save_load_roundtrip(tmp_path, rng):
+    from stormtpu.io import load_bitmatrix, save_bitmatrix
+
+    dense = (rng.random((9, 321)) < 0.2).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    p = str(tmp_path / "bm.npz")
+    save_bitmatrix(bm, p)
+    bm2 = load_bitmatrix(p)
+    assert bm2.n == bm.n and bm2.m_bits == bm.m_bits
+    np.testing.assert_array_equal(bm2.packed, bm.packed)
+    np.testing.assert_array_equal(bm2.row_nnz, bm.row_nnz)
+
+
+def test_bitmatrix_load_rejects_future_format(tmp_path):
+    p = str(tmp_path / "future.npz")
+    np.savez(p, format_version=99, packed=np.zeros((1, 1), np.uint32), m_bits=32)
+    from stormtpu.io import load_bitmatrix
+
+    with pytest.raises(ValueError):
+        load_bitmatrix(p)

@@ -106,3 +106,28 @@ def test_k2_variants_exact(variant):
     np.testing.assert_array_equal(
         np.asarray(tiles[0]), oracle_count_matrix(bm.packed)
     )
+
+
+def test_count_block_pallas_rectangular():
+    from stormtpu.kernels.mxu import count_block_pallas_mxu
+    from stormtpu.oracle import oracle_count_block
+
+    a = random_bitmatrix(19, 900, 0.3, seed=28)
+    b = random_bitmatrix(41, 900, 0.6, seed=29)
+    got = np.asarray(
+        count_block_pallas_mxu(a.packed, b.packed, interpret=True)
+    )
+    np.testing.assert_array_equal(got, oracle_count_block(a.packed, b.packed))
+
+
+def test_count_block_api_large_m(rng):
+    # m_bits > 2^17 routes through the pallas rectangle
+    from stormtpu.api import count_block
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_block
+
+    m = (1 << 17) + 64
+    a = BitMatrix.from_dense((rng.random((5, m)) < 0.01).astype(np.uint8))
+    b = BitMatrix.from_dense((rng.random((7, m)) < 0.01).astype(np.uint8))
+    got = count_block(a, b)
+    np.testing.assert_array_equal(got, oracle_count_block(a.packed, b.packed))

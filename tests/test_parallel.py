@@ -110,3 +110,10 @@ def test_distributed_stream_resume(mesh8, tmp_path):
         progress=lambda d, t: calls.append(d),
     )
     assert first > 0 and calls == []
+
+
+def test_distributed_large_w_pallas_blockfn(mesh8):
+    # W*32 > 2^17 routes the ring's block_fn through the Pallas rectangle
+    bm = random_bitmatrix(24, (1 << 17) + 96, 0.002, seed=51)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
