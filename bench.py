@@ -166,8 +166,12 @@ def main() -> None:
     # --- candidate: Pallas K1 (VPU popcount, triangular) ------------------
     ibs1, jbs1 = triangular_tile_ids(n // 128)
     i1, j1 = jnp.asarray(ibs1), jnp.asarray(jbs1)
+    from stormtpu.tuning import tuned_variant
+
+    k1_variant = tuned_variant("k1", "rows")
     k1 = lambda x: count_tiles_pallas_dense(
-        x, i1, j1, tile_rows=128, tile_words=512, interpret=interpret
+        x, i1, j1, tile_rows=128, tile_words=512, interpret=interpret,
+        variant=k1_variant,
     )
     c_k1 = assemble_triangular(np.asarray(k1(xd)), ibs1, jbs1, n // 128, n)
     _verify_sample(c_k1, packed, 4096, seed=3)
@@ -177,8 +181,10 @@ def main() -> None:
     # --- candidate: Pallas K2 (MXU int8, triangular) ----------------------
     ibs2, jbs2 = triangular_tile_ids(n // 256)
     i2, j2 = jnp.asarray(ibs2), jnp.asarray(jbs2)
+    k2_variant = tuned_variant("k2", "concat")
     k2 = lambda x: count_tiles_pallas_mxu(
-        x, i2, j2, tile_rows=256, tile_words=128, interpret=interpret
+        x, i2, j2, tile_rows=256, tile_words=128, interpret=interpret,
+        variant=k2_variant,
     )
     c_k2 = assemble_triangular(np.asarray(k2(xd)), ibs2, jbs2, n // 256, n)
     _verify_sample(c_k2, packed, 4096, seed=4)

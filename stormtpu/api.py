@@ -95,14 +95,14 @@ def intersect_count_matrix(
         from stormtpu.tuning import tuned_variant
 
         out = count_matrix_pallas_dense(
-            packed, config=cfg, variant=tuned_variant("k1", "rows")
+            packed, config=cfg, variant=tuned_variant("k1", cfg.k1_variant)
         )
     elif strategy == "pallas_mxu":
         from stormtpu.kernels.mxu import count_matrix_pallas_mxu
         from stormtpu.tuning import tuned_variant
 
         out = count_matrix_pallas_mxu(
-            packed, config=cfg, variant=tuned_variant("k2", "concat")
+            packed, config=cfg, variant=tuned_variant("k2", cfg.k2_variant)
         )
     else:  # sparse
         from stormtpu.kernels.sparse import count_matrix_sparse

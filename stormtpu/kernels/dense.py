@@ -156,13 +156,15 @@ def count_matrix_pallas_dense(
     *,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
-    variant: str = "rows",
+    variant: Optional[str] = None,
 ) -> np.ndarray:
     """Full N×N exact counts via the K1 kernel (triangular tile walk +
     symmetric mirror at assembly)."""
     cfg = config or default_config()
     if interpret is None:
         interpret = pallas_interpret_default()
+    if variant is None:
+        variant = cfg.k1_variant
     packed = jnp.asarray(packed)
     n, w = packed.shape
     ti = min(cfg.k1_tile_rows, round_up(max(n, 8), 8))

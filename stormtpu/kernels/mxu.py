@@ -220,7 +220,7 @@ def count_block_pallas_mxu(
     *,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
-    variant: str = "concat",
+    variant: Optional[str] = None,
 ) -> jax.Array:
     """Rectangular cross counts int32 [Na, Nb] with in-kernel bit-unpack —
     the large-W form of ``count_block_int8_xla`` (which materializes the
@@ -228,6 +228,8 @@ def count_block_pallas_mxu(
     cfg = config or default_config()
     if interpret is None:
         interpret = pallas_interpret_default()
+    if variant is None:
+        variant = cfg.k2_variant
     a_packed = jnp.asarray(a_packed)
     b_packed = jnp.asarray(b_packed)
     na, w = a_packed.shape
@@ -262,13 +264,15 @@ def count_matrix_pallas_mxu(
     *,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
-    variant: str = "concat",
+    variant: Optional[str] = None,
 ) -> np.ndarray:
     """Full N×N exact counts via the K2 MXU kernel (triangular walk +
     symmetric mirror)."""
     cfg = config or default_config()
     if interpret is None:
         interpret = pallas_interpret_default()
+    if variant is None:
+        variant = cfg.k2_variant
     packed = jnp.asarray(packed)
     n, w = packed.shape
     ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
