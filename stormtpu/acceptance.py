@@ -161,7 +161,6 @@ def config5_multihost(full: bool, log) -> dict:
     validated on an 8-device CPU mesh in tests/ and dryrun_multichip)."""
     import jax
 
-    from stormtpu.oracle import oracle_count_block
     from stormtpu.parallel import distributed_count_matrix, make_row_mesh
 
     n = 1_000_000 if full else 2_048

@@ -40,8 +40,6 @@ def cmd_info(_args: argparse.Namespace) -> int:
 
 
 def cmd_sweep(args: argparse.Namespace) -> int:
-    import jax.numpy as jnp
-
     from stormtpu import BitMatrix, intersect_count_matrix
     from stormtpu.dispatch import STRATEGIES, choose_strategy
     from stormtpu.oracle import oracle_count_matrix

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stormtpu.config import EngineConfig, default_config
+from stormtpu.config import EngineConfig
 from stormtpu.layout import BitMatrix
 from stormtpu.utils import round_up
 

@@ -25,7 +25,7 @@ Bit order: bit ``p`` of row ``i`` lives at ``packed[i, p >> 5]`` bit
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
