@@ -3,7 +3,7 @@
 Like the reference's harness, every number is **verified against the exact
 oracle before being reported** — an unverified benchmark is never printed.
 
-Headline config: dense all-pairs N=4096 × M=65536 bits (BASELINE.json:8
+Headline config: dense all-pairs N=8192 × M=65536 bits (BASELINE.json:8
 shape). All exact kernel paths are measured (XLA popcount, XLA int8 XXᵀ,
 Pallas K1 VPU, Pallas K2 MXU) and the best verified path is reported —
 the density/shape-adaptive engine ships whichever kernel wins on the
@@ -34,7 +34,7 @@ import time
 
 import numpy as np
 
-N_HEAD = 4096
+N_HEAD = 8192
 M_HEAD = 65536
 REPS = 3
 
@@ -164,29 +164,33 @@ def main() -> None:
     candidates["xla_int8_mxu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
 
     # --- candidate: Pallas K1 (VPU popcount, triangular) ------------------
-    ibs1, jbs1 = triangular_tile_ids(n // 128)
-    i1, j1 = jnp.asarray(ibs1), jnp.asarray(jbs1)
+    from stormtpu.config import default_config
     from stormtpu.tuning import tuned_variant
 
-    k1_variant = tuned_variant("k1", "rows")
+    cfg = default_config()
+    ti1, wk1 = cfg.k1_tile_rows, min(cfg.k1_tile_words, w)
+    ibs1, jbs1 = triangular_tile_ids(n // ti1)
+    i1, j1 = jnp.asarray(ibs1), jnp.asarray(jbs1)
+    k1_variant = tuned_variant("k1", cfg.k1_variant)
     k1 = lambda x: count_tiles_pallas_dense(
-        x, i1, j1, tile_rows=128, tile_words=512, interpret=interpret,
+        x, i1, j1, tile_rows=ti1, tile_words=wk1, interpret=interpret,
         variant=k1_variant,
     )
-    c_k1 = assemble_triangular(np.asarray(k1(xd)), ibs1, jbs1, n // 128, n)
+    c_k1 = assemble_triangular(np.asarray(k1(xd)), ibs1, jbs1, n // ti1, n)
     _verify_sample(c_k1, packed, 4096, seed=3)
     dt = _timeit(k1, xds)
     candidates["pallas_k1_vpu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
 
     # --- candidate: Pallas K2 (MXU int8, triangular) ----------------------
-    ibs2, jbs2 = triangular_tile_ids(n // 256)
+    ti2, wk2 = cfg.k2_tile_rows, min(cfg.k2_tile_words, w)
+    ibs2, jbs2 = triangular_tile_ids(n // ti2)
     i2, j2 = jnp.asarray(ibs2), jnp.asarray(jbs2)
-    k2_variant = tuned_variant("k2", "concat")
+    k2_variant = tuned_variant("k2", cfg.k2_variant)
     k2 = lambda x: count_tiles_pallas_mxu(
-        x, i2, j2, tile_rows=256, tile_words=128, interpret=interpret,
+        x, i2, j2, tile_rows=ti2, tile_words=wk2, interpret=interpret,
         variant=k2_variant,
     )
-    c_k2 = assemble_triangular(np.asarray(k2(xd)), ibs2, jbs2, n // 256, n)
+    c_k2 = assemble_triangular(np.asarray(k2(xd)), ibs2, jbs2, n // ti2, n)
     _verify_sample(c_k2, packed, 4096, seed=4)
     dt = _timeit(k2, xds)
     candidates["pallas_k2_mxu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
@@ -224,7 +228,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "allpairs_intersect_count_4096x65536_dense",
+                "metric": "allpairs_intersect_count_8192x65536_dense",
                 "value": round(gpairs, 6),
                 "unit": "G-pairs/s",
                 "vs_baseline": round(vs_baseline, 3),

@@ -102,10 +102,21 @@ def topk_neighbors(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def _hits_blocks(packed: jax.Array, thresh: jax.Array, block_rows: int):
-    """Per row-block: packed uint32 hit bitmaps [B, ceil(N/32)] where
-    count >= thresh (strictly upper-triangular pairs only)."""
+@functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
+def _hits_blocks(
+    packed: jax.Array,
+    thresh: jax.Array,
+    nnz: jax.Array,
+    block_rows: int,
+    measure: str,
+):
+    """Per row-block: packed uint32 hit bitmaps [B, ceil(N/32)] where the
+    measure ≥ thresh (strictly upper-triangular pairs only).
+
+    Similarity measures are screened in float32 with the caller's slack;
+    the host re-filters hits with exact float64 arithmetic, so float32
+    rounding can only add candidates, never lose them.
+    """
     n, _ = packed.shape
     nb = n // block_rows
     blocks = packed.reshape(nb, block_rows, packed.shape[1])
@@ -117,7 +128,23 @@ def _hits_blocks(packed: jax.Array, thresh: jax.Array, block_rows: int):
         counts = kx.count_block_int8_xla(blk, packed)  # [B, N]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
         col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
-        hit = (counts >= thresh) & (col_ids > row_ids)  # dedup triangle
+        if measure == "count":
+            vals = counts.astype(jnp.float32)
+        else:
+            inter = counts.astype(jnp.float32)
+            ca = jnp.take(nnz, jnp.clip(row_ids, 0, n - 1)).astype(jnp.float32)
+            cb = nnz[None, :].astype(jnp.float32)
+            if measure == "jaccard":
+                denom = ca + cb - inter
+            elif measure == "dice":
+                inter = 2.0 * inter
+                denom = ca + cb
+            elif measure == "cosine":
+                denom = jnp.sqrt(ca * cb)
+            else:  # overlap
+                denom = jnp.minimum(ca, cb)
+            vals = jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+        hit = (vals >= thresh) & (col_ids > row_ids)  # dedup triangle
         bits = hit.reshape(block_rows, wout, 32).astype(jnp.uint32)
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
         return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
@@ -125,34 +152,77 @@ def _hits_blocks(packed: jax.Array, thresh: jax.Array, block_rows: int):
     return jax.lax.map(per_block, (blocks, base))
 
 
+def _measure_host(inter, ca, cb, measure):
+    inter = inter.astype(np.float64)
+    ca = ca.astype(np.float64)
+    cb = cb.astype(np.float64)
+    if measure == "jaccard":
+        denom = ca + cb - inter
+    elif measure == "dice":
+        inter = 2.0 * inter
+        denom = ca + cb
+    elif measure == "cosine":
+        denom = np.sqrt(ca * cb)
+    else:  # overlap
+        denom = np.minimum(ca, cb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
+
+
 def pairs_above(
     x: MatrixLike,
-    threshold: int,
+    threshold: float,
     *,
+    measure: str = "count",
     block_rows: int = 64,
     config: Optional[EngineConfig] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All unordered pairs (i < j) with exact count ≥ threshold.
+    """All unordered pairs (i < j) with measure ≥ threshold.
 
-    Returns (ii, jj, counts) int32 arrays. The device returns one *bit*
-    per candidate pair (32× less transfer than counts); exact counts are
-    then fetched only for the hits.
+    measure: "count" (exact integer intersection count) or a similarity —
+    "jaccard", "dice", "cosine", "overlap" (float). Returns
+    (ii, jj, values); values are int32 counts for "count", float64
+    similarities otherwise.
+
+    The device returns one *bit* per candidate pair (32× less transfer
+    than counts). For similarities the device screen runs in float32 with
+    slack and the host re-filters hits exactly in float64, so rounding can
+    only add candidates, never drop true hits.
     """
     del config
     bm = _as_bitmatrix(x)
-    if threshold < 1:
-        raise ValueError("threshold must be >= 1 (0 matches every pair)")
+    if measure not in ("count", "jaccard", "dice", "cosine", "overlap"):
+        raise ValueError(f"unknown measure {measure!r}")
+    if measure == "count":
+        if threshold < 1:
+            raise ValueError("count threshold must be >= 1 (0 matches every pair)")
+        dev_thresh = jnp.float32(threshold)
+    else:
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError("similarity threshold must be in (0, 1]")
+        dev_thresh = jnp.float32(threshold) - jnp.float32(1e-4)  # slack
     lcm = int(np.lcm(block_rows, 32))
     n_pad = round_up(max(bm.n, 1), lcm)
     xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
     xp[: bm.n] = bm.packed
+    nnz_pad = np.zeros(n_pad, dtype=np.int32)
+    nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
     hits = np.asarray(
-        _hits_blocks(jnp.asarray(xp), jnp.int32(threshold), block_rows)
+        _hits_blocks(
+            jnp.asarray(xp), dev_thresh, jnp.asarray(nnz_pad),
+            block_rows, measure,
+        )
     ).reshape(n_pad, n_pad // 32)
     # expand the hit bitmap on host
     from stormtpu.layout import unpack_bits
 
     dense_hits = unpack_bits(hits, n_pad)[: bm.n, : bm.n]
     ii, jj = np.nonzero(dense_hits)
+    ii = ii.astype(np.int32)
+    jj = jj.astype(np.int32)
     counts = pair_counts(bm, ii, jj) if ii.size else np.zeros(0, np.int32)
-    return ii.astype(np.int32), jj.astype(np.int32), counts
+    if measure == "count":
+        return ii, jj, counts
+    vals = _measure_host(counts, bm.row_nnz[ii], bm.row_nnz[jj], measure)
+    keep = vals >= threshold
+    return ii[keep], jj[keep], vals[keep]

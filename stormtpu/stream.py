@@ -32,6 +32,23 @@ def stripe_path(out_dir: str, i: int, j: int) -> str:
     return os.path.join(out_dir, f"stripe_{i:05d}_{j:05d}.npz")
 
 
+def _auto_stream_kernel(m_bits: int) -> str:
+    """Map the tuned dense winner (or heuristics) onto a stripe kernel.
+
+    XLA forms materialize 8× unpacked operands / full-stripe broadcasts,
+    so they are only eligible at small M.
+    """
+    from stormtpu.tuning import measured_dense_winner
+
+    winner = measured_dense_winner()
+    small_m = m_bits <= 1 << 17
+    if winner in ("mxu", "pallas_mxu"):
+        return "xla_int8" if (winner == "mxu" and small_m) else "mxu"
+    if winner in ("popcount", "pallas_dense"):
+        return "xla_popcount" if (winner == "popcount" and small_m) else "dense"
+    return "xla_int8" if small_m else "mxu"
+
+
 def _superblock_pairs(n_super: int) -> Iterator[tuple[int, int]]:
     for i in range(n_super):
         for j in range(i, n_super):
@@ -123,6 +140,8 @@ def stream_count_matrix(
     cfg.validate(bm.m_bits)
     if interpret is None:
         interpret = pallas_interpret_default()
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm.m_bits)
     tile_rows = cfg.k2_tile_rows if kernel == "mxu" else cfg.k1_tile_rows
     tile_words = cfg.k2_tile_words if kernel == "mxu" else cfg.k1_tile_words
     superblock_rows = round_up(superblock_rows, tile_rows)

@@ -1,0 +1,78 @@
+"""True multi-process validation: two OS processes (= two "hosts"), four
+forced CPU devices each, joined with jax.distributed over localhost —
+the closest this environment gets to config 5's "N ≥ 2 hosts"
+(BASELINE.json:11). The ring driver must produce exact global counts."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc, process_id=pid,
+    )
+    import numpy as np
+    sys.path.insert(0, "@REPO@")
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stormtpu.kernels.xla import count_block_int8_xla
+    from stormtpu.parallel import make_row_mesh
+    from stormtpu.parallel.allpairs import ring_count_rows
+
+    assert jax.process_count() == nproc
+    mesh = make_row_mesh()
+    n, w = 64, 32
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    sharding = NamedSharding(mesh, P("rows", None))
+    x = jax.make_array_from_callback(
+        packed.shape, sharding, lambda idx: packed[idx]
+    )
+    fn = jax.jit(ring_count_rows(mesh, "rows", n // 8, count_block_int8_xla))
+    c_host = multihost_utils.process_allgather(fn(x), tiled=True)
+    want = np.bitwise_count(
+        packed[:, None, :] & packed[None, :, :]
+    ).sum(axis=2)
+    assert np.array_equal(np.asarray(c_host), want), "multihost ring INEXACT"
+    print(f"proc {pid} OK", flush=True)
+    """
+)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STORMTPU_SLOW_TESTS"),
+    reason="spawns 2 jax.distributed processes (~1 min); "
+    "set STORMTPU_SLOW_TESTS=1",
+)
+def test_two_process_ring_exact(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("@REPO@", repo))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out

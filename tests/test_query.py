@@ -77,3 +77,35 @@ def test_pairs_above_threshold_validation(data):
     bm, _ = data
     with pytest.raises(ValueError):
         pairs_above(bm, 0)
+
+
+@pytest.mark.parametrize("measure", ("jaccard", "cosine", "overlap", "dice"))
+def test_pairs_above_similarity(measure, data):
+    bm, want = data
+    card = bm.row_nnz.astype(np.float64)
+    inter = want.astype(np.float64)
+    if measure == "jaccard":
+        denom = card[:, None] + card[None, :] - inter
+    elif measure == "dice":
+        inter = 2 * inter
+        denom = card[:, None] + card[None, :]
+    elif measure == "cosine":
+        denom = np.sqrt(card[:, None] * card[None, :])
+    else:
+        denom = np.minimum(card[:, None], card[None, :])
+    sim = np.where(denom > 0, inter / np.where(denom > 0, denom, 1), 0.0)
+    thresh = float(np.percentile(sim[np.triu_indices(bm.n, 1)], 95))
+    if thresh <= 0:
+        pytest.skip("degenerate threshold")
+    ii, jj, vals = pairs_above(bm, thresh, measure=measure, block_rows=32)
+    wi, wj = np.nonzero(np.triu(sim, 1) >= thresh)
+    assert set(zip(ii.tolist(), jj.tolist())) == set(zip(wi.tolist(), wj.tolist()))
+    np.testing.assert_allclose(vals, sim[ii, jj], rtol=1e-12)
+
+
+def test_pairs_above_similarity_validation(data):
+    bm, _ = data
+    with pytest.raises(ValueError):
+        pairs_above(bm, 1.5, measure="jaccard")
+    with pytest.raises(ValueError):
+        pairs_above(bm, 0.5, measure="tanimoto")

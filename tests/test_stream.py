@@ -87,3 +87,13 @@ def test_stream_xla_kernels(tmp_path):
         np.testing.assert_array_equal(
             got, oracle_count_matrix(bm.packed), err_msg=kernel
         )
+
+
+def test_stream_auto_kernel(tmp_path):
+    bm = random_bitmatrix(20, 400, 0.3, seed=56)
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=8, kernel="auto",
+        config=_small_cfg(), interpret=True,
+    )
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
