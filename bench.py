@@ -20,7 +20,15 @@ how much the blocked, reuse-heavy TPU formulation beats a straight port.
 Timing methodology: the axon relay memoizes identical executions and its
 block_until_ready can return before remote completion, so every timed rep
 materializes a host-side checksum of the output (np.asarray of a reduced
-scalar) and inputs are pre-staged device buffers.
+scalar) and inputs are pre-staged device buffers. The relay also imposes a
+~25 ms fixed latency on EVERY dispatch (measured by a tiny-op probe), which
+would swamp kernels whose true device time is 10-40 ms; the headline is
+therefore **sustained throughput via slope timing**: time an in-jit
+lax.scan chain of C1 and C2 kernel invocations on step-perturbed inputs
+(x ^ step — every step computes the full all-pairs on a genuinely
+different matrix; CSE/memoization cannot elide it) and take
+(t(C2)-t(C1))/(C2-C1), which cancels the fixed dispatch cost exactly. The
+per-dispatch (latency-inclusive) numbers are kept in bench_details.json.
 
 Diagnostics on stderr; per-path details in bench_details.json; stdout is
 exactly ONE JSON line.
@@ -71,6 +79,46 @@ def _timeit(fn, xs) -> float:
     for x in xs[1:]:
         np.asarray(g(x))
     return (time.time() - t0) / (len(xs) - 1)
+
+
+def _chained(fn, chain: int):
+    """One dispatch = ``chain`` full kernel invocations on step-perturbed
+    inputs (x ^ s, s = 1..chain — distinct matrices, so nothing can be
+    CSE'd or memoized), reduced to one checksum scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(x):
+        def step(carry, s):
+            c = fn(x ^ s)
+            leaf = jax.tree.leaves(c)[0]
+            return carry + jnp.sum(leaf % jnp.int32(251)), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(1, chain + 1, dtype=jnp.uint32)
+        )
+        return out
+
+    return g
+
+
+def _timeit_chain(fn, xs, chain: int) -> float:
+    g = _chained(fn, chain)
+    np.asarray(g(xs[0]))  # compile + full roundtrip
+    t0 = time.time()
+    for x in xs[1:]:
+        np.asarray(g(x))
+    return (time.time() - t0) / (len(xs) - 1)
+
+
+def _timeit_sustained(fn, xs, c1: int = 2, c2: int = 10) -> float:
+    """Sustained per-invocation device time via slope timing: the fixed
+    per-dispatch relay latency appears in both t(c1) and t(c2) and cancels
+    in the difference. Exact for any fixed dispatch overhead."""
+    t1 = _timeit_chain(fn, xs, c1)
+    t2 = _timeit_chain(fn, xs, c2)
+    return max((t2 - t1) / (c2 - c1), 1e-12)
 
 
 def _verify_sample(c: np.ndarray, packed: np.ndarray, n_samples: int, seed: int = 0):
@@ -132,36 +180,64 @@ def main() -> None:
     if cli.profile:
         jax.profiler.start_trace(cli.profile)
 
-    # --- reference-style baseline: streaming AND+popcount, no reuse ------
-    # One full 2×(M/8)-byte stream per pair, batched R pairs per launch.
-    r_stream = 256
-    b_s = jnp.asarray(rng.integers(0, 2**32, (r_stream, w), dtype=np.uint32))
-    a_list = [
-        jnp.asarray(rng.integers(0, 2**32, (r_stream, w), dtype=np.uint32))
+    # --- fixed dispatch latency probe (tiny op, full roundtrip) ----------
+    tiny = [
+        jnp.asarray(rng.integers(0, 2**32, (8, 128), dtype=np.uint32))
         for _ in range(REPS + 1)
     ]
-    got = np.asarray(kx.pair_count_batch_xla(a_list[0], b_s)).astype(np.int64)
-    want = np.bitwise_count(np.asarray(a_list[0]) & np.asarray(b_s)).sum(
-        axis=1, dtype=np.int64
-    )
+    latency_s = _timeit(lambda x: x & jnp.uint32(7), tiny)
+    log(f"[latency] fixed per-dispatch floor: {latency_s * 1e3:.1f} ms "
+        f"(cancelled out of sustained numbers by slope timing)")
+
+    # --- reference-style baseline: streaming AND+popcount, no reuse ------
+    # One full 2×(M/8)-byte stream per pair, batched R pairs per launch.
+    # Timed SUSTAINED (same slope methodology as the candidates). R is
+    # sized so the per-step working set (2×128 MB, > the 128 MiB VMEM)
+    # cannot stay on-chip across scan steps — the baseline must remain an
+    # honest HBM-bound stream. Both operands are jit ARGUMENTS (a closure
+    # constant of this size gets baked into the HLO and rejected by the
+    # remote compiler).
+    r_stream = 16384
+    ab_list = [
+        jnp.asarray(rng.integers(0, 2**32, (2, r_stream, w), dtype=np.uint32))
+        for _ in range(REPS + 1)
+    ]
+    ab0 = np.asarray(ab_list[0])
+    got = np.asarray(
+        kx.pair_count_batch_xla(ab_list[0][0], ab_list[0][1])
+    ).astype(np.int64)
+    want = np.bitwise_count(ab0[0] & ab0[1]).sum(axis=1, dtype=np.int64)
     assert np.array_equal(got, want), "stream baseline failed verification"
-    dt = _timeit(lambda a: kx.pair_count_batch_xla(a, b_s), a_list)
+    dt = _timeit_sustained(
+        lambda ab: kx.pair_count_batch_xla(ab[0], ab[1]), ab_list, c1=2, c2=18
+    )
     base_pairs_s = r_stream / dt
     base_gbps = 2 * r_stream * w * 4 / dt / 1e9
     log(f"[baseline] streaming AND+popcount: {base_pairs_s:,.0f} pairs/s "
-        f"({base_gbps:.2f} GB/s) on {m_bits}-bit pairs")
+        f"({base_gbps:.2f} GB/s) on {m_bits}-bit pairs, sustained")
+
+    def add_candidate(name, f, c1=2, c2=10):
+        dt_rt = _timeit(f, xds)
+        dt_s = _timeit_sustained(f, xds, c1=c1, c2=c2)
+        candidates[name] = {
+            "seconds_sustained": dt_s,
+            "seconds_per_dispatch": dt_rt,
+            "pairs_per_s": pairs_tri / dt_s,
+        }
 
     # --- candidate: XLA popcount all-pairs (full square) ------------------
     c_pc = np.asarray(kx.count_block_popcount_xla(xd, xd, tile_rows=8))
     _verify_sample(c_pc, packed, 4096, seed=1)
-    dt = _timeit(lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8), xds)
-    candidates["xla_popcount"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
+    add_candidate(
+        "xla_popcount",
+        lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8),
+        c1=1, c2=3,  # slow path; short chains keep the run bounded
+    )
 
     # --- candidate: XLA int8 XXᵀ (full square) ----------------------------
     c_i8 = np.asarray(kx.count_block_int8_xla(xd, xd))
     _verify_sample(c_i8, packed, 4096, seed=2)
-    dt = _timeit(lambda x: kx.count_block_int8_xla(x, x), xds)
-    candidates["xla_int8_mxu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
+    add_candidate("xla_int8_mxu", lambda x: kx.count_block_int8_xla(x, x))
 
     # --- candidate: Pallas K1 (VPU popcount, triangular) ------------------
     from stormtpu.config import default_config
@@ -178,8 +254,7 @@ def main() -> None:
     )
     c_k1 = assemble_triangular(np.asarray(k1(xd)), ibs1, jbs1, n // ti1, n)
     _verify_sample(c_k1, packed, 4096, seed=3)
-    dt = _timeit(k1, xds)
-    candidates["pallas_k1_vpu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
+    add_candidate("pallas_k1_vpu", k1, c1=1, c2=5)
 
     # --- candidate: Pallas K2 (MXU int8, triangular) ----------------------
     ti2, wk2 = cfg.k2_tile_rows, min(cfg.k2_tile_words, w)
@@ -192,16 +267,16 @@ def main() -> None:
     )
     c_k2 = assemble_triangular(np.asarray(k2(xd)), ibs2, jbs2, n // ti2, n)
     _verify_sample(c_k2, packed, 4096, seed=4)
-    dt = _timeit(k2, xds)
-    candidates["pallas_k2_mxu"] = {"seconds": dt, "pairs_per_s": pairs_tri / dt}
+    add_candidate("pallas_k2_mxu", k2)
 
     if cli.profile:
         jax.profiler.stop_trace()
         log(f"[profile] trace written to {cli.profile}")
 
     for name, d in sorted(candidates.items(), key=lambda kv: -kv[1]["pairs_per_s"]):
-        log(f"[{name:>14}] {d['pairs_per_s'] / 1e9:.6f} G-pairs/s "
-            f"({d['seconds'] * 1e3:.1f} ms)")
+        log(f"[{name:>14}] {d['pairs_per_s'] / 1e9:.6f} G-pairs/s sustained "
+            f"({d['seconds_sustained'] * 1e3:.1f} ms; "
+            f"{d['seconds_per_dispatch'] * 1e3:.1f} ms per-dispatch)")
 
     best_name, best = max(candidates.items(), key=lambda kv: kv[1]["pairs_per_s"])
     gpairs = best["pairs_per_s"] / 1e9
@@ -211,16 +286,18 @@ def main() -> None:
     details = {
         "device": str(dev),
         "config": {"n": n, "m_bits": m_bits, "reps": REPS},
+        "dispatch_latency_ms": latency_s * 1e3,
+        "timing": "sustained = slope over in-jit scan chains of perturbed "
+        "inputs (fixed dispatch latency cancels); per_dispatch = single "
+        "launch incl. relay roundtrip",
         "baseline_streaming": {
             "pairs_per_s": base_pairs_s,
             "GBps": base_gbps,
             "definition": "reference-algorithm port: per-pair full-stream "
-            "AND+popcount, no reuse, same device",
+            "AND+popcount, no reuse, same device, sustained timing",
         },
         "candidates": candidates,
         "best": best_name,
-        "note": "axon emulated TPU v5 lite; absolute numbers are emulator-"
-        "bound, ratios are meaningful",
     }
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

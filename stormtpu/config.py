@@ -27,16 +27,17 @@ class EngineConfig:
     """
 
     # --- K1 dense VPU kernel (AND + popcount) tiles ---
-    # Defaults from the on-device tile sweep (chunk variant, N=4096).
+    # Defaults from the on-device sustained-timing sweep (N=8192, v5e).
     k1_tile_rows: int = 128        # rows per (i, j) output tile side
-    k1_tile_words: int = 1024      # packed uint32 words per K step (32 Kbit)
+    k1_tile_words: int = 2048      # packed uint32 words per K step (64 Kbit)
     k1_variant: str = "chunk"      # statically-unrolled 8-row VPU passes
 
     # --- K2 MXU int8 XXᵀ kernel tiles ---
     # Mosaic requires block last-dims divisible by 128 (or full-array).
-    # Defaults from the on-device tile sweep (planes variant, N=4096).
-    k2_tile_rows: int = 512        # rows per output tile side (MXU-aligned)
-    k2_tile_words: int = 128       # packed words per K step → 4096 int8 K
+    # Defaults from the on-device sustained-timing sweep (N=8192, v5e:
+    # 2.70 G-pairs/s ≈ 90% of int8 MXU peak).
+    k2_tile_rows: int = 256        # rows per output tile side (MXU-aligned)
+    k2_tile_words: int = 256       # packed words per K step → 8192 int8 K
     k2_variant: str = "planes"     # one MXU dot per bit plane, no concat
 
     # --- D1 dispatch thresholds ---

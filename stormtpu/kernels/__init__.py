@@ -11,3 +11,27 @@
 - ``sparse`` — K3: scattered-position path (replaces the reference's
   SIMD uint16 list-intersection C12/C13).
 """
+
+from __future__ import annotations
+
+import jax
+
+# Above this many bits, materializing the 8× unpacked int8 operand (the
+# XLA path) is memory-hostile; use the in-kernel-unpack Pallas rectangle.
+MXU_XLA_MAX_BITS = 1 << 17
+
+__all__ = ["MXU_XLA_MAX_BITS", "count_block_auto"]
+
+
+def count_block_auto(a_packed: jax.Array, b_packed: jax.Array) -> jax.Array:
+    """Rectangular cross counts int32 [Na, Nb]; picks the XLA int8 path at
+    small M and the in-kernel-unpack Pallas MXU rectangle at large M.
+    Traceable (shapes are static under jit), so usable inside lax.map /
+    shard_map bodies."""
+    from stormtpu.kernels import xla as kx
+
+    if a_packed.shape[1] * 32 <= MXU_XLA_MAX_BITS:
+        return kx.count_block_int8_xla(a_packed, b_packed)
+    from stormtpu.kernels.mxu import count_block_pallas_mxu
+
+    return count_block_pallas_mxu(a_packed, b_packed)

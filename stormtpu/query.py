@@ -28,6 +28,7 @@ import numpy as np
 
 from stormtpu.api import MatrixLike, _as_bitmatrix
 from stormtpu.config import EngineConfig
+from stormtpu.kernels import count_block_auto
 from stormtpu.kernels import xla as kx
 from stormtpu.utils import round_up
 
@@ -67,7 +68,7 @@ def _topk_blocks(packed: jax.Array, k: int, block_rows: int):
 
     def per_block(args):
         blk, b0 = args
-        counts = kx.count_block_int8_xla(blk, packed)  # [B, N]
+        counts = count_block_auto(blk, packed)  # [B, N]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
         col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
         counts = jnp.where(row_ids == col_ids, jnp.int32(-1), counts)  # drop self
@@ -125,7 +126,7 @@ def _hits_blocks(
 
     def per_block(args):
         blk, b0 = args
-        counts = kx.count_block_int8_xla(blk, packed)  # [B, N]
+        counts = count_block_auto(blk, packed)  # [B, N]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
         col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
         if measure == "count":

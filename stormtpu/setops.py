@@ -10,7 +10,9 @@ engine plus per-row cardinalities — no extra device passes:
     |A \\ B| = |A| − |A ∩ B|
 
 and the similarity coefficients used on genotype bitmaps (LD/co-occurrence
-screens): Jaccard, Dice–Sørensen, Ochiai/cosine, overlap.
+screens): Jaccard, Dice–Sørensen, Ochiai/cosine, overlap, plus the phi
+coefficient and the LD r² statistic (phi² — the linkage-disequilibrium
+measure the reference's genomics workloads feed these counts into).
 
 So the TPU engine computes the one hard matrix (XXᵀ) with whichever kernel
 D1 dispatches, and everything else is O(N²) elementwise on host/device.
@@ -28,7 +30,7 @@ from stormtpu.config import EngineConfig
 __all__ = ["pairwise_cardinality", "similarity_matrix", "CARD_OPS", "SIM_OPS"]
 
 CARD_OPS = ("intersect", "union", "xor", "andnot", "nand")
-SIM_OPS = ("jaccard", "dice", "cosine", "overlap")
+SIM_OPS = ("jaccard", "dice", "cosine", "overlap", "phi", "r2")
 
 
 def pairwise_cardinality(
@@ -74,8 +76,11 @@ def similarity_matrix(
     """N×N float64 similarity from exact integer counts.
 
     jaccard = ∩/∪ · dice = 2∩/(|A|+|B|) · cosine = ∩/√(|A||B|) (Ochiai)
-    · overlap = ∩/min(|A|,|B|). Pairs where the denominator is 0 (both
-    rows empty) yield 0.0.
+    · overlap = ∩/min(|A|,|B|) · phi = (M·∩ − |A||B|) /
+    √(|A||B|(M−|A|)(M−|B|)) (the 2×2-contingency Pearson correlation over
+    the M-bit universe) · r2 = phi² (the genomics LD statistic). Pairs
+    where the denominator is 0 (a row empty — or, for phi/r2, full)
+    yield 0.0.
     """
     if measure not in SIM_OPS:
         raise ValueError(f"unknown measure {measure!r}; want one of {SIM_OPS}")
@@ -91,6 +96,15 @@ def similarity_matrix(
         denom = card[:, None] + card[None, :]
     elif measure == "cosine":
         denom = np.sqrt(card[:, None] * card[None, :])
+    elif measure in ("phi", "r2"):
+        m = float(bm.m_bits)
+        inter = m * inter - card[:, None] * card[None, :]
+        denom = np.sqrt(
+            card[:, None] * card[None, :] * (m - card[:, None]) * (m - card[None, :])
+        )
+        if measure == "r2":
+            inter = inter * inter
+            denom = denom * denom
     else:  # overlap
         denom = np.minimum(card[:, None], card[None, :])
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -8,9 +8,10 @@ prefer the measured winner. Tuning is explicit (``python -m stormtpu
 tune``) because first-compiles are expensive; without a cache, dispatch
 falls back to its static heuristics.
 
-Timing methodology matches bench.py: warmup compile, then per-rep host
-materialization (this environment's relay memoizes identical executions
-and its block_until_ready can return early).
+Timing methodology matches bench.py: warmup compile, then sustained slope
+timing over in-jit chains of perturbed inputs (this environment's relay
+memoizes identical executions, returns early from block_until_ready, and
+adds a ~25 ms fixed cost per dispatch — the slope cancels the fixed cost).
 """
 
 from __future__ import annotations
@@ -69,24 +70,39 @@ def measured_dense_winner() -> Optional[str]:
     return max(rates, key=rates.get)
 
 
-def _timeit(f, xs) -> float:
-    """Warmup on xs[0], time over the remaining DISTINCT inputs, each rep
-    materializing a nonlinear in-jit checksum (see bench.py: the relay
-    memoizes identical executions, block_until_ready returns early, and
-    linear reductions of lazy results can be short-circuited)."""
+def _timeit_chain(f, xs, chain: int) -> float:
+    """One dispatch = ``chain`` invocations on step-perturbed inputs
+    (x ^ s — distinct matrices, so the relay cannot memoize and XLA cannot
+    CSE), reduced to one in-jit nonlinear checksum materialized per rep."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def g(x):
-        c = f(x)
-        return jnp.sum(jax.tree.leaves(c)[0] % jnp.int32(251))
+        def step(carry, s):
+            c = f(x ^ s)
+            return carry + jnp.sum(jax.tree.leaves(c)[0] % jnp.int32(251)), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(1, chain + 1, dtype=jnp.uint32)
+        )
+        return out
 
     np.asarray(g(xs[0]))
     t0 = time.time()
     for x in xs[1:]:
         np.asarray(g(x))
     return (time.time() - t0) / (len(xs) - 1)
+
+
+def _timeit(f, xs, c1: int = 2, c2: int = 10) -> float:
+    """Sustained per-invocation device time via slope timing — this
+    environment's relay adds a ~25 ms fixed cost to every dispatch, which
+    appears in both t(c1) and t(c2) and cancels in the difference (see
+    bench.py for the methodology note)."""
+    t1 = _timeit_chain(f, xs, c1)
+    t2 = _timeit_chain(f, xs, c2)
+    return max((t2 - t1) / (c2 - c1), 1e-12)
 
 
 def tune(n: int = 1024, m_bits: int = 65536, reps: int = 3, log=print) -> dict:

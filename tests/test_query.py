@@ -109,3 +109,29 @@ def test_pairs_above_similarity_validation(data):
         pairs_above(bm, 1.5, measure="jaccard")
     with pytest.raises(ValueError):
         pairs_above(bm, 0.5, measure="tanimoto")
+
+
+def test_queries_large_m_route_through_pallas():
+    """At M > 2^17 the block kernel routes to the in-kernel-unpack Pallas
+    rectangle (the XLA path would materialize the 8x unpacked operand);
+    results must stay exact."""
+    from conftest import random_bitmatrix
+
+    bm = random_bitmatrix(16, (1 << 17) + 4096, 0.02, seed=77)
+    dense = bm.to_dense().astype(np.int64)
+    want = (dense[:, None, :] & dense[None, :, :]).sum(axis=2)
+
+    vals, idx = topk_neighbors(bm, k=3, block_rows=8)
+    masked = want.copy()
+    np.fill_diagonal(masked, -1)
+    want_vals = np.sort(masked, axis=1)[:, ::-1][:, :3]
+    np.testing.assert_array_equal(vals, want_vals)
+
+    thresh = int(np.percentile(want[np.triu_indices(bm.n, 1)], 90))
+    if thresh >= 1:
+        ii, jj, got = pairs_above(bm, thresh, block_rows=8)
+        wi, wj = np.nonzero(np.triu(want >= thresh, 1))
+        assert set(zip(ii.tolist(), jj.tolist())) == set(
+            zip(wi.tolist(), wj.tolist())
+        )
+        np.testing.assert_array_equal(got, want[ii, jj])

@@ -47,9 +47,25 @@ def test_similarity_exact(measure, data):
         want = 2 * inter / (card[:, None] + card[None, :])
     elif measure == "cosine":
         want = inter / np.sqrt(card[:, None] * card[None, :])
+    elif measure in ("phi", "r2"):
+        m = float(bm.m_bits)
+        num = m * inter - card[:, None] * card[None, :]
+        den = np.sqrt(card[:, None] * card[None, :]
+                      * (m - card[:, None]) * (m - card[None, :]))
+        want = num / den
+        if measure == "r2":
+            want = want * want
     else:
         want = inter / np.minimum(card[:, None], card[None, :])
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_phi_matches_corrcoef(data):
+    """phi over bit rows IS the Pearson correlation of the 0/1 vectors."""
+    bm, dense = data
+    got = similarity_matrix(bm, "phi")
+    want = np.corrcoef(dense)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
 def test_empty_rows_similarity_zero():
