@@ -37,7 +37,11 @@ from stormtpu.utils import (
     triangular_tile_ids,
 )
 
-__all__ = ["count_tiles_pallas_dense", "count_matrix_pallas_dense"]
+__all__ = [
+    "count_tiles_pallas_dense",
+    "count_matrix_pallas_dense",
+    "pair_count_stream_pallas",
+]
 
 
 def _k1_kernel(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
@@ -149,6 +153,100 @@ def count_tiles_pallas_dense(
         ),
         interpret=interpret,
     )(ibs, jbs, packed, packed)
+
+
+def _stream_kernel(salt_ref, a_ref, b_ref, o_ref):
+    """K0 — streaming batch-pair kernel cell: row block r, word slice k.
+
+    a_ref/b_ref: uint32 [BR, WK]; o_ref: int32 [BR, 128] lane-partial
+    counts, revisited across k (final lane reduce happens outside).
+    The whole kernel is one (XOR salt →) AND → popcount → per-row
+    partial-sum pass; large WK blocks keep the HBM→VMEM DMAs in the MB
+    range so the stream runs at memory bandwidth (the reference's C2/C3
+    streaming regime). ``salt`` is XORed into A in-VMEM (free on the VPU):
+    benchmarks vary it per chained invocation so repeated executions are
+    genuinely distinct without adding HBM traffic; production callers
+    pass 0, and popcount((a^0) & b) is exactly popcount(a & b).
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = a_ref[:] ^ salt_ref[0]
+    c = jax.lax.population_count(a & b_ref[:]).astype(jnp.int32)
+    br, wk = c.shape
+    o_ref[:] += jnp.sum(c.reshape(br, wk // 128, 128), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "block_words", "interpret")
+)
+def pair_count_stream_pallas(
+    a_packed: jax.Array,
+    b_packed: jax.Array,
+    *,
+    salt: jax.Array | int = 0,
+    block_rows: int = 512,
+    block_words: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-wise counts int32 [R]: popcount(A[r] AND B[r]) per row — the
+    Pallas streaming form of ``pair_count_batch_xla`` (reference C2/C3
+    batched-pair regime, SURVEY.md §3). One full 2·(M/8)-byte stream per
+    pair with VMEM-pipelined megabyte DMAs.
+
+    Measured on v5e (sustained, salt-perturbed chains): ~233 GB/s at
+    br=512/wk=1024, vs ~363 GB/s for the fused XLA form — the Pallas
+    2-input pipeline is DMA-issue-bound here ("nosum" kernel bodies
+    plateau identically), so dispatch keeps the XLA stream; this kernel
+    is retained as the explicit-pipelining form (and for backends where
+    XLA fusion of the AND+popcount+reduce chain regresses).
+
+    ``salt`` (uint32, default 0 = no-op) is XORed into A inside the
+    kernel; see ``_stream_kernel`` for why benchmarks use it."""
+    r, w = a_packed.shape
+    br = min(block_rows, round_up(max(r, 8), 8))
+    wk = round_up(max(w, 128), 128) if w <= block_words else block_words
+    r_pad, w_pad = round_up(r, br), round_up(w, wk)
+    if (r_pad, w_pad) != (r, w):
+        a_packed = jnp.zeros((r_pad, w_pad), jnp.uint32).at[:r, :w].set(a_packed)
+        b_packed = jnp.zeros((r_pad, w_pad), jnp.uint32).at[:r, :w].set(b_packed)
+    salt_arr = jnp.asarray(salt, dtype=jnp.uint32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_pad // br, w_pad // wk),
+        in_specs=[
+            pl.BlockSpec(
+                (br, wk), lambda rr, k, salt_ref: (rr, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (br, wk), lambda rr, k, salt_ref: (rr, k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (br, 128), lambda rr, k, salt_ref: (rr, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _stream_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * r_pad * w_pad,
+            bytes_accessed=2 * r_pad * w_pad * 4 + r_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(salt_arr, a_packed, b_packed)
+    return jnp.sum(out, axis=1)[:r]
 
 
 def count_matrix_pallas_dense(

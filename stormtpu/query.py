@@ -37,6 +37,9 @@ __all__ = ["pair_counts", "topk_neighbors", "pairs_above"]
 
 @jax.jit
 def _gather_pair_counts(packed: jax.Array, ii: jax.Array, jj: jax.Array) -> jax.Array:
+    # the fused XLA AND+popcount stream measures ~363 GB/s on v5e vs
+    # ~233 GB/s for the Pallas K0 form (kernels/dense.py) — XLA's fusion
+    # wins the streaming regime at every size, so no routing switch here
     a = jnp.take(packed, ii, axis=0)
     b = jnp.take(packed, jj, axis=0)
     return kx.pair_count_batch_xla(a, b)
