@@ -115,10 +115,16 @@ def _timeit_chain(fn, xs, chain: int) -> float:
 def _timeit_sustained(fn, xs, c1: int = 2, c2: int = 10) -> float:
     """Sustained per-invocation device time via slope timing: the fixed
     per-dispatch relay latency appears in both t(c1) and t(c2) and cancels
-    in the difference. Exact for any fixed dispatch overhead."""
+    in the difference. Exact for any fixed dispatch overhead. When the
+    marginal cost is below relay jitter (slope ≲ 0), fall back to the
+    latency-inclusive upper bound t(c2)/c2 rather than fabricate a rate."""
     t1 = _timeit_chain(fn, xs, c1)
     t2 = _timeit_chain(fn, xs, c2)
-    return max((t2 - t1) / (c2 - c1), 1e-12)
+    slope = (t2 - t1) / (c2 - c1)
+    floor = 0.03 * t2 / c2
+    if slope < floor:
+        return t2 / c2
+    return slope
 
 
 def _verify_sample(c: np.ndarray, packed: np.ndarray, n_samples: int, seed: int = 0):

@@ -80,6 +80,10 @@ def config2_allpairs_dense(full: bool, log) -> dict:
     n, m = 1000, 65536
     packed = _random_packed(n, m // 32, seed=102)
     bm = BitMatrix.from_packed(packed, m_bits=m)
+    # compile warmup on distinct same-shape data (first-compile is minutes
+    # on the tunneled backend and is not the deliverable being measured)
+    warm = BitMatrix.from_packed(_random_packed(n, m // 32, seed=202), m_bits=m)
+    intersect_count_matrix(warm, strategy="pallas_dense")
     t0 = time.time()
     got = intersect_count_matrix(bm, strategy="pallas_dense")  # word-wise path
     dt = time.time() - t0
@@ -87,7 +91,7 @@ def config2_allpairs_dense(full: bool, log) -> dict:
     assert np.array_equal(got, want), "config2 full verification failed"
     pairs = n * n
     log(f"[config2] {n}×{m//1024}Kbit all-pairs exact (full check); "
-        f"{dt:.2f} s → {pairs / dt / 1e6:.1f} M-pairs/s")
+        f"{dt:.2f} s warm → {pairs / dt / 1e6:.1f} M-pairs/s")
     return {"config": 2, "n": n, "m_bits": m, "exact": True, "seconds": dt,
             "pairs_per_s": pairs / dt}
 
@@ -177,16 +181,24 @@ def config3_sparse(full: bool, log) -> dict:
     tid = (ib * nb - (ib * (ib - 1)) // 2 + (jb - ib)).astype(np.int32)
     interpret = pallas_interpret_default()
     xd = jnp.asarray(xp)
+    ibs_d, jbs_d = jnp.asarray(ibs), jnp.asarray(jbs)
+    tid_d = jnp.asarray(tid)
+    lo_d = jnp.asarray((lo % ti).astype(np.int32))
+    hi_d = jnp.asarray((hi % ti).astype(np.int32))
+
+    def run(x):
+        tiles = count_tiles_pallas_mxu(
+            x, ibs_d, jbs_d, tile_rows=ti, tile_words=wk,
+            interpret=interpret, variant=cfg.k2_variant,
+        )
+        return np.asarray(tiles[tid_d, lo_d, hi_d]).astype(np.int64)
+
+    # compile warmup on a perturbed input (a DISTINCT execution — the
+    # relay memoizes identical ones, so warming on xd itself would make
+    # the timed run a cache hit)
+    run(xd ^ jnp.uint32(1))
     t0 = time.time()
-    tiles = count_tiles_pallas_mxu(
-        xd, jnp.asarray(ibs), jnp.asarray(jbs),
-        tile_rows=ti, tile_words=wk, interpret=interpret,
-        variant=cfg.k2_variant,
-    )
-    got = np.asarray(
-        tiles[jnp.asarray(tid), jnp.asarray((lo % ti).astype(np.int32)),
-              jnp.asarray((hi % ti).astype(np.int32))]
-    ).astype(np.int64)
+    got = run(xd)
     dt = time.time() - t0
     want = np.bitwise_count(bm.packed[lo] & bm.packed[hi]).sum(
         axis=1, dtype=np.int64
@@ -211,7 +223,7 @@ def config4_mxu_stream(full: bool, log) -> dict:
     from stormtpu.query import pair_counts
     from stormtpu.stream import stream_count_matrix, stripe_path
 
-    n = 100_000 if full else 4_096
+    n = 100_000 if full else 8_192
     m = 1_000_000
     w = -(-m // 32)
     packed = _random_packed(n, w, seed=104)
@@ -219,7 +231,7 @@ def config4_mxu_stream(full: bool, log) -> dict:
     t0 = time.time()
     with tempfile.TemporaryDirectory() as d:
         manifest = stream_count_matrix(
-            bm, d, superblock_rows=2048, kernel="mxu",
+            bm, d, superblock_rows=4096, kernel="mxu",
         )
         dt = time.time() - t0
         # verify a sampled stripe against the oracle

@@ -77,6 +77,16 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scaling(args: argparse.Namespace) -> int:
+    import json
+
+    from stormtpu.parallel.scaling import measure_scaling
+
+    out = measure_scaling(n=args.n, m_bits=args.m, reps=args.reps, log=_log)
+    print(json.dumps(out, indent=2, default=float))
+    return 0
+
+
 def cmd_tune(args: argparse.Namespace) -> int:
     from stormtpu.tuning import tune
 
@@ -132,7 +142,7 @@ def main(argv=None) -> int:
         "tune",
         help="measure kernel crossovers on this device and cache them for dispatch",
     )
-    sp.add_argument("--n", type=int, default=1024)
+    sp.add_argument("--n", type=int, default=4096)
     sp.add_argument("--m", type=int, default=65536)
     sp.add_argument("--reps", type=int, default=3)
     sp.set_defaults(fn=cmd_tune)
@@ -147,6 +157,15 @@ def main(argv=None) -> int:
                     help="spec sizes instead of scaled (hours on one chip)")
     sp.add_argument("--out", default="acceptance.json")
     sp.set_defaults(fn=cmd_accept)
+
+    sp = sub.add_parser(
+        "scaling",
+        help="ring-driver scaling efficiency across device counts",
+    )
+    sp.add_argument("--n", type=int, default=2048)
+    sp.add_argument("--m", type=int, default=65536)
+    sp.add_argument("--reps", type=int, default=2)
+    sp.set_defaults(fn=cmd_scaling)
 
     sp = sub.add_parser("count", help="compute a pairwise count matrix from a file")
     sp.add_argument("--in", dest="infile", required=True,

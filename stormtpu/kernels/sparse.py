@@ -54,8 +54,15 @@ def padded_position_lists(bm: BitMatrix, pad_mult: int = 128) -> np.ndarray:
 
 
 def _pair_intersect_sorted(pa: jax.Array, pb: jax.Array, sentinel: int) -> jax.Array:
-    """|pa ∩ pb| for sorted padded int32 lists (sentinel-tailed)."""
-    idx = jnp.searchsorted(pb, pa)
+    """|pa ∩ pb| for sorted padded int32 lists (sentinel-tailed).
+
+    ``method="sort"`` is deliberate: the default binary-search ("scan")
+    lowering faults the TPU runtime at vmapped batch × list sizes the
+    sparse config actually uses (verified on v5e: worker crash at
+    [256, 8064] all-pairs), while the sort-based lowering is a plain
+    vectorized sort+gather that runs everywhere and is exactness-tested.
+    """
+    idx = jnp.searchsorted(pb, pa, method="sort")
     idx = jnp.clip(idx, 0, pb.shape[0] - 1)
     hit = (pb[idx] == pa) & (pa != sentinel)
     return jnp.sum(hit.astype(jnp.int32), dtype=jnp.int32)

@@ -9,6 +9,7 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 
 - ``mesh``     — device mesh construction (single- and multi-host)
 - ``allpairs`` — ring-streaming row-sharded all-pairs driver
+- ``scaling``  — scaling-efficiency measurement harness
 """
 
 from stormtpu.parallel.mesh import make_row_mesh
@@ -17,10 +18,12 @@ from stormtpu.parallel.multihost import (
     distributed_stream_count_matrix,
     initialize_multihost,
 )
+from stormtpu.parallel.scaling import measure_scaling
 
 __all__ = [
     "make_row_mesh",
     "distributed_count_matrix",
     "distributed_stream_count_matrix",
     "initialize_multihost",
+    "measure_scaling",
 ]

@@ -117,3 +117,16 @@ def test_distributed_large_w_pallas_blockfn(mesh8):
     bm = random_bitmatrix(24, (1 << 17) + 96, 0.002, seed=51)
     got = distributed_count_matrix(bm.packed, mesh=mesh8)
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_measure_scaling_structural():
+    """Scaling harness runs at 1/2/4 forced devices, verifies exactness,
+    and reports monotone bookkeeping (efficiency defined, positive)."""
+    from stormtpu.parallel.scaling import measure_scaling
+
+    out = measure_scaling(n=128, m_bits=2048, device_counts=(1, 2, 4),
+                          reps=1, log=lambda *a: None)
+    assert out["platform"] == "cpu"
+    assert set(out["results"]) == {1, 2, 4}
+    for r, d in out["results"].items():
+        assert d["seconds"] > 0 and d["efficiency"] > 0
