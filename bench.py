@@ -81,50 +81,12 @@ def _timeit(fn, xs) -> float:
     return (time.time() - t0) / (len(xs) - 1)
 
 
-def _chained(fn, chain: int):
-    """One dispatch = ``chain`` full kernel invocations on step-perturbed
-    inputs (x ^ s, s = 1..chain — distinct matrices, so nothing can be
-    CSE'd or memoized), reduced to one checksum scalar."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def g(x):
-        def step(carry, s):
-            c = fn(x ^ s)
-            leaf = jax.tree.leaves(c)[0]
-            return carry + jnp.sum(leaf % jnp.int32(251)), None
-
-        out, _ = jax.lax.scan(
-            step, jnp.int32(0), jnp.arange(1, chain + 1, dtype=jnp.uint32)
-        )
-        return out
-
-    return g
-
-
-def _timeit_chain(fn, xs, chain: int) -> float:
-    g = _chained(fn, chain)
-    np.asarray(g(xs[0]))  # compile + full roundtrip
-    t0 = time.time()
-    for x in xs[1:]:
-        np.asarray(g(x))
-    return (time.time() - t0) / (len(xs) - 1)
-
-
 def _timeit_sustained(fn, xs, c1: int = 2, c2: int = 10) -> float:
-    """Sustained per-invocation device time via slope timing: the fixed
-    per-dispatch relay latency appears in both t(c1) and t(c2) and cancels
-    in the difference. Exact for any fixed dispatch overhead. When the
-    marginal cost is below relay jitter (slope ≲ 0), fall back to the
-    latency-inclusive upper bound t(c2)/c2 rather than fabricate a rate."""
-    t1 = _timeit_chain(fn, xs, c1)
-    t2 = _timeit_chain(fn, xs, c2)
-    slope = (t2 - t1) / (c2 - c1)
-    floor = 0.03 * t2 / c2
-    if slope < floor:
-        return t2 / c2
-    return slope
+    """Sustained per-invocation device time (shared slope-timing
+    implementation: stormtpu.utils.profiling.timeit_sustained)."""
+    from stormtpu.utils import timeit_sustained
+
+    return timeit_sustained(fn, xs, c1=c1, c2=c2)
 
 
 def _verify_sample(c: np.ndarray, packed: np.ndarray, n_samples: int, seed: int = 0):

@@ -143,11 +143,13 @@ def config3_sparse(full: bool, log) -> dict:
     bm_sub = BitMatrix.from_packed(bm.packed[:sub], m_bits=bm.m_bits)
     pos = jnp.asarray(padded_position_lists(bm_sub))
     got_sub = np.asarray(count_block_sparse(pos, pos, sentinel=bm.m_bits))
-    want_sub = np.bitwise_count(
-        bm.packed[:sub, None, :] & bm.packed[None, :sub, :]
-    ).sum(axis=2, dtype=np.int64)
-    assert np.array_equal(got_sub.astype(np.int64), want_sub), \
-        "config3 K3 positions path mismatch"
+    from stormtpu.oracle import oracle_count_block
+
+    # (chunked oracle: the one-shot broadcast would be a ~8 GB host temp)
+    want_sub = oracle_count_block(bm.packed[:sub], bm.packed[:sub])
+    assert np.array_equal(
+        got_sub.astype(np.int64), want_sub.astype(np.int64)
+    ), "config3 K3 positions path mismatch"
     log(f"[config3] K3 positions path exact on {sub}×{sub} subset")
 
     if not full:

@@ -125,14 +125,9 @@ def count_block(
         raise ValueError("bit-universe mismatch")
     cfg = config or default_config()
     cfg.validate(bm_a.m_bits)
-    if bm_a.m_bits > 1 << 17:
-        # large W: in-kernel-unpack Pallas rectangle (the XLA form would
-        # materialize the 8× unpacked operands)
-        from stormtpu.kernels.mxu import count_block_pallas_mxu
+    from stormtpu.kernels import count_block_auto
 
-        out = count_block_pallas_mxu(bm_a.packed, bm_b.packed, config=cfg)
-    else:
-        out = kx.count_block_int8_xla(
-            jnp.asarray(bm_a.packed), jnp.asarray(bm_b.packed)
-        )
+    out = count_block_auto(
+        jnp.asarray(bm_a.packed), jnp.asarray(bm_b.packed), config=cfg
+    )
     return np.asarray(out)

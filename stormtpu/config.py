@@ -35,7 +35,7 @@ class EngineConfig:
     # --- K2 MXU int8 XXᵀ kernel tiles ---
     # Mosaic requires block last-dims divisible by 128 (or full-array).
     # Defaults from the on-device sustained-timing sweep (N=8192, v5e:
-    # 2.70 G-pairs/s ≈ 90% of int8 MXU peak).
+    # 2.57 G-pairs/s in the verified bench run ≈ 86% of int8 MXU peak).
     k2_tile_rows: int = 256        # rows per output tile side (MXU-aligned)
     k2_tile_words: int = 256       # packed words per K step → 8192 int8 K
     k2_variant: str = "planes"     # one MXU dot per bit plane, no concat

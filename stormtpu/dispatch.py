@@ -29,9 +29,10 @@ __all__ = ["choose_strategy", "STRATEGIES"]
 
 STRATEGIES = ("popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse")
 
-# Above this many int8 K-columns (= 32·W), materializing the unpacked
-# operand for the XLA mxu path is memory-hostile; use the Pallas K2 kernel.
-_MXU_XLA_MAX_BITS = 1 << 17
+# Shared routing constant (see stormtpu/kernels/__init__.py): above this
+# many bits, materializing the unpacked operand for the XLA mxu path is
+# memory-hostile; use the Pallas K2 kernel.
+from stormtpu.kernels import MXU_XLA_MAX_BITS as _MXU_XLA_MAX_BITS
 
 
 def choose_strategy(

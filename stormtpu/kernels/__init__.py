@@ -14,24 +14,33 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 
 # Above this many bits, materializing the 8× unpacked int8 operand (the
 # XLA path) is memory-hostile; use the in-kernel-unpack Pallas rectangle.
+# This is THE routing constant — api.count_block, the distributed drivers,
+# stream kernel choice, and D1 dispatch all share it.
 MXU_XLA_MAX_BITS = 1 << 17
 
 __all__ = ["MXU_XLA_MAX_BITS", "count_block_auto"]
 
 
-def count_block_auto(a_packed: jax.Array, b_packed: jax.Array) -> jax.Array:
+def count_block_auto(
+    a_packed: jax.Array,
+    b_packed: jax.Array,
+    config=None,
+) -> jax.Array:
     """Rectangular cross counts int32 [Na, Nb]; picks the XLA int8 path at
     small M and the in-kernel-unpack Pallas MXU rectangle at large M.
     Traceable (shapes are static under jit), so usable inside lax.map /
-    shard_map bodies."""
+    shard_map bodies. The single shared implementation of the
+    XLA-vs-Pallas rectangle routing."""
     from stormtpu.kernels import xla as kx
 
     if a_packed.shape[1] * 32 <= MXU_XLA_MAX_BITS:
         return kx.count_block_int8_xla(a_packed, b_packed)
     from stormtpu.kernels.mxu import count_block_pallas_mxu
 
-    return count_block_pallas_mxu(a_packed, b_packed)
+    return count_block_pallas_mxu(a_packed, b_packed, config=config)

@@ -129,13 +129,9 @@ def distributed_count_matrix(
     n, w = packed.shape
     cfg.validate(w * 32)
     if block_fn is None:
-        if w * 32 > 1 << 17:
-            # large W: in-kernel-unpack Pallas rectangle per ring step
-            from stormtpu.kernels.mxu import count_block_pallas_mxu
+        from stormtpu.kernels import count_block_auto
 
-            block_fn = lambda a, b: count_block_pallas_mxu(a, b, config=cfg)
-        else:
-            block_fn = kx.count_block_int8_xla
+        block_fn = lambda a, b: count_block_auto(a, b, config=cfg)
 
     if shard_axis == "bits":
         w_pad = round_up(max(w, r), r)

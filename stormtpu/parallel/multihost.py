@@ -92,12 +92,9 @@ def distributed_stream_count_matrix(
     r = mesh.shape[axis]
     superblock_rows = round_up(superblock_rows, r * 8)
     if block_fn is None:
-        if bm.m_bits > 1 << 17:
-            from stormtpu.kernels.mxu import count_block_pallas_mxu
+        from stormtpu.kernels import count_block_auto
 
-            block_fn = lambda a, b: count_block_pallas_mxu(a, b, config=cfg)
-        else:
-            block_fn = kx.count_block_int8_xla
+        block_fn = lambda a, b: count_block_auto(a, b, config=cfg)
 
     n_pad = round_up(bm.n, superblock_rows)
     n_super = n_pad // superblock_rows

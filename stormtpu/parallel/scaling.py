@@ -51,13 +51,14 @@ def measure_scaling(
     rng = np.random.default_rng(7)
     w = m_bits // 32
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    ns = min(n, 32)
     if verify:
         sample = np.bitwise_count(
-            packed[:32, None, :] & packed[None, :32, :]
+            packed[:ns, None, :] & packed[None, :ns, :]
         ).sum(axis=2, dtype=np.int64)
 
     results: dict[int, dict] = {}
-    t1 = None
+    base = None  # (R0, T(R0)) — efficiency is relative to the FIRST count
     for r in device_counts:
         mesh = make_row_mesh(r)
         axis = mesh.axis_names[0]
@@ -76,7 +77,7 @@ def measure_scaling(
 
         c0 = fn(xs[0])
         if verify:
-            got = np.asarray(c0[:32, :32]).astype(np.int64)
+            got = np.asarray(c0[:ns, :ns]).astype(np.int64)
             if not np.array_equal(got, sample):
                 raise AssertionError(f"ring driver inexact at R={r}")
         # timed reps: materialize a reduced checksum per rep
@@ -86,9 +87,11 @@ def measure_scaling(
         for x in xs[1:]:
             np.asarray(chk(x))
         dt = (time.time() - t0) / reps
-        if t1 is None:
-            t1 = dt
-        eff = t1 / (r * dt)
+        if base is None:
+            base = (r, dt)
+        # Efficiency(R) = (R0·T(R0)) / (R·T(R)) — device-seconds relative
+        # to the first measured count (== T(1)/(R·T(R)) when R0 = 1)
+        eff = (base[0] * base[1]) / (r * dt)
         pairs = float(n) * n
         results[r] = {
             "seconds": dt,

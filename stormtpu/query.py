@@ -35,6 +35,18 @@ from stormtpu.utils import round_up
 __all__ = ["pair_counts", "topk_neighbors", "pairs_above"]
 
 
+def _default_block_rows(m_bits: int) -> int:
+    """At large M the block kernel routes to the Pallas MXU rectangle,
+    which pads A-blocks up to its k2_tile_rows tile — undersized query
+    blocks would be zero-padded 4x (wasted MXU work), so match the tile."""
+    from stormtpu.config import default_config
+    from stormtpu.kernels import MXU_XLA_MAX_BITS
+
+    if m_bits > MXU_XLA_MAX_BITS:
+        return default_config().k2_tile_rows
+    return 64
+
+
 @jax.jit
 def _gather_pair_counts(packed: jax.Array, ii: jax.Array, jj: jax.Array) -> jax.Array:
     # the fused XLA AND+popcount stream measures ~363 GB/s on v5e vs
@@ -82,7 +94,7 @@ def _topk_blocks(packed: jax.Array, k: int, block_rows: int):
 
 
 def topk_neighbors(
-    x: MatrixLike, k: int, *, block_rows: int = 64
+    x: MatrixLike, k: int, *, block_rows: Optional[int] = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count (self excluded).
 
@@ -90,6 +102,8 @@ def topk_neighbors(
     Padding rows are masked out; ties break toward lower index (lax.top_k).
     """
     bm = _as_bitmatrix(x)
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     n_pad = round_up(bm.n, block_rows)
@@ -178,7 +192,7 @@ def pairs_above(
     threshold: float,
     *,
     measure: str = "count",
-    block_rows: int = 64,
+    block_rows: Optional[int] = None,
     config: Optional[EngineConfig] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All unordered pairs (i < j) with measure ≥ threshold.
@@ -195,6 +209,8 @@ def pairs_above(
     """
     del config
     bm = _as_bitmatrix(x)
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits)
     if measure not in ("count", "jaccard", "dice", "cosine", "overlap"):
         raise ValueError(f"unknown measure {measure!r}")
     if measure == "count":

@@ -38,10 +38,11 @@ def _auto_stream_kernel(m_bits: int) -> str:
     XLA forms materialize 8× unpacked operands / full-stripe broadcasts,
     so they are only eligible at small M.
     """
+    from stormtpu.kernels import MXU_XLA_MAX_BITS
     from stormtpu.tuning import measured_dense_winner
 
     winner = measured_dense_winner()
-    small_m = m_bits <= 1 << 17
+    small_m = m_bits <= MXU_XLA_MAX_BITS
     if winner in ("mxu", "pallas_mxu"):
         return "xla_int8" if (winner == "mxu" and small_m) else "mxu"
     if winner in ("popcount", "pallas_dense"):

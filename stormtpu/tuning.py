@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Optional
 
 import numpy as np
@@ -70,48 +69,12 @@ def measured_dense_winner() -> Optional[str]:
     return max(rates, key=rates.get)
 
 
-def _timeit_chain(f, xs, chain: int) -> float:
-    """One dispatch = ``chain`` invocations on step-perturbed inputs
-    (x ^ s — distinct matrices, so the relay cannot memoize and XLA cannot
-    CSE), reduced to one in-jit nonlinear checksum materialized per rep."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def g(x):
-        def step(carry, s):
-            c = f(x ^ s)
-            return carry + jnp.sum(jax.tree.leaves(c)[0] % jnp.int32(251)), None
-
-        out, _ = jax.lax.scan(
-            step, jnp.int32(0), jnp.arange(1, chain + 1, dtype=jnp.uint32)
-        )
-        return out
-
-    np.asarray(g(xs[0]))
-    t0 = time.time()
-    for x in xs[1:]:
-        np.asarray(g(x))
-    return (time.time() - t0) / (len(xs) - 1)
-
-
 def _timeit(f, xs, c1: int = 2, c2: int = 20) -> float:
-    """Sustained per-invocation device time via slope timing — this
-    environment's relay adds a ~25 ms fixed cost to every dispatch, which
-    appears in both t(c1) and t(c2) and cancels in the difference (see
-    bench.py for the methodology note).
+    """Sustained per-invocation device time (shared slope-timing
+    implementation: stormtpu.utils.profiling.timeit_sustained)."""
+    from stormtpu.utils.profiling import timeit_sustained
 
-    Guard: when the marginal cost is below relay jitter the slope is
-    meaningless (can even go ≤ 0 and fabricate absurd rates); fall back to
-    the latency-inclusive per-invocation upper bound t(c2)/c2, which is
-    conservative (overstates time, understates rate)."""
-    t1 = _timeit_chain(f, xs, c1)
-    t2 = _timeit_chain(f, xs, c2)
-    slope = (t2 - t1) / (c2 - c1)
-    floor = 0.03 * t2 / c2
-    if slope < floor:
-        return t2 / c2
-    return slope
+    return timeit_sustained(f, xs, c1=c1, c2=c2)
 
 
 def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
@@ -181,9 +144,15 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
         check_block(f(xps[0])[0], variant, min(ti, n))
         return tri / _timeit(f, xps)
 
+    from stormtpu.config import default_config
+
+    cfg = default_config()
+    # probe at the SHIPPED tile defaults so cached rates describe the
+    # kernels production dispatch actually runs
     for variant in ("rows", "chunk"):
         variants[f"pallas_dense/{variant}"] = pallas_candidate(
-            count_tiles_pallas_dense, 128, 512, variant
+            count_tiles_pallas_dense, cfg.k1_tile_rows, cfg.k1_tile_words,
+            variant,
         )
         log(f"pallas_dense/{variant}: "
             f"{variants[f'pallas_dense/{variant}']:,.0f} pairs/s")
@@ -193,7 +162,8 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
 
     for variant in ("concat", "planes"):
         variants[f"pallas_mxu/{variant}"] = pallas_candidate(
-            count_tiles_pallas_mxu, 256, 128, variant
+            count_tiles_pallas_mxu, cfg.k2_tile_rows, cfg.k2_tile_words,
+            variant,
         )
         log(f"pallas_mxu/{variant}: "
             f"{variants[f'pallas_mxu/{variant}']:,.0f} pairs/s")

@@ -4,6 +4,7 @@ from stormtpu.utils.tiling import (
     triangular_tile_ids,
 )
 from stormtpu.utils.backend import is_tpu_backend, pallas_interpret_default
+from stormtpu.utils.profiling import timeit_chain, timeit_sustained, trace
 
 __all__ = [
     "assemble_triangular",
@@ -11,4 +12,7 @@ __all__ = [
     "triangular_tile_ids",
     "is_tpu_backend",
     "pallas_interpret_default",
+    "timeit_chain",
+    "timeit_sustained",
+    "trace",
 ]
