@@ -109,6 +109,53 @@ def _k2_kernel_planes(ibs_ref, jbs_ref, a_ref, b_ref, o_ref):
 _K2_VARIANTS = {"concat": _k2_kernel, "planes": _k2_kernel_planes}
 
 
+def _k2_rect_concat(a_ref, b_ref, o_ref):
+    """Rectangular grid cell (ib, jb, k): concat-unpack variant.
+    Unlike the triangular kernels there is no scalar prefetch and no
+    stacked operand — A and B are separate pallas_call inputs, a plain
+    3-D (A-block, B-block, K-step) grid."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    ua = _unpack_bits_int8(a_ref[:])
+    ub = _unpack_bits_int8(b_ref[:])
+    o_ref[:] += jax.lax.dot_general(
+        ua,
+        ub,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _k2_rect_planes(a_ref, b_ref, o_ref):
+    """Rectangular grid cell (ib, jb, k): one MXU dot per bit plane."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), dtype=jnp.int32)
+    for bit in range(WORD_BITS):
+        ua = ((a >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        ub = ((b >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            ua,
+            ub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    o_ref[:] += acc
+
+
+_K2_RECT_VARIANTS = {"concat": _k2_rect_concat, "planes": _k2_rect_planes}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_rows", "tile_words", "interpret", "variant"),
@@ -183,35 +230,55 @@ def _count_block_padded(
     interpret: bool,
     variant: str,
 ) -> jax.Array:
-    """Rectangular counts int32 [Na_pad, Nb_pad] via the K2 tile kernel:
-    stack A above B in one matrix, enumerate the full (A-block, B-block)
-    rectangle as scalar-prefetch tile pairs, and reassemble by reshape
-    (row-major rectangle ⇒ no scatter). Fully traced — usable inside
-    shard_map as the distributed ring's block_fn for large W."""
-    na, w = a_pad.shape
+    """Rectangular counts int32 [Na_pad, Nb_pad] via a plain 3-D-grid K2
+    kernel over (A-block, B-block, K-step) with A and B as separate
+    operands. Fully traced — usable inside lax.map / shard_map as the
+    distributed ring's block_fn for large W. (Simpler than the previous
+    stack-A-above-B + scalar-prefetch formulation: no concatenated
+    operand copy, and the first two grid axes are honest "parallel"
+    dimensions.)"""
+    na, w_pad = a_pad.shape
     nb_rows, _ = b_pad.shape
-    stacked = jnp.concatenate([a_pad, b_pad], axis=0)
+    assert na % tile_rows == 0 and nb_rows % tile_rows == 0
+    assert w_pad % tile_words == 0
     nba = na // tile_rows
     nbb = nb_rows // tile_rows
-    ib, jb = jnp.meshgrid(
-        jnp.arange(nba, dtype=jnp.int32),
-        jnp.arange(nbb, dtype=jnp.int32) + nba,
-        indexing="ij",
-    )
-    tiles = count_tiles_pallas_mxu(
-        stacked,
-        ib.ravel(),
-        jb.ravel(),
-        tile_rows=tile_rows,
-        tile_words=tile_words,
+    nk = w_pad // tile_words
+    kdim = tile_words * WORD_BITS
+    return pl.pallas_call(
+        _K2_RECT_VARIANTS[variant],
+        grid=(nba, nbb, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda i, j, k: (i, k),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda i, j, k: (j, k),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, tile_rows),
+            lambda i, j, k: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((na, nb_rows), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tile_rows * tile_rows * kdim * nba * nbb * nk,
+            bytes_accessed=(2 * tile_rows * tile_words * 4 + tile_rows**2 * 4)
+            * nba
+            * nbb
+            * nk,
+            transcendentals=0,
+        ),
         interpret=interpret,
-        variant=variant,
-    )
-    return (
-        tiles.reshape(nba, nbb, tile_rows, tile_rows)
-        .transpose(0, 2, 1, 3)
-        .reshape(na, nb_rows)
-    )
+    )(a_pad, b_pad)
 
 
 def count_block_pallas_mxu(

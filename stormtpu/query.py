@@ -34,6 +34,9 @@ from stormtpu.utils import round_up
 
 __all__ = ["pair_counts", "topk_neighbors", "pairs_above"]
 
+# Per-operand word budget for the pair_counts gather (~256 MB).
+_PAIR_GATHER_MAX_WORDS = 1 << 26
+
 
 def _default_block_rows(m_bits: int) -> int:
     """At large M the block kernel routes to the Pallas MXU rectangle,
@@ -70,8 +73,44 @@ def pair_counts(x: MatrixLike, ii, jj) -> np.ndarray:
         raise ValueError("pair index out of range")
     if ii.size == 0:
         return np.zeros(0, dtype=np.int32)
-    out = _gather_pair_counts(jnp.asarray(bm.packed), jnp.asarray(ii), jnp.asarray(jj))
-    return np.asarray(out)
+    packed_d = jnp.asarray(bm.packed)
+    # Chunk the gathered stream: the gather materializes two [P, W]
+    # operands, so an unchunked huge pair list (e.g. a permissive
+    # pairs_above screen) would allocate P·W·8 bytes — 21 GB was observed
+    # at P=167k, W=31250. Fixed chunk shape ⇒ one compile.
+    chunk = int(max(
+        8,
+        min(ii.size, _PAIR_GATHER_MAX_WORDS // max(bm.n_words, 1)) // 8 * 8,
+    ))
+    if ii.size <= chunk:
+        out = _gather_pair_counts(packed_d, jnp.asarray(ii), jnp.asarray(jj))
+        return np.asarray(out)
+    p_pad = round_up(ii.size, chunk)
+    ii_p = np.zeros(p_pad, dtype=np.int32)
+    jj_p = np.zeros(p_pad, dtype=np.int32)
+    ii_p[: ii.size] = ii
+    jj_p[: jj.size] = jj
+    parts = [
+        np.asarray(
+            _gather_pair_counts(
+                packed_d,
+                jnp.asarray(ii_p[o : o + chunk]),
+                jnp.asarray(jj_p[o : o + chunk]),
+            )
+        )
+        for o in range(0, p_pad, chunk)
+    ]
+    return np.concatenate(parts)[: ii.size]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_one_block(blk: jax.Array, packed: jax.Array, b0: jax.Array, k: int):
+    counts = count_block_auto(blk, packed)  # [B, N]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+    counts = jnp.where(row_ids == col_ids, jnp.int32(-1), counts)  # drop self
+    vals, idx = jax.lax.top_k(counts, k)
+    return vals, idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows"))
@@ -80,17 +119,10 @@ def _topk_blocks(packed: jax.Array, k: int, block_rows: int):
     nb = n // block_rows
     blocks = packed.reshape(nb, block_rows, packed.shape[1])
     base = jnp.arange(nb, dtype=jnp.int32) * block_rows
-
-    def per_block(args):
-        blk, b0 = args
-        counts = count_block_auto(blk, packed)  # [B, N]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
-        counts = jnp.where(row_ids == col_ids, jnp.int32(-1), counts)  # drop self
-        vals, idx = jax.lax.top_k(counts, k)
-        return vals, idx.astype(jnp.int32)
-
-    return jax.lax.map(per_block, (blocks, base))
+    return jax.lax.map(
+        lambda args: _topk_one_block(args[0], packed, args[1], k),
+        (blocks, base),
+    )
 
 
 def topk_neighbors(
@@ -120,6 +152,50 @@ def topk_neighbors(
     return vals, idx
 
 
+@functools.partial(jax.jit, static_argnames=("measure",))
+def _hits_one_block(
+    blk: jax.Array,
+    packed: jax.Array,
+    thresh: jax.Array,
+    nnz: jax.Array,
+    b0: jax.Array,
+    measure: str,
+):
+    """One row-block: packed uint32 hit bitmap [B, N/32] where the measure
+    ≥ thresh (strictly upper-triangular pairs only).
+
+    Similarity measures are screened in float32 with the caller's slack;
+    the host re-filters hits with exact float64 arithmetic, so float32
+    rounding can only add candidates, never lose them.
+    """
+    n = packed.shape[0]
+    block_rows = blk.shape[0]
+    wout = n // 32
+    counts = count_block_auto(blk, packed)  # [B, N]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+    if measure == "count":
+        vals = counts.astype(jnp.float32)
+    else:
+        inter = counts.astype(jnp.float32)
+        ca = jnp.take(nnz, jnp.clip(row_ids, 0, n - 1)).astype(jnp.float32)
+        cb = nnz[None, :].astype(jnp.float32)
+        if measure == "jaccard":
+            denom = ca + cb - inter
+        elif measure == "dice":
+            inter = 2.0 * inter
+            denom = ca + cb
+        elif measure == "cosine":
+            denom = jnp.sqrt(ca * cb)
+        else:  # overlap
+            denom = jnp.minimum(ca, cb)
+        vals = jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+    hit = (vals >= thresh) & (col_ids > row_ids)  # dedup triangle
+    bits = hit.reshape(block_rows, wout, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
 def _hits_blocks(
     packed: jax.Array,
@@ -128,46 +204,16 @@ def _hits_blocks(
     block_rows: int,
     measure: str,
 ):
-    """Per row-block: packed uint32 hit bitmaps [B, ceil(N/32)] where the
-    measure ≥ thresh (strictly upper-triangular pairs only).
-
-    Similarity measures are screened in float32 with the caller's slack;
-    the host re-filters hits with exact float64 arithmetic, so float32
-    rounding can only add candidates, never lose them.
-    """
     n, _ = packed.shape
     nb = n // block_rows
     blocks = packed.reshape(nb, block_rows, packed.shape[1])
     base = jnp.arange(nb, dtype=jnp.int32) * block_rows
-    wout = n // 32
-
-    def per_block(args):
-        blk, b0 = args
-        counts = count_block_auto(blk, packed)  # [B, N]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
-        if measure == "count":
-            vals = counts.astype(jnp.float32)
-        else:
-            inter = counts.astype(jnp.float32)
-            ca = jnp.take(nnz, jnp.clip(row_ids, 0, n - 1)).astype(jnp.float32)
-            cb = nnz[None, :].astype(jnp.float32)
-            if measure == "jaccard":
-                denom = ca + cb - inter
-            elif measure == "dice":
-                inter = 2.0 * inter
-                denom = ca + cb
-            elif measure == "cosine":
-                denom = jnp.sqrt(ca * cb)
-            else:  # overlap
-                denom = jnp.minimum(ca, cb)
-            vals = jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
-        hit = (vals >= thresh) & (col_ids > row_ids)  # dedup triangle
-        bits = hit.reshape(block_rows, wout, 32).astype(jnp.uint32)
-        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-        return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
-
-    return jax.lax.map(per_block, (blocks, base))
+    return jax.lax.map(
+        lambda args: _hits_one_block(
+            args[0], packed, thresh, nnz, args[1], measure
+        ),
+        (blocks, base),
+    )
 
 
 def _measure_host(inter, ca, cb, measure):

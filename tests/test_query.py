@@ -135,3 +135,23 @@ def test_queries_large_m_route_through_pallas():
             zip(wi.tolist(), wj.tolist())
         )
         np.testing.assert_array_equal(got, want[ii, jj])
+
+
+def test_pair_counts_chunked_gather_exact(monkeypatch):
+    """Huge pair lists are gathered in fixed-shape chunks (an unchunked
+    gather materializes P x W x 2 operands — 21 GB was observed from a
+    permissive pairs_above screen)."""
+    import stormtpu.query as q
+    from conftest import random_bitmatrix
+
+    bm = random_bitmatrix(30, 3000, 0.4, seed=3)
+    monkeypatch.setattr(q, "_PAIR_GATHER_MAX_WORDS", 64 * bm.n_words)
+    rng = np.random.default_rng(2)
+    p = 1000  # >> chunk (=64 rounded to mult of 8)
+    ii = rng.integers(0, bm.n, p)
+    jj = rng.integers(0, bm.n, p)
+    got = pair_counts(bm, ii, jj).astype(np.int64)
+    want = np.bitwise_count(bm.packed[ii] & bm.packed[jj]).sum(
+        axis=1, dtype=np.int64
+    )
+    np.testing.assert_array_equal(got, want)
