@@ -29,7 +29,7 @@ Layer map (TPU-native redesign, not a port):
 """
 
 from stormtpu.config import EngineConfig, default_config
-from stormtpu.layout import BitMatrix, pack_bits, unpack_bits
+from stormtpu.layout import BitMatrix, BitMatrixBuilder, pack_bits, unpack_bits
 from stormtpu.oracle import (
     oracle_count_matrix,
     oracle_pair_count,
@@ -45,6 +45,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BitMatrix",
+    "BitMatrixBuilder",
     "EngineConfig",
     "default_config",
     "pack_bits",

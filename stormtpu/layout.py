@@ -33,6 +33,7 @@ import stormtpu.native as _native
 from stormtpu.config import WORD_BITS
 
 __all__ = [
+    "BitMatrixBuilder",
     "BitMatrix",
     "pack_bits",
     "unpack_bits",
@@ -253,3 +254,67 @@ class BitMatrix:
             f"BitMatrix(n={self.n}, m_bits={self.m_bits}, "
             f"density={self.density:.4g})"
         )
+
+
+class BitMatrixBuilder:
+    """Incremental ingest — the direct analog of the reference's
+    ``STORM_add`` loop (SURVEY.md §4.1): create a builder, ``add`` set-bit
+    positions row by row (or append whole rows), then ``finalize()`` into
+    an immutable :class:`BitMatrix`.
+
+    Where the reference converts each 2^16-bit block between list and
+    bitmap representations *during* ingest (C7), here ingest only
+    accumulates coordinates; the packed layout and the global density
+    statistics (which drive D1 dispatch) are produced once at finalize —
+    per-block polymorphism never pays on TPU (SURVEY.md §7).
+
+    Positions may arrive unsorted and with duplicates (idempotent OR,
+    same as repeated ``STORM_add`` of one value).
+    """
+
+    def __init__(self, m_bits: int):
+        if m_bits <= 0:
+            raise ValueError("m_bits must be positive")
+        self.m_bits = int(m_bits)
+        self._rows: list[np.ndarray] = []
+        self._chunks_row: list[np.ndarray] = []
+        self._chunks_pos: list[np.ndarray] = []
+
+    @property
+    def n(self) -> int:
+        return len(self._rows)
+
+    def add_row(self, positions=()) -> int:
+        """Append a new bitmap with the given set-bit positions; returns
+        its row id (``STORM_add`` of one whole set)."""
+        pos = np.atleast_1d(np.asarray(positions, dtype=np.int64)).ravel()
+        if pos.size and (pos.min() < 0 or pos.max() >= self.m_bits):
+            raise ValueError("position out of range")
+        self._rows.append(pos)
+        return len(self._rows) - 1
+
+    def add(self, row_id: int, positions) -> None:
+        """Add set-bit positions to an existing row (incremental
+        ``STORM_bitmap_cont_add``)."""
+        if not 0 <= row_id < len(self._rows):
+            raise ValueError(f"row {row_id} does not exist (n={self.n})")
+        pos = np.atleast_1d(np.asarray(positions, dtype=np.int64)).ravel()
+        if pos.size and (pos.min() < 0 or pos.max() >= self.m_bits):
+            raise ValueError("position out of range")
+        self._chunks_row.append(np.full(pos.size, row_id, dtype=np.int64))
+        self._chunks_pos.append(pos)
+
+    def finalize(self) -> BitMatrix:
+        """Pack everything accumulated so far into a BitMatrix (the
+        builder stays usable — finalize again after more adds)."""
+        n = len(self._rows)
+        parts_r = [
+            np.full(r.size, i, dtype=np.int64) for i, r in enumerate(self._rows)
+        ] + self._chunks_row
+        parts_p = list(self._rows) + self._chunks_pos
+        if parts_p:
+            row_ids = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
+            positions = np.concatenate(parts_p)
+        else:
+            row_ids = positions = np.zeros(0, dtype=np.int64)
+        return BitMatrix.from_positions(row_ids, positions, n, self.m_bits)

@@ -131,3 +131,45 @@ def test_bitmatrix_load_rejects_future_format(tmp_path):
 
     with pytest.raises(ValueError):
         load_bitmatrix(p)
+
+
+def test_bitmatrix_builder_matches_batch_ingest():
+    """BitMatrixBuilder (STORM_add analog) == batch from_positions."""
+    from stormtpu import BitMatrixBuilder
+
+    rng = np.random.default_rng(17)
+    m = 5000
+    b = BitMatrixBuilder(m)
+    lists = []
+    for i in range(20):
+        pos = rng.integers(0, m, rng.integers(0, 200))
+        rid = b.add_row(pos[: len(pos) // 2])
+        assert rid == i
+        b.add(rid, pos[len(pos) // 2 :])   # incremental adds
+        b.add(rid, pos[: 5])               # duplicates are idempotent
+        lists.append(pos)
+    bm = b.finalize()
+    assert bm.n == 20 and bm.m_bits == m
+    dense = np.zeros((20, m), dtype=np.uint8)
+    for i, pos in enumerate(lists):
+        dense[i, pos] = 1
+    np.testing.assert_array_equal(bm.to_dense(), dense)
+    # builder stays usable: more rows then re-finalize
+    b.add_row([0, 1, m - 1])
+    bm2 = b.finalize()
+    assert bm2.n == 21 and bm2.row_nnz[-1] == 3
+
+
+def test_bitmatrix_builder_validation():
+    from stormtpu import BitMatrixBuilder
+    import pytest as _pytest
+
+    b = BitMatrixBuilder(100)
+    with _pytest.raises(ValueError):
+        b.add_row([100])
+    with _pytest.raises(ValueError):
+        b.add(0, [1])          # no rows yet
+    rid = b.add_row([])
+    with _pytest.raises(ValueError):
+        b.add(rid, [-1])
+    assert b.finalize().nnz == 0
