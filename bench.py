@@ -250,6 +250,11 @@ def main() -> None:
     gpairs = best["pairs_per_s"] / 1e9
     eff_gbps = best["pairs_per_s"] * 2 * (m_bits / 8) / 1e9
     vs_baseline = best["pairs_per_s"] / base_pairs_s
+    # roofline accounting (v5e nominal): each unique pair costs 2·M int8
+    # MACs on the MXU path; fraction of the 394 TOPS int8 peak
+    V5E_INT8_TOPS = 394e12
+    mxu_frac = best["pairs_per_s"] * 2 * m_bits / V5E_INT8_TOPS
+    log(f"[roofline] best kernel ≈ {mxu_frac * 100:.0f}% of v5e int8 MXU peak")
 
     details = {
         "device": str(dev),
@@ -279,6 +284,7 @@ def main() -> None:
                 "vs_baseline": round(vs_baseline, 3),
                 "best_kernel": best_name,
                 "effective_GBps": round(eff_gbps, 2),
+                "mxu_int8_peak_frac": round(mxu_frac, 3),
                 "verified_exact": True,
                 "baseline_def": "reference-style streaming AND+popcount on same device",
             }
