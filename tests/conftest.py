@@ -14,21 +14,25 @@ import os
 # jax.config — an env-var JAX_PLATFORMS=cpu is silently overridden. Undo it
 # here (backends are not initialized yet at conftest time) so tests run on
 # the fast local CPU backend with 8 forced devices.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# STORMTPU_TPU_TESTS=1 leaves the real backend in place (for
+# tests/test_tpu_device.py — target that module specifically, the rest of
+# the suite is CPU-shaped and would be minutes-per-test on the tunnel).
+if not os.environ.get("STORMTPU_TPU_TESTS"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax
+    import jax
 
-from jax._src import xla_bridge as _xb
+    from jax._src import xla_bridge as _xb
 
-if _xb.backends_are_initialized():  # pragma: no cover - defensive
-    from jax.extend.backend import clear_backends
+    if _xb.backends_are_initialized():  # pragma: no cover - defensive
+        from jax.extend.backend import clear_backends
 
-    clear_backends()
-jax.config.update("jax_platforms", "cpu")
+        clear_backends()
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
