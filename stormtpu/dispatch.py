@@ -50,7 +50,16 @@ def choose_strategy(
     cfg = config or default_config()
     cfg.validate(m_bits)
     if density < cfg.sparse_density_threshold and n >= 2:
-        return "sparse"
+        # Measured on v5e (N=2048, M=1M, all-pairs): the K3 positions path
+        # loses to the density-independent MXU dense path at EVERY density
+        # — 48× slower at 0.01% (L=128), 175× at 0.03% — so on TPU the
+        # honest crossover is "never" (SURVEY.md §7 "sparse ingest, dense
+        # compute"). K3 stays available explicitly (strategy="sparse") and
+        # auto-dispatches on backends where scattered compute can win.
+        from stormtpu.utils import is_tpu_backend
+
+        if not is_tpu_backend():
+            return "sparse"
     if n < cfg.mxu_min_rows:
         # Matmul shapes degenerate below an MXU tile; the streaming
         # popcount path wins (analog of the reference's short-input
