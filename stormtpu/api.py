@@ -76,7 +76,7 @@ def intersect_count_matrix(
         raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
 
     packed_np = bm.packed
-    if strategy != "sparse" and bm.n > 1:
+    if strategy not in ("sparse", "sparse_outer") and bm.n > 1:
         # Clustered-sparsity compaction (reference C8 block-skip, done the
         # XLA way: globally, once): drop all-empty word columns — exact.
         occupied = packed_np.any(axis=0)
@@ -104,6 +104,17 @@ def intersect_count_matrix(
         out = count_matrix_pallas_mxu(
             packed, config=cfg, variant=tuned_variant("k2", cfg.k2_variant)
         )
+    elif strategy == "sparse_outer":
+        from stormtpu.kernels.sparse import count_matrix_sparse_outer
+
+        try:
+            out = count_matrix_sparse_outer(bm, config=cfg)
+        except ValueError:
+            # clustered column occupancy blows the K4 emission padding —
+            # every strategy is exact, so fall back to the dense MXU form
+            from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+
+            out = count_matrix_pallas_mxu(packed, config=cfg)
     else:  # sparse
         from stormtpu.kernels.sparse import count_matrix_sparse
 

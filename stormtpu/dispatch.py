@@ -16,7 +16,11 @@ Strategies:
 - ``pallas_dense``  — K1 Pallas tiled AND+popcount.
 - ``pallas_mxu``    — K2 Pallas tiled int8 XXᵀ with in-kernel unpack
                       (large M; never materializes the 8× unpacked matrix).
-- ``sparse``        — K3 scattered-position path (very sparse inputs).
+- ``sparse``        — K3 scattered-position path (per-pair sorted
+                      membership; auto-dispatched on CPU only).
+- ``sparse_outer``  — K4 inverted-index outer-product path (emit row
+                      pairs per occupied column; work ∝ N²·M·density²).
+                      The TPU winner at extreme sparsity.
 """
 
 from __future__ import annotations
@@ -27,7 +31,9 @@ from stormtpu.config import EngineConfig, default_config
 
 __all__ = ["choose_strategy", "STRATEGIES"]
 
-STRATEGIES = ("popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse")
+STRATEGIES = (
+    "popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse", "sparse_outer"
+)
 
 # Shared routing constant (see stormtpu/kernels/__init__.py): above this
 # many bits, materializing the unpacked operand for the XLA mxu path is
@@ -52,14 +58,27 @@ def choose_strategy(
     if density < cfg.sparse_density_threshold and n >= 2:
         # Measured on v5e (N=2048, M=1M, all-pairs): the K3 positions path
         # loses to the density-independent MXU dense path at EVERY density
-        # — 48× slower at 0.01% (L=128), 175× at 0.03% — so on TPU the
-        # honest crossover is "never" (SURVEY.md §7 "sparse ingest, dense
-        # compute"). K3 stays available explicitly (strategy="sparse") and
-        # auto-dispatches on backends where scattered compute can win.
+        # — 48× slower at 0.01% (L=128), 175× at 0.03% (SURVEY.md §7
+        # "sparse ingest, dense compute"). The path that DOES win at
+        # extreme sparsity on TPU is K4's host-native inverted index; the
+        # measured cost model below picks between K4 and the MXU dense
+        # path (fit to v5e measurements, BASELINE.md "Sparse-path
+        # crossover"). K3 stays the CPU auto-choice and every path is
+        # available explicitly.
         from stormtpu.utils import is_tpu_backend
 
         if not is_tpu_backend():
             return "sparse"
+        if n <= 32768:
+            nnz = n * m_bits * density
+            # K4: np.unique sort (~3e-8 s/nnz) + N² zero/mirror
+            # (~4e-9 s/elem) + pair emission (~2e-9 s/emission,
+            # E ≈ nnz · n · density)
+            est_k4 = 3e-8 * nnz + 4e-9 * n * n + 2e-9 * nnz * n * density
+            # K2: triangular MXU matmul at ~330 int8 TOPS + dispatch floor
+            est_k2 = n * n * m_bits / 330e12 + 0.03
+            if est_k4 < est_k2:
+                return "sparse_outer"
     if n < cfg.mxu_min_rows:
         # Matmul shapes degenerate below an MXU tile; the streaming
         # popcount path wins (analog of the reference's short-input

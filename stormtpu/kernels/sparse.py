@@ -10,11 +10,14 @@ position in row i's sorted list, binary-search row j's sorted list
 with ``lax.map``. Cost per pair is O(L·log L) with L = max row nnz, vs
 O(M/32) words for the dense paths.
 
-Honest crossover (SURVEY.md §7 "Sparse on TPU"): the MXU dense path is so
-fast that sparse only wins at extreme sparsity (default dispatch threshold
-0.1%); at the 1% acceptance config the adaptive dispatch may legitimately
-route to dense — both paths are exact, which is what D1's semantics-free
-contract requires.
+Honest crossovers (SURVEY.md §7 "Sparse on TPU", measured on v5e —
+BASELINE.md "Sparse-path crossover"): K3 below loses to the MXU dense
+path at EVERY density on TPU (it remains the CPU auto-choice and the
+capability-parity form of the reference's list kernels); the sparse path
+that wins at extreme sparsity is K4 (``count_matrix_sparse_outer``), an
+inverted-index outer-product SpGEMM on the HOST NATIVE tier — pair
+emission is scatter-shaped and the TPU cannot scatter. All paths are
+exact; D1's dispatch picks by a fitted cost model.
 
 Layout: position lists are padded to a common length L (multiple of 128)
 with sentinel ``m_bits`` (no valid position equals it); rows stay sorted so
@@ -38,6 +41,7 @@ __all__ = [
     "padded_position_lists",
     "count_block_sparse",
     "count_matrix_sparse",
+    "count_matrix_sparse_outer",
 ]
 
 
@@ -104,3 +108,115 @@ def count_matrix_sparse(
     pos = jnp.asarray(padded_position_lists(bm))
     out = count_block_sparse(pos, pos, sentinel=bm.m_bits)
     return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# K4 — inverted-index "outer product" sparse all-pairs (SpGEMM shape)
+# ---------------------------------------------------------------------------
+
+def count_matrix_sparse_outer(
+    bm: BitMatrix,
+    *,
+    config: Optional[EngineConfig] = None,
+    max_col_occupancy_factor: float = 8.0,
+) -> np.ndarray:
+    """Full N×N exact counts via the inverted index (K4).
+
+    The column-wise/outer-product SpGEMM formulation (cf. SpArch /
+    FlashSparse, PAPERS.md): counting-sort positions by column, then for
+    each occupied column emit every ordered row pair — work is
+    O(nnz + M + E) with E = Σ_c occupancy² ≈ N²·M·density², versus the
+    dense path's density-independent N²·M MACs.
+
+    This is HOST-tier compute by design: pair emission is scatter-shaped,
+    and the TPU cannot scatter (measured ~2·10⁵ scatter-adds/s on v5e vs
+    ~10⁹/s for the C++ loop) — the chip keeps the MXU work, the native
+    tier keeps the pointer-chasing, exactly the split the reference's
+    all-C design never had to make. Falls back to a vectorized NumPy
+    emission when the native library is unbuilt (that fallback pads
+    per-column row lists and refuses pathologically clustered columns;
+    the native path has no such restriction).
+    """
+    del config
+    n = bm.n
+    if n > 32768:
+        raise ValueError(
+            f"K4's N²-int32 count buffer is impractical at n={n} "
+            f"(> 4 GB); use a dense or streaming strategy"
+        )
+    if n < 2:
+        out = np.zeros((n, n), dtype=np.int32)
+        if n == 1:
+            out[0, 0] = int(bm.row_nnz[0])
+        return out
+
+    from stormtpu.native import (
+        sparse_outer_counts_native,
+        sparse_outer_from_packed_native,
+    )
+
+    def _mirror(upper: np.ndarray) -> np.ndarray:
+        # native fills diagonal (= row nnz) + strict upper; mirror lower
+        from stormtpu.native import mirror_upper_native
+
+        if mirror_upper_native(upper):
+            return upper
+        out = upper + upper.T  # numpy fallback (double-counts diagonal)
+        np.fill_diagonal(out, np.diagonal(upper))
+        return out
+
+    if bm.coo is not None:
+        # Ingest-time COO available: one np.unique over col-major keys
+        # deduplicates (packing ORs duplicates), sorts by column, AND
+        # orders rows ascending within each column — exactly what the
+        # native run-walk needs. O(nnz log nnz + E); no O(N·W) packed
+        # scan and no O(M) column arrays (at ultra-sparsity those scans
+        # ARE the cost).
+        from stormtpu.native import sparse_outer_runs_native
+
+        rows_c, cols_c = bm.coo
+        keys = cols_c * np.int64(n) + rows_c  # col-major, rows ascend
+        keys_u = np.unique(keys)
+        col_ids = keys_u // n
+        rows_u = (keys_u % n).astype(np.int32)
+        upper = sparse_outer_runs_native(col_ids, rows_u, n)
+        if upper is not None:
+            return _mirror(upper)
+
+    upper = sparse_outer_from_packed_native(bm.packed, bm.m_bits)
+    if upper is not None:
+        return _mirror(upper)
+
+    indptr, indices = bm.positions_csr()
+    nnz = int(indptr[-1])
+    if nnz == 0:
+        return np.zeros((n, n), dtype=np.int32)
+
+    # NumPy fallback: pad per-column row lists, emit, np.add.at
+    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+    order = np.argsort(indices, kind="stable")
+    cols_s = indices[order]
+    rows_s = rows[order]
+    col_starts = np.flatnonzero(np.r_[True, cols_s[1:] != cols_s[:-1]])
+    col_counts = np.diff(np.r_[col_starts, nnz])
+    rmax = int(col_counts.max())
+    mean_occ = nnz / len(col_starts)
+    if rmax > max(8.0, max_col_occupancy_factor * mean_occ):
+        raise ValueError(
+            f"clustered column occupancy (max {rmax} vs mean {mean_occ:.1f}) "
+            f"would pad the fallback emission matrix {rmax / mean_occ:.0f}× "
+            f"— build stormtpu/native or use a dense strategy"
+        )
+    colrows = np.full((len(col_starts), rmax), n, dtype=np.int32)
+    offsets = np.arange(nnz) - np.repeat(col_starts, col_counts)
+    colrows[np.repeat(np.arange(len(col_starts)), col_counts), offsets] = rows_s
+    ii = colrows[:, :, None]
+    jj = colrows[:, None, :]
+    valid = (ii < jj) & (jj < n)
+    keys = np.where(valid, ii.astype(np.int64) * n + jj, n * n).ravel()
+    buf = np.zeros(n * n + 1, dtype=np.int32)
+    np.add.at(buf, keys, 1)
+    upper = buf[: n * n].reshape(n, n)
+    out = upper + upper.T
+    out[np.arange(n), np.arange(n)] = bm.row_nnz.astype(np.int32)
+    return out

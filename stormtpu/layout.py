@@ -25,7 +25,7 @@ Bit order: bit ``p`` of row ``i`` lives at ``packed[i, p >> 5]`` bit
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -150,6 +150,10 @@ class BitMatrix:
     n: int
     m_bits: int
     row_nnz: np.ndarray       # int64 [N] set-bit count per row
+    # Optional ingest-time COO cache (row_ids, positions; may contain
+    # duplicates) kept by from_positions: the ultra-sparse K4 path uses it
+    # to skip the O(N·W) packed scan entirely.
+    coo: "Optional[tuple[np.ndarray, np.ndarray]]" = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -179,9 +183,14 @@ class BitMatrix:
     def from_positions(
         cls, row_ids: np.ndarray, positions: np.ndarray, n: int, m_bits: int
     ) -> "BitMatrix":
-        return cls.from_packed(
+        bm = cls.from_packed(
             pack_positions(row_ids, positions, n, m_bits), m_bits=m_bits
         )
+        bm.coo = (
+            np.asarray(row_ids, dtype=np.int64),
+            np.asarray(positions, dtype=np.int64),
+        )
+        return bm
 
     @classmethod
     def from_position_lists(

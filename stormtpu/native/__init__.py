@@ -64,6 +64,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.stpu_positions_csr.argtypes = [p_u32, i64, i64, i64, p_i64, ctypes.c_void_p]
     lib.stpu_pair_count.restype = i64
     lib.stpu_pair_count.argtypes = [p_u32, p_u32, i64]
+    lib.stpu_sparse_outer_counts.restype = ctypes.c_int
+    lib.stpu_sparse_outer_counts.argtypes = [p_i64, p_i32, i64, i64, p_i32]
+    lib.stpu_sparse_outer_from_packed.restype = ctypes.c_int
+    lib.stpu_sparse_outer_from_packed.argtypes = [p_u32, i64, i64, i64, p_i32]
+    lib.stpu_mirror_upper.restype = None
+    lib.stpu_mirror_upper.argtypes = [p_i32, i64]
+    lib.stpu_sparse_outer_runs.restype = None
+    lib.stpu_sparse_outer_runs.argtypes = [p_i64, p_i32, i64, i64, p_i32]
     _lib = lib
     return lib
 
@@ -137,6 +145,64 @@ def positions_csr_native(
         indices.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices
+
+
+def sparse_outer_counts_native(
+    indptr: np.ndarray, indices: np.ndarray, n: int, m_bits: int
+) -> Optional[np.ndarray]:
+    """Upper-triangle+diagonal counts int32 [n, n] via the inverted-index
+    native path (K4), or None when the library is unbuilt."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    out = np.zeros((n, n), dtype=np.int32)
+    rc = lib.stpu_sparse_outer_counts(indptr, indices, n, m_bits, out)
+    if rc != 0:
+        raise ValueError("position out of range")
+    return out
+
+
+def sparse_outer_from_packed_native(
+    packed: np.ndarray, m_bits: int
+) -> Optional[np.ndarray]:
+    """K4 straight from packed words (no CSR materialization)."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    out = np.zeros((n, n), dtype=np.int32)
+    rc = lib.stpu_sparse_outer_from_packed(packed, n, w, m_bits, out)
+    if rc != 0:
+        raise ValueError("set bits beyond m_bits")
+    return out
+
+
+def sparse_outer_runs_native(
+    col_ids: np.ndarray, rows: np.ndarray, n: int
+) -> Optional[np.ndarray]:
+    """K4 from column-sorted deduplicated COO (run-walk; O(nnz + E))."""
+    lib = _load()
+    if lib is None:
+        return None
+    col_ids = np.ascontiguousarray(col_ids, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    out = np.zeros((n, n), dtype=np.int32)
+    lib.stpu_sparse_outer_runs(col_ids, rows, col_ids.size, n, out)
+    return out
+
+
+def mirror_upper_native(c: np.ndarray) -> bool:
+    """In-place blocked mirror of the strict upper triangle; False when
+    the library is unbuilt (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert c.dtype == np.int32 and c.flags.c_contiguous
+    lib.stpu_mirror_upper(c, c.shape[0])
+    return True
 
 
 def pair_count_native(a: np.ndarray, b: np.ndarray) -> Optional[int]:

@@ -60,3 +60,95 @@ def test_dispatch_routes_sparse_and_is_exact():
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
     got_dense = intersect_count_matrix(bm, strategy="popcount")
     np.testing.assert_array_equal(got_dense, got)
+
+
+class TestSparseOuter:
+    """K4 inverted-index outer-product path."""
+
+    def test_exact_across_densities(self):
+        from stormtpu.kernels.sparse import count_matrix_sparse_outer
+        from stormtpu.oracle import oracle_count_matrix
+
+        for density in (0.0005, 0.005, 0.02):
+            bm = random_bitmatrix(40, 3000, density, seed=91)
+            got = count_matrix_sparse_outer(bm)
+            np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+    def test_empty_and_single_row(self):
+        from stormtpu import BitMatrix
+        from stormtpu.kernels.sparse import count_matrix_sparse_outer
+
+        bm = BitMatrix.from_dense(np.zeros((5, 64), dtype=np.uint8))
+        np.testing.assert_array_equal(
+            count_matrix_sparse_outer(bm), np.zeros((5, 5), np.int32))
+        one = np.zeros((1, 64), dtype=np.uint8); one[0, :7] = 1
+        bm1 = BitMatrix.from_dense(one)
+        assert count_matrix_sparse_outer(bm1)[0, 0] == 7
+
+    def _clustered_bm(self):
+        # one column set in EVERY row, the rest ultra sparse ->
+        # rmax (64) far above the mean column occupancy (~1.2)
+        from stormtpu import BitMatrix
+
+        rng = np.random.default_rng(5)
+        dense = np.zeros((64, 4096), dtype=np.uint8)
+        dense[:, 0] = 1
+        for r in range(64):
+            dense[r, rng.integers(1, 4096, 4)] = 1
+        return BitMatrix.from_dense(dense)
+
+    def test_clustered_columns_native_exact(self):
+        """The native K4 path has no clustering restriction."""
+        from stormtpu.kernels.sparse import count_matrix_sparse_outer
+        from stormtpu.native import HAVE_NATIVE
+        from stormtpu.oracle import oracle_count_matrix
+        import pytest
+
+        if not HAVE_NATIVE:
+            pytest.skip("native library unbuilt")
+        bm = self._clustered_bm()
+        got = count_matrix_sparse_outer(bm)
+        np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+    def test_clustered_column_fallback_guard_and_api(self, monkeypatch):
+        """Without the native tier, the padded NumPy fallback refuses
+        pathological clustering; the API strategy then falls back to the
+        dense kernel and stays exact."""
+        import stormtpu.kernels.sparse as sp
+        from stormtpu import intersect_count_matrix
+        from stormtpu.kernels.sparse import count_matrix_sparse_outer
+        from stormtpu.oracle import oracle_count_matrix
+        import stormtpu.native as native
+        import pytest
+
+        monkeypatch.setattr(native, "sparse_outer_from_packed_native",
+                            lambda *a, **k: None)
+        bm = self._clustered_bm()
+        with pytest.raises(ValueError):
+            count_matrix_sparse_outer(bm)
+        got = intersect_count_matrix(bm, strategy="sparse_outer")
+        np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+    def test_strategy_exact_via_api(self):
+        from stormtpu import intersect_count_matrix
+        from stormtpu.oracle import oracle_count_matrix
+
+        bm = random_bitmatrix(30, 5000, 0.001, seed=92)
+        got = intersect_count_matrix(bm, strategy="sparse_outer")
+        np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_dispatch_cost_model_tpu(monkeypatch):
+    """On TPU backends the sparse branch picks K4 vs dense from the
+    measured cost model (BASELINE.md 'Sparse-path crossover')."""
+    import stormtpu.utils as u
+    from stormtpu.dispatch import choose_strategy
+
+    monkeypatch.setattr(u, "is_tpu_backend", lambda: True)
+    # big M + ultra sparse: K4 wins (measured 11x at N=2048, M=10M, 1e-5)
+    assert choose_strategy(2048, 10_000_000, 1e-5) == "sparse_outer"
+    assert choose_strategy(2048, 1_000_000, 1e-4) == "sparse_outer"
+    # the N^2 host passes lose to the MXU at these shapes (measured)
+    assert choose_strategy(8192, 1_000_000, 1e-5) == "pallas_mxu"
+    # huge N: K4's count buffer is impractical
+    assert choose_strategy(100_000, 1_000_000, 1e-5) == "pallas_mxu"
