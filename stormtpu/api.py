@@ -85,7 +85,11 @@ def intersect_count_matrix(
             packed_np = np.ascontiguousarray(packed_np[:, occupied])
             if packed_np.shape[1] == 0:
                 return np.zeros((bm.n, bm.n), dtype=np.int32)
-    packed = jnp.asarray(packed_np)
+    # host-only strategies must not pay a device transfer; device
+    # strategies convert here
+    packed = (
+        jnp.asarray(packed_np) if strategy != "sparse_outer" else packed_np
+    )
     if strategy == "popcount":
         out = kx.count_matrix_popcount_xla(packed)
     elif strategy == "mxu":
@@ -113,8 +117,12 @@ def intersect_count_matrix(
             # clustered column occupancy blows the K4 emission padding —
             # every strategy is exact, so fall back to the dense MXU form
             from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+            from stormtpu.tuning import tuned_variant
 
-            out = count_matrix_pallas_mxu(packed, config=cfg)
+            out = count_matrix_pallas_mxu(
+                jnp.asarray(packed), config=cfg,
+                variant=tuned_variant("k2", cfg.k2_variant),
+            )
     else:  # sparse
         from stormtpu.kernels.sparse import count_matrix_sparse
 

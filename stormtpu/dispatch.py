@@ -69,7 +69,9 @@ def choose_strategy(
 
         if not is_tpu_backend():
             return "sparse"
-        if n <= 32768:
+        from stormtpu.native import HAVE_NATIVE
+
+        if n <= 32768 and HAVE_NATIVE:
             nnz = n * m_bits * density
             # K4: np.unique sort (~3e-8 s/nnz) + N² zero/mirror
             # (~4e-9 s/elem) + pair emission (~2e-9 s/emission,

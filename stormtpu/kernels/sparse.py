@@ -150,10 +150,7 @@ def count_matrix_sparse_outer(
             out[0, 0] = int(bm.row_nnz[0])
         return out
 
-    from stormtpu.native import (
-        sparse_outer_counts_native,
-        sparse_outer_from_packed_native,
-    )
+    from stormtpu.native import sparse_outer_from_packed_native
 
     def _mirror(upper: np.ndarray) -> np.ndarray:
         # native fills diagonal (= row nnz) + strict upper; mirror lower
@@ -187,16 +184,30 @@ def count_matrix_sparse_outer(
     if upper is not None:
         return _mirror(upper)
 
-    indptr, indices = bm.positions_csr()
-    nnz = int(indptr[-1])
+    # NumPy fallback (library unbuilt): pad per-column row lists, emit,
+    # np.add.at. Prefer the COO cache — positions_csr's own NumPy
+    # fallback densifies the matrix (O(N·M) bytes, hopeless at large M).
+    if bm.coo is not None:
+        rows_c, cols_c = bm.coo
+        keys_u = np.unique(cols_c * np.int64(n) + rows_c)
+        cols_s = (keys_u // n).astype(np.int64)
+        rows_s = (keys_u % n).astype(np.int32)
+        nnz = keys_u.size
+    else:
+        if bm.m_bits > 1 << 22:
+            raise ValueError(
+                "K4 NumPy fallback without a COO cache would densify the "
+                f"matrix to extract positions (N×{bm.m_bits} bytes) — "
+                "build stormtpu/native or use a dense strategy"
+            )
+        indptr, indices = bm.positions_csr()
+        nnz = int(indptr[-1])
+        rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+        order = np.argsort(indices, kind="stable")
+        cols_s = indices[order]
+        rows_s = rows[order]
     if nnz == 0:
         return np.zeros((n, n), dtype=np.int32)
-
-    # NumPy fallback: pad per-column row lists, emit, np.add.at
-    rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-    order = np.argsort(indices, kind="stable")
-    cols_s = indices[order]
-    rows_s = rows[order]
     col_starts = np.flatnonzero(np.r_[True, cols_s[1:] != cols_s[:-1]])
     col_counts = np.diff(np.r_[col_starts, nnz])
     rmax = int(col_counts.max())
@@ -206,6 +217,12 @@ def count_matrix_sparse_outer(
             f"clustered column occupancy (max {rmax} vs mean {mean_occ:.1f}) "
             f"would pad the fallback emission matrix {rmax / mean_occ:.0f}× "
             f"— build stormtpu/native or use a dense strategy"
+        )
+    if len(col_starts) * rmax * rmax > 1 << 28:
+        raise ValueError(
+            f"fallback emission matrix would be "
+            f"{len(col_starts) * rmax * rmax * 8 / 2**30:.1f} GiB — build "
+            f"stormtpu/native or use a dense strategy"
         )
     colrows = np.full((len(col_starts), rmax), n, dtype=np.int32)
     offsets = np.arange(nnz) - np.repeat(col_starts, col_counts)

@@ -32,6 +32,11 @@ import numpy as np
 import stormtpu.native as _native
 from stormtpu.config import WORD_BITS
 
+# from_positions keeps its COO (for the K4 sparse path) only up to this
+# many entries (≈512 MB of int64 pairs) — above it the cache would pin
+# more host memory than it saves.
+_COO_CACHE_MAX_NNZ = 1 << 25
+
 __all__ = [
     "BitMatrixBuilder",
     "BitMatrix",
@@ -186,10 +191,15 @@ class BitMatrix:
         bm = cls.from_packed(
             pack_positions(row_ids, positions, n, m_bits), m_bits=m_bits
         )
-        bm.coo = (
-            np.asarray(row_ids, dtype=np.int64),
-            np.asarray(positions, dtype=np.int64),
-        )
+        # COPIES, not views: the caller may mutate its buffers afterwards
+        # and the K4 path must see exactly what was packed. Capped so a
+        # giant ingest doesn't pin host memory for the matrix's lifetime
+        # (K4 falls back to its packed-scan form without the cache).
+        if np.size(positions) <= _COO_CACHE_MAX_NNZ:
+            bm.coo = (
+                np.array(row_ids, dtype=np.int64, copy=True),
+                np.array(positions, dtype=np.int64, copy=True),
+            )
         return bm
 
     @classmethod

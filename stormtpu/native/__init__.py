@@ -34,18 +34,7 @@ def _try_build() -> None:
         pass
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_SO):
-        _try_build()
-    if not os.path.exists(_SO):
-        return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64 = ctypes.c_int64
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -64,16 +53,43 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.stpu_positions_csr.argtypes = [p_u32, i64, i64, i64, p_i64, ctypes.c_void_p]
     lib.stpu_pair_count.restype = i64
     lib.stpu_pair_count.argtypes = [p_u32, p_u32, i64]
-    lib.stpu_sparse_outer_counts.restype = ctypes.c_int
-    lib.stpu_sparse_outer_counts.argtypes = [p_i64, p_i32, i64, i64, p_i32]
     lib.stpu_sparse_outer_from_packed.restype = ctypes.c_int
     lib.stpu_sparse_outer_from_packed.argtypes = [p_u32, i64, i64, i64, p_i32]
     lib.stpu_mirror_upper.restype = None
     lib.stpu_mirror_upper.argtypes = [p_i32, i64]
     lib.stpu_sparse_outer_runs.restype = None
     lib.stpu_sparse_outer_runs.argtypes = [p_i64, p_i32, i64, i64, p_i32]
-    _lib = lib
     return lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        _try_build()
+    if not os.path.exists(_SO):
+        return None
+    for attempt in (0, 1):
+        try:
+            _lib = _bind(ctypes.CDLL(_SO))
+            return _lib
+        except OSError:
+            return None
+        except AttributeError:
+            # stale .so from an older checkout is missing new symbols —
+            # rebuild once, then give up to the NumPy fallbacks
+            if attempt == 0:
+                try:
+                    os.remove(_SO)
+                except OSError:
+                    return None
+                _try_build()
+                if not os.path.exists(_SO):
+                    return None
+            else:
+                return None
+    return None
 
 
 def have_native() -> bool:
@@ -145,23 +161,6 @@ def positions_csr_native(
         indices.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices
-
-
-def sparse_outer_counts_native(
-    indptr: np.ndarray, indices: np.ndarray, n: int, m_bits: int
-) -> Optional[np.ndarray]:
-    """Upper-triangle+diagonal counts int32 [n, n] via the inverted-index
-    native path (K4), or None when the library is unbuilt."""
-    lib = _load()
-    if lib is None:
-        return None
-    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
-    indices = np.ascontiguousarray(indices, dtype=np.int32)
-    out = np.zeros((n, n), dtype=np.int32)
-    rc = lib.stpu_sparse_outer_counts(indptr, indices, n, m_bits, out)
-    if rc != 0:
-        raise ValueError("position out of range")
-    return out
 
 
 def sparse_outer_from_packed_native(

@@ -115,51 +115,6 @@ int64_t stpu_pair_count(const uint32_t* a, const uint32_t* b, int64_t w) {
   return acc;
 }
 
-// K4 — inverted-index ("outer product" SpGEMM) all-pairs intersection
-// counts for the ultra-sparse regime. Scatter-shaped work is hostile to
-// the TPU (measured: ~2e5 scatter-adds/s on v5e), so it runs on the host
-// native tier: counting-sort the CSR positions by column (O(nnz + m)),
-// then for every column emit all ordered row pairs into the count matrix
-// (O(E), E = sum over columns of occupancy^2 — expected N^2*M*density^2).
-//
-// Input: CSR (indptr int64 [n+1], indices int32 sorted per row).
-// Output: c int32 [n*n] zero-initialised by caller; upper triangle and
-// diagonal are filled (rows ascend within each column bucket, so emitted
-// pairs always have a < b); the caller mirrors.
-// Returns 0, or 1 on out-of-range position.
-int stpu_sparse_outer_counts(const int64_t* indptr, const int32_t* indices,
-                             int64_t n, int64_t m_bits, int32_t* c) {
-  const int64_t nnz = indptr[n];
-  int64_t* col_ptr = new int64_t[m_bits + 1]();
-  for (int64_t k = 0; k < nnz; ++k) {
-    const int32_t p = indices[k];
-    if (p < 0 || (int64_t)p >= m_bits) {
-      delete[] col_ptr;
-      return 1;
-    }
-    col_ptr[p + 1]++;
-  }
-  for (int64_t p = 0; p < m_bits; ++p) col_ptr[p + 1] += col_ptr[p];
-  int32_t* col_rows = new int32_t[nnz > 0 ? nnz : 1];
-  int64_t* cursor = new int64_t[m_bits];
-  std::memcpy(cursor, col_ptr, m_bits * sizeof(int64_t));
-  for (int64_t i = 0; i < n; ++i)
-    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
-      col_rows[cursor[indices[k]]++] = (int32_t)i;
-  for (int64_t p = 0; p < m_bits; ++p) {
-    const int64_t s = col_ptr[p], e = col_ptr[p + 1];
-    for (int64_t x = s; x < e; ++x) {
-      int32_t* base = c + (int64_t)col_rows[x] * n;
-      base[col_rows[x]]++;  // diagonal: C[i,i] accumulates to row nnz
-      for (int64_t y = x + 1; y < e; ++y) base[col_rows[y]]++;
-    }
-  }
-  delete[] cursor;
-  delete[] col_rows;
-  delete[] col_ptr;
-  return 0;
-}
-
 // K4 from the packed matrix directly (no CSR detour): pass 1 counts
 // column occupancy, pass 2 buckets row ids per column, then emission as
 // in stpu_sparse_outer_counts. Two streaming scans of the packed words

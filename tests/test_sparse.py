@@ -51,7 +51,10 @@ def test_sparse_ragged_list_lengths():
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
 
 
-def test_dispatch_routes_sparse_and_is_exact():
+def test_dispatch_routes_sparse_and_is_exact(monkeypatch):
+    import stormtpu.utils as u
+
+    monkeypatch.setattr(u, "is_tpu_backend", lambda: False)  # CPU semantics
     from stormtpu.dispatch import choose_strategy
 
     bm = random_bitmatrix(64, 20000, 0.0005, seed=34)
