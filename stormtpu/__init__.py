@@ -38,7 +38,7 @@ from stormtpu.api import (
     intersect_count_matrix,
     pair_count,
 )
-from stormtpu.setops import pairwise_cardinality, similarity_matrix
+from stormtpu.setops import column_counts, pairwise_cardinality, similarity_matrix
 from stormtpu.query import pair_counts, pairs_above, topk_neighbors
 
 __version__ = "0.1.0"
@@ -54,6 +54,7 @@ __all__ = [
     "oracle_pair_count",
     "intersect_count_matrix",
     "pair_count",
+    "column_counts",
     "pairwise_cardinality",
     "similarity_matrix",
     "pair_counts",

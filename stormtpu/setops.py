@@ -27,7 +27,13 @@ import numpy as np
 from stormtpu.api import MatrixLike, _as_bitmatrix, intersect_count_matrix
 from stormtpu.config import EngineConfig
 
-__all__ = ["pairwise_cardinality", "similarity_matrix", "CARD_OPS", "SIM_OPS"]
+__all__ = [
+    "pairwise_cardinality",
+    "similarity_matrix",
+    "column_counts",
+    "CARD_OPS",
+    "SIM_OPS",
+]
 
 CARD_OPS = ("intersect", "union", "xor", "andnot", "nand")
 SIM_OPS = ("jaccard", "dice", "cosine", "overlap", "phi", "r2")
@@ -110,3 +116,44 @@ def similarity_matrix(
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
     return out
+
+
+def column_counts(
+    x: MatrixLike,
+    *,
+    chunk_words: int = 4096,
+) -> np.ndarray:
+    """Per-position set-bit counts across rows, int32 [m_bits] — the
+    positional-popcount operation of the reference's sibling project
+    (Klarqvist–Muła–Lemire ``pospopcnt``, SURVEY.md §1 lineage; in the
+    genomics domain these are the allele counts / column marginals that
+    pair with the LD screens).
+
+    TPU form: stream word chunks, unpack each to {0,1} int8 in VMEM-sized
+    pieces, and reduce over rows on device; exact int32 (counts ≤ N < 2³¹).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bm = _as_bitmatrix(x)
+    w = bm.n_words
+    out = np.empty(w * 32, dtype=np.int32)
+
+    @jax.jit
+    def chunk_counts(words):
+        # uint32 [N, C] → int32 [C·32] in position order (bit b of word c
+        # is position 32·c + b, so stack as [C, 32] then flatten)
+        cols = [
+            jnp.sum(((words >> jnp.uint32(b)) & jnp.uint32(1))
+                    .astype(jnp.int32), axis=0)
+            for b in range(32)
+        ]
+        return jnp.stack(cols, axis=1).reshape(-1)
+
+    packed = bm.packed
+    for c0 in range(0, w, chunk_words):
+        chunk = jnp.asarray(packed[:, c0 : c0 + chunk_words])
+        out[c0 * 32 : (c0 + chunk.shape[1]) * 32] = np.asarray(
+            chunk_counts(chunk)
+        )
+    return out[: bm.m_bits]

@@ -85,3 +85,22 @@ def test_bad_op_rejected(data):
         pairwise_cardinality(bm, "xnor")
     with pytest.raises(ValueError):
         similarity_matrix(bm, "pearson")
+
+
+def test_column_counts_exact(data):
+    """Positional popcount (pospopcnt lineage): column sums, exact."""
+    from stormtpu.setops import column_counts
+
+    bm, dense = data
+    got = column_counts(bm, chunk_words=3)  # force multi-chunk + ragged
+    np.testing.assert_array_equal(got, dense.sum(axis=0).astype(np.int32))
+
+
+def test_column_counts_empty_and_full():
+    from stormtpu import BitMatrix
+    from stormtpu.setops import column_counts
+
+    z = BitMatrix.from_dense(np.zeros((4, 100), dtype=np.uint8))
+    np.testing.assert_array_equal(column_counts(z), np.zeros(100, np.int32))
+    f = BitMatrix.from_dense(np.ones((4, 100), dtype=np.uint8))
+    np.testing.assert_array_equal(column_counts(f), np.full(100, 4, np.int32))
