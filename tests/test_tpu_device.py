@@ -82,3 +82,25 @@ def test_large_m_queries_and_chunked_gather(tpu_backend):
     want = np.bitwise_count(packed[ii[sel]] & packed[jj[sel]]).sum(
         axis=1).astype(np.int64)
     assert np.array_equal(cv[sel].astype(np.int64), want)
+
+
+def test_auto_dispatch_k4_at_extreme_sparsity(tpu_backend):
+    """With a real TPU backend, D1's measured cost model routes extreme
+    sparsity to the host-native K4 path; counts stay exact."""
+    from stormtpu import BitMatrix, intersect_count_matrix
+    from stormtpu.dispatch import choose_strategy
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.oracle import oracle_count_matrix
+
+    if not HAVE_NATIVE:
+        pytest.skip("native library unbuilt")
+    rng = np.random.default_rng(3)
+    n, m, d = 2048, 1_000_000, 1e-4
+    nnz = int(m * d)
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz)
+    cols = rng.integers(0, m, n * nnz).astype(np.int64)
+    bm = BitMatrix.from_positions(rows, cols, n, m)
+    assert choose_strategy(bm.n, bm.m_bits, bm.density) == "sparse_outer"
+    got = intersect_count_matrix(bm)
+    want = oracle_count_matrix(bm.packed[:64])
+    assert np.array_equal(got[:64, :64], want)
