@@ -43,15 +43,41 @@ BlockFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
 def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn):
+    """Triangular ring: each UNORDERED shard pair is computed exactly once
+    — device d computes (d, d+s) for s = 0..⌈R/2⌉−1ish and ships the
+    transposed count tile back over the ring for the mirror entry, instead
+    of every device recomputing its partner's block. Halves the
+    distributed FLOPs of the square formulation; the extra communication
+    is one [n_loc, n_loc] int32 tile per step, which for W ≫ n_loc is far
+    smaller than the operand shards already riding the ring (the
+    triangular analog of the reference's i ≤ j blocked walk, SURVEY.md
+    §4.3, lifted to SPMD).
+
+    Step census: s = 0 is the diagonal; 1 ≤ s ≤ S pairs d with d+s. For
+    odd R, S = (R−1)/2 covers every unordered pair once (mirror shipped).
+    For even R, S = R/2 and at s = S the pairing d ↔ d+R/2 is mutual —
+    both devices compute their own block (SPMD executes everywhere
+    anyway), so no mirror is shipped.
+    """
+
     def local_fn(x_local: jax.Array) -> jax.Array:
         my = jax.lax.axis_index(axis)
         out = jnp.zeros((x_local.shape[0], r * n_loc), dtype=jnp.int32)
         buf = x_local
-        for s in range(r):
+        s_max = r // 2 if r % 2 == 0 else (r - 1) // 2
+        for s in range(s_max + 1):
             partner = (my + s) % r
             counts = block_fn(x_local, buf).astype(jnp.int32)
             out = jax.lax.dynamic_update_slice(out, counts, (0, partner * n_loc))
-            if s + 1 < r:
+            if 0 < s and not (r % 2 == 0 and s == s_max):
+                # ship countsᵀ (rows of the partner × cols of me) forward
+                # s hops so it lands on the partner that owns those rows
+                t_recv = jax.lax.ppermute(
+                    counts.T, axis, [(i, (i + s) % r) for i in range(r)]
+                )
+                src = (my - s) % r
+                out = jax.lax.dynamic_update_slice(out, t_recv, (0, src * n_loc))
+            if s < s_max:
                 # device i sends its buffer to i-1 ⇒ after the hop,
                 # device d holds shard (d + s + 1) mod R.
                 buf = jax.lax.ppermute(

@@ -130,3 +130,12 @@ def test_measure_scaling_structural():
     assert set(out["results"]) == {1, 2, 4}
     for r, d in out["results"].items():
         assert d["seconds"] > 0 and d["efficiency"] > 0
+
+
+@pytest.mark.parametrize("r", (1, 2, 3, 4, 5, 7, 8))
+def test_triangular_ring_every_device_count(r):
+    """The triangular ring's odd/even step census differs — verify
+    exactness at every mesh size (incl. N not divisible by R)."""
+    bm = random_bitmatrix(30, 2048, 0.3, seed=50 + r)
+    got = distributed_count_matrix(bm.packed, mesh=make_row_mesh(r))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
