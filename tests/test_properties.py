@@ -68,3 +68,19 @@ def test_count_invariant_under_column_permutation(dense, seed):
     np.testing.assert_array_equal(
         oracle_count_matrix(a.packed), oracle_count_matrix(b.packed)
     )
+
+
+@given(bit_matrices())
+@settings(max_examples=8, deadline=None)
+def test_all_strategies_agree(dense):
+    """D1's semantics-free contract, property-tested: every strategy
+    returns the identical exact matrix on arbitrary inputs."""
+    from stormtpu.dispatch import STRATEGIES
+
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed)
+    for strategy in STRATEGIES:
+        got = intersect_count_matrix(bm, strategy=strategy)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"strategy {strategy} diverged"
+        )
