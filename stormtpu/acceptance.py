@@ -281,9 +281,11 @@ def _config4_spec_rate(log) -> dict:
         np.asarray(g(xd, ibs, jbs)[0])
         dts.append(time.time() - t0)
     dt = float(np.median(dts))
+    from stormtpu.utils import V5E_INT8_PEAK_OPS
+
     rate = t_sub * ti * ti / dt
     total_pairs = n * (n + 1) / 2
-    peak_frac = rate * 2 * m / 394e12
+    peak_frac = rate * 2 * m / V5E_INT8_PEAK_OPS
     log(f"[config4] spec-shape rate (100k×1M, {t_sub} tile-pair slice, "
         f"sampled exact): {rate / 1e6:.0f} M-pairs/s = "
         f"{peak_frac * 100:.0f}% int8 peak → full config "

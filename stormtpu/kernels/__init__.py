@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 
 # Above this many bits, materializing the 8× unpacked int8 operand (the

@@ -153,14 +153,14 @@ def count_matrix_sparse_outer(
     from stormtpu.native import sparse_outer_from_packed_native
 
     def _mirror(upper: np.ndarray) -> np.ndarray:
-        # native fills diagonal (= row nnz) + strict upper; mirror lower
+        # native fills diagonal (= row nnz) + strict upper; mirror lower.
+        # Only reachable right after a successful native call, so the
+        # library is loaded by construction.
         from stormtpu.native import mirror_upper_native
 
-        if mirror_upper_native(upper):
-            return upper
-        out = upper + upper.T  # numpy fallback (double-counts diagonal)
-        np.fill_diagonal(out, np.diagonal(upper))
-        return out
+        if not mirror_upper_native(upper):  # pragma: no cover
+            raise RuntimeError("native mirror unavailable after native counts")
+        return upper
 
     if bm.coo is not None:
         # Ingest-time COO available: one np.unique over col-major keys

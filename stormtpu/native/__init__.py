@@ -20,6 +20,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libstormtpu_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False
 
 
 def _try_build() -> None:
@@ -63,32 +64,37 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not os.path.exists(_SO):
         _try_build()
     if not os.path.exists(_SO):
+        _load_failed = True
         return None
     for attempt in (0, 1):
         try:
             _lib = _bind(ctypes.CDLL(_SO))
             return _lib
         except OSError:
-            return None
+            break
         except AttributeError:
             # stale .so from an older checkout is missing new symbols —
-            # rebuild once, then give up to the NumPy fallbacks
+            # rebuild once, then give up (permanently: the failure is
+            # cached so callers don't re-run delete+make per call)
             if attempt == 0:
                 try:
                     os.remove(_SO)
                 except OSError:
-                    return None
+                    break
                 _try_build()
                 if not os.path.exists(_SO):
-                    return None
+                    break
             else:
-                return None
+                break
+    _load_failed = True
     return None
 
 

@@ -78,13 +78,10 @@ def pair_counts(x: MatrixLike, ii, jj) -> np.ndarray:
     # operands, so an unchunked huge pair list (e.g. a permissive
     # pairs_above screen) would allocate P·W·8 bytes — 21 GB was observed
     # at P=167k, W=31250. Fixed chunk shape ⇒ one compile.
-    chunk = int(max(
-        8,
-        min(ii.size, _PAIR_GATHER_MAX_WORDS // max(bm.n_words, 1)) // 8 * 8,
-    ))
-    if ii.size <= chunk:
-        out = _gather_pair_counts(packed_d, jnp.asarray(ii), jnp.asarray(jj))
-        return np.asarray(out)
+    budget_rows = max(8, _PAIR_GATHER_MAX_WORDS // max(bm.n_words, 1) // 8 * 8)
+    # round UP so an in-budget list is one padded dispatch (rounding down
+    # made a 100-pair query take two dispatches on a ~25 ms-latency relay)
+    chunk = min(round_up(ii.size, 8), budget_rows)
     p_pad = round_up(ii.size, chunk)
     ii_p = np.zeros(p_pad, dtype=np.int32)
     jj_p = np.zeros(p_pad, dtype=np.int32)

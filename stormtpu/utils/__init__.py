@@ -3,10 +3,15 @@ from stormtpu.utils.tiling import (
     round_up,
     triangular_tile_ids,
 )
-from stormtpu.utils.backend import is_tpu_backend, pallas_interpret_default
+from stormtpu.utils.backend import (
+    V5E_INT8_PEAK_OPS,
+    is_tpu_backend,
+    pallas_interpret_default,
+)
 from stormtpu.utils.profiling import timeit_chain, timeit_sustained, trace
 
 __all__ = [
+    "V5E_INT8_PEAK_OPS",
     "assemble_triangular",
     "round_up",
     "triangular_tile_ids",

@@ -26,3 +26,8 @@ def pallas_interpret_default() -> bool:
     """Pallas kernels compile via Mosaic on TPU; anywhere else (CPU test
     backend) they run in interpreter mode — same semantics, slower."""
     return not is_tpu_backend()
+
+
+# v5e nominal int8 MXU peak (ops/s) — the roofline denominator used by
+# bench.py and acceptance._config4_spec_rate.
+V5E_INT8_PEAK_OPS = 394e12
