@@ -149,7 +149,7 @@ def topk_neighbors(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("measure",))
+@functools.partial(jax.jit, static_argnames=("measure", "m_bits"))
 def _hits_one_block(
     blk: jax.Array,
     packed: jax.Array,
@@ -157,6 +157,7 @@ def _hits_one_block(
     nnz: jax.Array,
     b0: jax.Array,
     measure: str,
+    m_bits: int,
 ):
     """One row-block: packed uint32 hit bitmap [B, N/32] where the measure
     ≥ thresh (strictly upper-triangular pairs only).
@@ -184,6 +185,15 @@ def _hits_one_block(
             denom = ca + cb
         elif measure == "cosine":
             denom = jnp.sqrt(ca * cb)
+        elif measure in ("phi", "r2"):
+            m_f = jnp.float32(m_bits)
+            num = m_f * inter - ca * cb
+            den = jnp.sqrt(ca * cb * (m_f - ca) * (m_f - cb))
+            if measure == "r2":
+                num = num * num
+                den = den * den
+            inter = num
+            denom = den
         else:  # overlap
             denom = jnp.minimum(ca, cb)
         vals = jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
@@ -193,13 +203,16 @@ def _hits_one_block(
     return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "measure", "m_bits")
+)
 def _hits_blocks(
     packed: jax.Array,
     thresh: jax.Array,
     nnz: jax.Array,
     block_rows: int,
     measure: str,
+    m_bits: int,
 ):
     n, _ = packed.shape
     nb = n // block_rows
@@ -207,13 +220,13 @@ def _hits_blocks(
     base = jnp.arange(nb, dtype=jnp.int32) * block_rows
     return jax.lax.map(
         lambda args: _hits_one_block(
-            args[0], packed, thresh, nnz, args[1], measure
+            args[0], packed, thresh, nnz, args[1], measure, m_bits
         ),
         (blocks, base),
     )
 
 
-def _measure_host(inter, ca, cb, measure):
+def _measure_host(inter, ca, cb, measure, m_bits):
     inter = inter.astype(np.float64)
     ca = ca.astype(np.float64)
     cb = cb.astype(np.float64)
@@ -224,6 +237,13 @@ def _measure_host(inter, ca, cb, measure):
         denom = ca + cb
     elif measure == "cosine":
         denom = np.sqrt(ca * cb)
+    elif measure in ("phi", "r2"):
+        m = float(m_bits)
+        inter = m * inter - ca * cb
+        denom = np.sqrt(ca * cb * (m - ca) * (m - cb))
+        if measure == "r2":
+            inter = inter * inter
+            denom = denom * denom
     else:  # overlap
         denom = np.minimum(ca, cb)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -241,9 +261,10 @@ def pairs_above(
     """All unordered pairs (i < j) with measure ≥ threshold.
 
     measure: "count" (exact integer intersection count) or a similarity —
-    "jaccard", "dice", "cosine", "overlap" (float). Returns
-    (ii, jj, values); values are int32 counts for "count", float64
-    similarities otherwise.
+    "jaccard", "dice", "cosine", "overlap", "phi", "r2" (float; for phi
+    the screen keeps positively-correlated pairs, threshold ∈ (0, 1]).
+    Returns (ii, jj, values); values are int32 counts for "count",
+    float64 similarities otherwise.
 
     The device returns one *bit* per candidate pair (32× less transfer
     than counts). For similarities the device screen runs in float32 with
@@ -254,7 +275,9 @@ def pairs_above(
     bm = _as_bitmatrix(x)
     if block_rows is None:
         block_rows = _default_block_rows(bm.m_bits)
-    if measure not in ("count", "jaccard", "dice", "cosine", "overlap"):
+    from stormtpu.setops import SIM_OPS
+
+    if measure != "count" and measure not in SIM_OPS:
         raise ValueError(f"unknown measure {measure!r}")
     if measure == "count":
         if threshold < 1:
@@ -273,7 +296,7 @@ def pairs_above(
     hits = np.asarray(
         _hits_blocks(
             jnp.asarray(xp), dev_thresh, jnp.asarray(nnz_pad),
-            block_rows, measure,
+            block_rows, measure, bm.m_bits,
         )
     ).reshape(n_pad, n_pad // 32)
     # expand the hit bitmap on host
@@ -286,6 +309,7 @@ def pairs_above(
     counts = pair_counts(bm, ii, jj) if ii.size else np.zeros(0, np.int32)
     if measure == "count":
         return ii, jj, counts
-    vals = _measure_host(counts, bm.row_nnz[ii], bm.row_nnz[jj], measure)
+    vals = _measure_host(counts, bm.row_nnz[ii], bm.row_nnz[jj], measure,
+                         bm.m_bits)
     keep = vals >= threshold
     return ii[keep], jj[keep], vals[keep]

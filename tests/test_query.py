@@ -155,3 +155,25 @@ def test_pair_counts_chunked_gather_exact(monkeypatch):
         axis=1, dtype=np.int64
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("measure", ("phi", "r2"))
+def test_pairs_above_phi_r2(measure, data):
+    bm, want = data
+    card = bm.row_nnz.astype(np.float64)
+    inter = want.astype(np.float64)
+    m = float(bm.m_bits)
+    num = m * inter - card[:, None] * card[None, :]
+    den = np.sqrt(card[:, None] * card[None, :]
+                  * (m - card[:, None]) * (m - card[None, :]))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(den > 0, num / np.where(den > 0, den, 1), 0.0)
+    if measure == "r2":
+        sim = sim * sim
+    thresh = float(np.percentile(sim[np.triu_indices(bm.n, 1)], 95))
+    if thresh <= 0:
+        pytest.skip("degenerate threshold")
+    ii, jj, vals = pairs_above(bm, thresh, measure=measure, block_rows=32)
+    wi, wj = np.nonzero(np.triu(sim, 1) >= thresh)
+    assert set(zip(ii.tolist(), jj.tolist())) == set(zip(wi.tolist(), wj.tolist()))
+    np.testing.assert_allclose(vals, sim[ii, jj], rtol=1e-12)
