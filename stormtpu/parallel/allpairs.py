@@ -127,6 +127,40 @@ def kshard_count_rows(mesh: Mesh, axis: str, block_fn: BlockFn):
     )
 
 
+def kshard_count_tiles(
+    mesh: Mesh,
+    axis: str,
+    ibs,
+    jbs,
+    *,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+    variant: str,
+):
+    """Triangular form of the K-shard variant: each device computes the
+    UPPER-TRIANGULAR count tiles of its word slice with the K2 kernel and
+    ``psum`` merges the exact int32 partials — half the FLOPs of the
+    square ``kshard_count_rows`` (the host mirrors at assembly, exactly
+    like the single-chip triangular walk)."""
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+
+    def local_fn(x_local: jax.Array) -> jax.Array:
+        tiles = count_tiles_pallas_mxu(
+            x_local, ibs, jbs, tile_rows=tile_rows, tile_words=tile_words,
+            interpret=interpret, variant=variant,
+        )
+        return jax.lax.psum(tiles, axis)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+
+
 def distributed_count_matrix(
     packed: np.ndarray,
     *,
@@ -154,18 +188,50 @@ def distributed_count_matrix(
     packed = np.asarray(packed, dtype=np.uint32)
     n, w = packed.shape
     cfg.validate(w * 32)
+    caller_block_fn = block_fn is not None
     if block_fn is None:
         from stormtpu.kernels import count_block_auto
 
         block_fn = lambda a, b: count_block_auto(a, b, config=cfg)
 
     if shard_axis == "bits":
-        w_pad = round_up(max(w, r), r)
-        xp = np.zeros((n, w_pad), dtype=np.uint32)
-        xp[:, :w] = packed
+        if caller_block_fn:
+            # caller-supplied rectangle kernel: square form + psum
+            w_pad = round_up(max(w, r), r)
+            xp = np.zeros((n, w_pad), dtype=np.uint32)
+            xp[:, :w] = packed
+            x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
+            fn = jax.jit(kshard_count_rows(mesh, axis, block_fn))
+            return np.asarray(fn(x_sharded))[:n, :n]
+        # default: triangular K2 tiles per word-slice, psum of exact
+        # partials, host mirror — half the FLOPs of the square form
+        from stormtpu.tuning import tuned_variant
+        from stormtpu.utils import (
+            assemble_triangular,
+            pallas_interpret_default,
+            triangular_tile_ids,
+        )
+
+        ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
+        # each device's word slice must be a multiple of the K-step
+        wk = min(cfg.k2_tile_words, 128)
+        w_pad = round_up(max(w, r * wk), r * wk)
+        n_pad = round_up(n, ti)
+        xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        xp[:n, :w] = packed
+        nb = n_pad // ti
+        ibs, jbs = triangular_tile_ids(nb)
+        fn = jax.jit(
+            kshard_count_tiles(
+                mesh, axis, jnp.asarray(ibs), jnp.asarray(jbs),
+                tile_rows=ti, tile_words=wk,
+                interpret=bool(pallas_interpret_default()),
+                variant=tuned_variant("k2", cfg.k2_variant),
+            )
+        )
         x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
-        fn = jax.jit(kshard_count_rows(mesh, axis, block_fn))
-        return np.asarray(fn(x_sharded))[:n, :n]
+        tiles = np.asarray(fn(x_sharded))
+        return assemble_triangular(tiles, ibs, jbs, nb, n)
     if shard_axis != "rows":
         raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
 
