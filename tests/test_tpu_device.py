@@ -104,3 +104,32 @@ def test_auto_dispatch_k4_at_extreme_sparsity(tpu_backend):
     got = intersect_count_matrix(bm)
     want = oracle_count_matrix(bm.packed[:64])
     assert np.array_equal(got[:64, :64], want)
+
+
+def test_randomized_soak(tpu_backend):
+    """Randomized shapes/densities through the full API on the real chip,
+    sampled-exact everywhere (a trimmed version of the 12-config soak that
+    passed 2026-08-16; full script shape in the repo history)."""
+    from stormtpu import BitMatrix, intersect_count_matrix
+    from stormtpu.oracle import oracle_count_block
+    from stormtpu.query import pair_counts
+
+    rng = np.random.default_rng(99)
+    for it in range(4):
+        n = int(rng.integers(33, 1500))
+        m = int(rng.integers(900, 150_000))
+        density = float(10 ** rng.uniform(-4, -0.3))
+        dense = (rng.random((n, m)) < density).astype(np.uint8)
+        dense[n // 3] = 0
+        dense[n - 1] = dense[0]
+        bm = BitMatrix.from_dense(dense)
+        c = intersect_count_matrix(bm)
+        sel = rng.integers(0, n, min(48, n))
+        want = oracle_count_block(bm.packed[sel], bm.packed[sel])
+        assert np.array_equal(c[np.ix_(sel, sel)], want), f"iter {it}"
+        ii = rng.integers(0, n, 64)
+        jj = rng.integers(0, n, 64)
+        pc = pair_counts(bm, ii, jj).astype(np.int64)
+        pw = np.bitwise_count(bm.packed[ii] & bm.packed[jj]).sum(
+            axis=1, dtype=np.int64)
+        assert np.array_equal(pc, pw), f"iter {it} pair_counts"
