@@ -33,7 +33,6 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from stormtpu.config import EngineConfig, default_config
-from stormtpu.kernels import xla as kx
 from stormtpu.parallel.mesh import make_row_mesh
 from stormtpu.utils import round_up
 

@@ -29,7 +29,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stormtpu.config import EngineConfig, default_config
-from stormtpu.kernels import xla as kx
 from stormtpu.layout import BitMatrix
 from stormtpu.parallel.allpairs import BlockFn, shard_map
 from stormtpu.parallel.mesh import make_row_mesh
