@@ -129,8 +129,6 @@ def kshard_count_rows(mesh: Mesh, axis: str, block_fn: BlockFn):
 def kshard_count_tiles(
     mesh: Mesh,
     axis: str,
-    ibs,
-    jbs,
     *,
     tile_rows: int,
     tile_words: int,
@@ -141,10 +139,12 @@ def kshard_count_tiles(
     UPPER-TRIANGULAR count tiles of its word slice with the K2 kernel and
     ``psum`` merges the exact int32 partials — half the FLOPs of the
     square ``kshard_count_rows`` (the host mirrors at assembly, exactly
-    like the single-chip triangular walk)."""
+    like the single-chip triangular walk). The tile-id arrays are
+    replicated ARGUMENTS, not closure constants (big HLO literals are
+    rejected by this environment's remote compiler — CLAUDE.md)."""
     from stormtpu.kernels.mxu import count_tiles_pallas_mxu
 
-    def local_fn(x_local: jax.Array) -> jax.Array:
+    def local_fn(x_local: jax.Array, ibs: jax.Array, jbs: jax.Array):
         tiles = count_tiles_pallas_mxu(
             x_local, ibs, jbs, tile_rows=tile_rows, tile_words=tile_words,
             interpret=interpret, variant=variant,
@@ -154,7 +154,7 @@ def kshard_count_tiles(
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=P(None, axis),
+        in_specs=(P(None, axis), P(None), P(None)),
         out_specs=P(None, None),
         check_vma=False,
     )
@@ -194,8 +194,14 @@ def distributed_count_matrix(
         block_fn = lambda a, b: count_block_auto(a, b, config=cfg)
 
     if shard_axis == "bits":
-        if caller_block_fn:
-            # caller-supplied rectangle kernel: square form + psum
+        # each device's word slice must be a multiple of the K-step, and
+        # the K-step must satisfy Mosaic's 128-divisible last-dim rule
+        wk = 128
+        if caller_block_fn or w < r * wk:
+            # caller-supplied rectangle kernel, or W too small for a full
+            # 128-word K-step per device: square form + psum (at small W
+            # the padding waste of the MXU tile walk exceeds its
+            # triangular saving; count_block_auto picks the cheap path)
             w_pad = round_up(max(w, r), r)
             xp = np.zeros((n, w_pad), dtype=np.uint32)
             xp[:, :w] = packed
@@ -212,9 +218,7 @@ def distributed_count_matrix(
         )
 
         ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
-        # each device's word slice must be a multiple of the K-step
-        wk = min(cfg.k2_tile_words, 128)
-        w_pad = round_up(max(w, r * wk), r * wk)
+        w_pad = round_up(w, r * wk)
         n_pad = round_up(n, ti)
         xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
         xp[:n, :w] = packed
@@ -222,14 +226,19 @@ def distributed_count_matrix(
         ibs, jbs = triangular_tile_ids(nb)
         fn = jax.jit(
             kshard_count_tiles(
-                mesh, axis, jnp.asarray(ibs), jnp.asarray(jbs),
+                mesh, axis,
                 tile_rows=ti, tile_words=wk,
                 interpret=bool(pallas_interpret_default()),
                 variant=tuned_variant("k2", cfg.k2_variant),
             )
         )
         x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
-        tiles = np.asarray(fn(x_sharded))
+        rep = NamedSharding(mesh, P(None))
+        tiles = np.asarray(fn(
+            x_sharded,
+            jax.device_put(jnp.asarray(ibs), rep),
+            jax.device_put(jnp.asarray(jbs), rep),
+        ))
         return assemble_triangular(tiles, ibs, jbs, nb, n)
     if shard_axis != "rows":
         raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")

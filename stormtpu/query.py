@@ -149,15 +149,15 @@ def topk_neighbors(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("measure", "m_bits"))
+@functools.partial(jax.jit, static_argnames=("measure",))
 def _hits_one_block(
     blk: jax.Array,
     packed: jax.Array,
     thresh: jax.Array,
     nnz: jax.Array,
     b0: jax.Array,
+    m_f: jax.Array,
     measure: str,
-    m_bits: int,
 ):
     """One row-block: packed uint32 hit bitmap [B, N/32] where the measure
     ≥ thresh (strictly upper-triangular pairs only).
@@ -186,10 +186,19 @@ def _hits_one_block(
         elif measure == "cosine":
             denom = jnp.sqrt(ca * cb)
         elif measure in ("phi", "r2"):
-            m_f = jnp.float32(m_bits)
-            num = m_f * inter - ca * cb
+            # num = m·inter − ca·cb suffers catastrophic cancellation in
+            # float32 when rows are dense (errors up to ~1e-4 in phi,
+            # larger than any fixed slack — verified), so the screen
+            # inflates num by a rounding bound: products/ints ≥ 2²⁴ carry
+            # relative error ~6e-8 each, and 2e-6·(|terms|) dominates the
+            # sum of all of them with ≥30× margin. The host re-filters
+            # exactly, so over-admission only costs a few extra checks.
+            terms = m_f * inter + ca * cb
+            err = 2e-6 * terms + 1e-3
+            num = m_f * inter - ca * cb + err
             den = jnp.sqrt(ca * cb * (m_f - ca) * (m_f - cb))
             if measure == "r2":
+                num = jnp.abs(m_f * inter - ca * cb) + err
                 num = num * num
                 den = den * den
             inter = num
@@ -203,16 +212,14 @@ def _hits_one_block(
     return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_rows", "measure", "m_bits")
-)
+@functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
 def _hits_blocks(
     packed: jax.Array,
     thresh: jax.Array,
     nnz: jax.Array,
     block_rows: int,
     measure: str,
-    m_bits: int,
+    m_f: jax.Array,
 ):
     n, _ = packed.shape
     nb = n // block_rows
@@ -220,7 +227,7 @@ def _hits_blocks(
     base = jnp.arange(nb, dtype=jnp.int32) * block_rows
     return jax.lax.map(
         lambda args: _hits_one_block(
-            args[0], packed, thresh, nnz, args[1], measure, m_bits
+            args[0], packed, thresh, nnz, args[1], m_f, measure
         ),
         (blocks, base),
     )
@@ -296,7 +303,7 @@ def pairs_above(
     hits = np.asarray(
         _hits_blocks(
             jnp.asarray(xp), dev_thresh, jnp.asarray(nnz_pad),
-            block_rows, measure, bm.m_bits,
+            block_rows, measure, jnp.float32(bm.m_bits),
         )
     ).reshape(n_pad, n_pad // 32)
     # expand the hit bitmap on host

@@ -139,3 +139,11 @@ def test_triangular_ring_every_device_count(r):
     bm = random_bitmatrix(30, 2048, 0.3, seed=50 + r)
     got = distributed_count_matrix(bm.packed, mesh=make_row_mesh(r))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_kshard_triangular_large_w(mesh8):
+    """W ≥ R·128 words routes the bits-shard variant through the
+    triangular K2 tile path (psum of tile partials + host mirror)."""
+    bm = random_bitmatrix(40, 8 * 128 * 32 + 77, 0.2, seed=71)
+    got = distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="bits")
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))

@@ -177,3 +177,26 @@ def test_pairs_above_phi_r2(measure, data):
     wi, wj = np.nonzero(np.triu(sim, 1) >= thresh)
     assert set(zip(ii.tolist(), jj.tolist())) == set(zip(wi.tolist(), wj.tolist()))
     np.testing.assert_allclose(vals, sim[ii, jj], rtol=1e-12)
+
+
+def test_pairs_above_phi_dense_rows_cancellation():
+    """Dense rows make num = m·inter − ca·cb catastrophically cancel in
+    the float32 device screen (error > any fixed slack); the screen must
+    still admit the pair for the exact host refine (regression: a pair
+    with true phi above threshold was silently dropped)."""
+    from stormtpu import BitMatrix
+
+    m = 1 << 17
+    dense = np.ones((2, m), dtype=np.uint8)
+    dense[0, :32] = 0           # A missing bits 0..31
+    dense[1, 16:48] = 0         # B missing bits 16..47
+    bm = BitMatrix.from_dense(dense)
+    ca = float(m - 32)
+    inter = float(m - 48)
+    num = m * inter - ca * ca
+    den = np.sqrt(ca * ca * (m - ca) * (m - ca))
+    phi = num / den
+    assert 0 < phi < 1
+    ii, jj, vals = pairs_above(bm, phi - 1e-9, measure="phi", block_rows=32)
+    assert (0, 1) in set(zip(ii.tolist(), jj.tolist()))
+    np.testing.assert_allclose(vals[0], phi, rtol=1e-12)
