@@ -18,12 +18,18 @@ _FORMAT_VERSION = 1
 
 
 def save_bitmatrix(bm: BitMatrix, path: str) -> None:
-    """Write a BitMatrix to ``path`` (.npz, compressed)."""
+    """Write a BitMatrix to ``path`` (.npz, compressed). The ingest-time
+    COO cache, when present, rides along so the ultra-sparse K4 path
+    stays O(nnz) after a round-trip."""
+    extra = {}
+    if bm.coo is not None:
+        extra["coo_rows"], extra["coo_positions"] = bm.coo
     np.savez_compressed(
         path,
         format_version=_FORMAT_VERSION,
         packed=bm.packed,
         m_bits=bm.m_bits,
+        **extra,
     )
 
 
@@ -35,4 +41,7 @@ def load_bitmatrix(path: str) -> BitMatrix:
                 f"{path}: format version {version} is newer than supported "
                 f"({_FORMAT_VERSION})"
             )
-        return BitMatrix.from_packed(z["packed"], m_bits=int(z["m_bits"]))
+        bm = BitMatrix.from_packed(z["packed"], m_bits=int(z["m_bits"]))
+        if "coo_rows" in z:
+            bm.coo = (z["coo_rows"], z["coo_positions"])
+        return bm

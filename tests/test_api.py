@@ -78,3 +78,23 @@ def test_all_empty_matrix_compaction():
     bm = BitMatrix.from_dense(np.zeros((5, 640), dtype=np.uint8))
     got = intersect_count_matrix(bm, strategy="mxu")
     assert got.shape == (5, 5) and got.sum() == 0
+
+
+def test_io_roundtrip_preserves_coo(tmp_path):
+    """save/load keeps the ingest COO cache so K4 stays O(nnz)."""
+    from stormtpu import BitMatrix
+    from stormtpu.io import load_bitmatrix, save_bitmatrix
+    from stormtpu.kernels.sparse import count_matrix_sparse_outer
+    from stormtpu.oracle import oracle_count_matrix
+
+    rows = np.array([0, 0, 2, 3], dtype=np.int64)
+    cols = np.array([5, 99, 5, 7], dtype=np.int64)
+    bm = BitMatrix.from_positions(rows, cols, 4, 128)
+    p = str(tmp_path / "bm.npz")
+    save_bitmatrix(bm, p)
+    bm2 = load_bitmatrix(p)
+    assert bm2.coo is not None
+    np.testing.assert_array_equal(bm2.packed, bm.packed)
+    np.testing.assert_array_equal(
+        count_matrix_sparse_outer(bm2), oracle_count_matrix(bm.packed)
+    )
