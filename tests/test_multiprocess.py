@@ -15,7 +15,10 @@ _WORKER = textwrap.dedent(
     """
     import os, sys
     pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    dpp = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dpp}"
+    )
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
@@ -33,14 +36,15 @@ _WORKER = textwrap.dedent(
 
     assert jax.process_count() == nproc
     mesh = make_row_mesh()
-    n, w = 64, 32
+    r = nproc * dpp
+    n, w = r * 24, 32
     rng = np.random.default_rng(0)
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
     sharding = NamedSharding(mesh, P("rows", None))
     x = jax.make_array_from_callback(
         packed.shape, sharding, lambda idx: packed[idx]
     )
-    fn = jax.jit(ring_count_rows(mesh, "rows", n // 8, count_block_int8_xla))
+    fn = jax.jit(ring_count_rows(mesh, "rows", n // r, count_block_int8_xla))
     c_host = multihost_utils.process_allgather(fn(x), tiled=True)
     want = np.bitwise_count(
         packed[:, None, :] & packed[None, :, :]
@@ -56,7 +60,7 @@ _WORKER = textwrap.dedent(
     reason="spawns 2 jax.distributed processes (~1 min); "
     "set STORMTPU_SLOW_TESTS=1",
 )
-def test_two_process_ring_exact(tmp_path):
+def _run_procs(tmp_path, nproc, dpp):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -66,13 +70,24 @@ def test_two_process_ring_exact(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), "2", str(port)],
+            [sys.executable, str(script), str(pid), str(nproc), str(port),
+             str(dpp)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
-        for pid in (0, 1)
+        for pid in range(nproc)
     ]
     outs = [p.communicate(timeout=240)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid} OK" in out
+
+
+def test_two_process_ring_exact(tmp_path):
+    _run_procs(tmp_path, nproc=2, dpp=4)  # R=8: even census
+
+
+def test_three_process_odd_ring_exact(tmp_path):
+    # R=3 (odd): every unordered shard pair is computed once and the
+    # MIRROR count tile crosses a real process boundary via ppermute
+    _run_procs(tmp_path, nproc=3, dpp=1)
