@@ -55,11 +55,13 @@ _WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.skipif(
+_SLOW = pytest.mark.skipif(
     not os.environ.get("STORMTPU_SLOW_TESTS"),
-    reason="spawns 2 jax.distributed processes (~1 min); "
+    reason="spawns jax.distributed processes (~20 s each); "
     "set STORMTPU_SLOW_TESTS=1",
 )
+
+
 def _run_procs(tmp_path, nproc, dpp):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
@@ -83,10 +85,12 @@ def _run_procs(tmp_path, nproc, dpp):
         assert f"proc {pid} OK" in out
 
 
+@_SLOW
 def test_two_process_ring_exact(tmp_path):
     _run_procs(tmp_path, nproc=2, dpp=4)  # R=8: even census
 
 
+@_SLOW
 def test_three_process_odd_ring_exact(tmp_path):
     # R=3 (odd): every unordered shard pair is computed once and the
     # MIRROR count tile crosses a real process boundary via ppermute
