@@ -9,6 +9,7 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 
 - ``mesh``     — device mesh construction (single- and multi-host)
 - ``allpairs`` — ring-streaming row-sharded all-pairs driver
+- ``query``    — distributed reduced queries (top-k, threshold screens)
 - ``scaling``  — scaling-efficiency measurement harness
 """
 
@@ -18,12 +19,18 @@ from stormtpu.parallel.multihost import (
     distributed_stream_count_matrix,
     initialize_multihost,
 )
+from stormtpu.parallel.query import (
+    distributed_pairs_above,
+    distributed_topk_neighbors,
+)
 from stormtpu.parallel.scaling import measure_scaling
 
 __all__ = [
     "make_row_mesh",
     "distributed_count_matrix",
     "distributed_stream_count_matrix",
+    "distributed_pairs_above",
+    "distributed_topk_neighbors",
     "initialize_multihost",
     "measure_scaling",
 ]

@@ -1,0 +1,247 @@
+"""Distributed query layer: reduced queries over a row-sharded mesh.
+
+At the 1M×1M scale (BASELINE.json:11) the full count matrix is O(N²) and
+cannot materialize, so the *queries* — per-row top-k partners and
+threshold screens — are the forms users actually run at scale. The
+reference has no analog (single-thread C, SURVEY.md §2); the single-chip
+forms live in stormtpu/query.py. Layout follows the ring driver
+(parallel/allpairs.py): X row-sharded over the mesh axis, the partner
+shard streamed around the ring with ``lax.ppermute`` while each device
+updates per-row state for its local rows only — output stays O(N·k)
+(top-k) or one bit per pair (screens), never O(N²·4 B).
+
+Unlike the all-pairs ring, these run the full R steps square (every
+device needs its rows against every shard): per-row top-k state is not a
+symmetric-reducible tile, so there is no mirror-tile saving to ship.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 stable location
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from stormtpu.api import MatrixLike, _as_bitmatrix
+from stormtpu.kernels import count_block_auto
+from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.query import (
+    _default_block_rows,
+    _expand_and_refine,
+    _hits_one_block,
+    _validate_screen,
+)
+from stormtpu.utils import round_up
+
+__all__ = ["distributed_topk_neighbors", "distributed_pairs_above"]
+
+
+def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
+    """Per-device ring loop maintaining running top-k for the local rows.
+
+    Correctness of the streaming merge: a global top-k partner of row i
+    is, within its own shard, among that shard's top-min(k, n_loc)
+    columns for row i, so keeping min(k, n_loc) candidates per step and
+    top-k of (running ∪ new) per step loses nothing. Tie-breaking order
+    differs from the single-chip ``lax.top_k`` over the full row (merge
+    order is ring order, not global column order) — values are identical,
+    indices may differ among equal counts.
+    """
+    kk = min(k, n_loc)
+    nb = n_loc // block_rows
+
+    def local_fn(x_local: jax.Array):
+        my = jax.lax.axis_index(axis)
+        buf = x_local
+        best_v = jnp.full((n_loc, k), -1, dtype=jnp.int32)
+        best_i = jnp.zeros((n_loc, k), dtype=jnp.int32)
+        blocks = x_local.reshape(nb, block_rows, x_local.shape[1])
+        base = jnp.arange(nb, dtype=jnp.int32) * block_rows
+        for s in range(r):
+            partner = (my + s) % r
+            c0 = partner * n_loc
+
+            def step_block(args):
+                blk, b0, bv, bi = args
+                counts = count_block_auto(blk, buf).astype(jnp.int32)
+                row_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
+                    + my * n_loc + b0
+                )
+                col_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + c0
+                )
+                counts = jnp.where(row_g == col_g, jnp.int32(-1), counts)
+                v, i = jax.lax.top_k(counts, kk)
+                gi = i.astype(jnp.int32) + c0
+                cand_v = jnp.concatenate([bv, v], axis=1)
+                cand_i = jnp.concatenate([bi, gi], axis=1)
+                nv, sel = jax.lax.top_k(cand_v, k)
+                ni = jnp.take_along_axis(cand_i, sel, axis=1)
+                return nv, ni
+
+            bv = best_v.reshape(nb, block_rows, k)
+            bi = best_i.reshape(nb, block_rows, k)
+            nv, ni = jax.lax.map(step_block, (blocks, base, bv, bi))
+            best_v = nv.reshape(n_loc, k)
+            best_i = ni.reshape(n_loc, k)
+            if s < r - 1:
+                buf = jax.lax.ppermute(
+                    buf, axis, [(i, (i - 1) % r) for i in range(r)]
+                )
+        return best_v, best_i
+
+    return local_fn
+
+
+def distributed_topk_neighbors(
+    x: MatrixLike,
+    k: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    block_rows: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k partners by exact intersection count, computed
+    row-sharded over ``mesh`` (self excluded). Returns (counts int32
+    [N, k], indices int32 [N, k]) like the single-chip form; values are
+    identical to it, tie order among equal counts may differ."""
+    bm = _as_bitmatrix(x)
+    if mesh is None:
+        mesh = make_row_mesh()
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits)
+    if not 1 <= k < max(bm.n, 2):
+        raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    n_pad = round_up(max(bm.n, r), r * block_rows)
+    n_loc = n_pad // r
+    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
+    xp[: bm.n] = bm.packed
+    x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
+    fn = jax.jit(
+        shard_map(
+            _ring_topk_local(axis, r, n_loc, k, block_rows),
+            mesh=mesh,
+            in_specs=P(axis, None),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+    vals, idx = fn(x_sharded)
+    vals = np.asarray(vals)[: bm.n]
+    idx = np.asarray(idx)[: bm.n]
+    # padded zero rows can appear among neighbors with count 0; keep them
+    # only as "count 0 at a real row" — same post-rule as the single-chip
+    # form (query.py)
+    valid = idx < bm.n
+    vals = np.where(valid, vals, 0)
+    idx = np.where(valid, idx, 0)
+    return vals, idx
+
+
+def _ring_hits_local(
+    axis: str, r: int, n_loc: int, block_rows: int, measure: str
+):
+    """Per-device ring loop emitting the packed hit bitmap for the local
+    rows over all N columns. The global col > row triangle condition
+    (inside ``_hits_one_block``) dedups across the ring: the device owning
+    row i emits (i, j) iff j > i, so each unordered pair is emitted by
+    exactly one device."""
+    nb = n_loc // block_rows
+    wloc = n_loc // 32
+
+    def local_fn(
+        x_local: jax.Array,
+        nnz_local: jax.Array,
+        nnz_all: jax.Array,
+        thresh: jax.Array,
+        m_f: jax.Array,
+    ):
+        my = jax.lax.axis_index(axis)
+        buf = x_local
+        out = jnp.zeros((n_loc, r * wloc), dtype=jnp.uint32)
+        blocks = x_local.reshape(nb, block_rows, x_local.shape[1])
+        nnz_blocks = nnz_local.reshape(nb, block_rows)
+        base = jnp.arange(nb, dtype=jnp.int32) * block_rows
+        for s in range(r):
+            partner = (my + s) % r
+            c0 = partner * n_loc
+            nnz_cols = jax.lax.dynamic_slice(nnz_all, (c0,), (n_loc,))
+
+            def step_block(args):
+                blk, b0, nzb = args
+                return _hits_one_block(
+                    blk, buf, thresh, nzb, nnz_cols,
+                    my * n_loc + b0, c0, m_f, measure,
+                )
+
+            words = jax.lax.map(step_block, (blocks, base, nnz_blocks))
+            out = jax.lax.dynamic_update_slice(
+                out, words.reshape(n_loc, wloc), (0, partner * wloc)
+            )
+            if s < r - 1:
+                buf = jax.lax.ppermute(
+                    buf, axis, [(i, (i - 1) % r) for i in range(r)]
+                )
+        return out
+
+    return local_fn
+
+
+def distributed_pairs_above(
+    x: MatrixLike,
+    threshold: float,
+    *,
+    measure: str = "count",
+    mesh: Optional[Mesh] = None,
+    block_rows: Optional[int] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All unordered pairs (i < j) with measure ≥ threshold, screened
+    row-sharded over ``mesh``. Same contract as the single-chip
+    ``stormtpu.pairs_above`` (one bit per candidate pair leaves the
+    devices; float32 screen with slack, exact host refine — rounding can
+    only add candidates, never drop true hits)."""
+    bm = _as_bitmatrix(x)
+    if mesh is None:
+        mesh = make_row_mesh()
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits)
+    dev_thresh = _validate_screen(measure, threshold)
+    lcm = int(np.lcm(block_rows, 32))
+    n_pad = round_up(max(bm.n, r), r * lcm)
+    n_loc = n_pad // r
+    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
+    xp[: bm.n] = bm.packed
+    nnz_pad = np.zeros(n_pad, dtype=np.int32)
+    nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
+    shard = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        shard_map(
+            _ring_hits_local(axis, r, n_loc, block_rows, measure),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(), P(), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+    hits = np.asarray(
+        fn(
+            jax.device_put(xp, shard),
+            jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
+            jax.device_put(nnz_pad, rep),
+            jax.device_put(dev_thresh, rep),
+            jax.device_put(jnp.float32(bm.m_bits), rep),
+        )
+    )
+    return _expand_and_refine(bm, hits, n_pad, measure, threshold)

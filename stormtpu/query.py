@@ -149,18 +149,22 @@ def topk_neighbors(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("measure",))
 def _hits_one_block(
     blk: jax.Array,
     packed: jax.Array,
     thresh: jax.Array,
-    nnz: jax.Array,
+    nnz_rows: jax.Array,
+    nnz_cols: jax.Array,
     b0: jax.Array,
+    c0: jax.Array,
     m_f: jax.Array,
     measure: str,
 ):
-    """One row-block: packed uint32 hit bitmap [B, N/32] where the measure
-    ≥ thresh (strictly upper-triangular pairs only).
+    """One row-block vs one column shard: packed uint32 hit bitmap
+    [B, packed.shape[0]/32] where the measure ≥ thresh, restricted to
+    strictly upper-triangular pairs in GLOBAL ids (row b0+i, col c0+j) —
+    global bases make this reusable by the distributed ring driver
+    (parallel/query.py), where the column shard is a streamed partner.
 
     Similarity measures are screened in float32 with the caller's slack;
     the host re-filters hits with exact float64 arithmetic, so float32
@@ -171,13 +175,13 @@ def _hits_one_block(
     wout = n // 32
     counts = count_block_auto(blk, packed)  # [B, N]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + c0
     if measure == "count":
         vals = counts.astype(jnp.float32)
     else:
         inter = counts.astype(jnp.float32)
-        ca = jnp.take(nnz, jnp.clip(row_ids, 0, n - 1)).astype(jnp.float32)
-        cb = nnz[None, :].astype(jnp.float32)
+        ca = nnz_rows[:, None].astype(jnp.float32)
+        cb = nnz_cols[None, :].astype(jnp.float32)
         if measure == "jaccard":
             denom = ca + cb - inter
         elif measure == "dice":
@@ -224,12 +228,14 @@ def _hits_blocks(
     n, _ = packed.shape
     nb = n // block_rows
     blocks = packed.reshape(nb, block_rows, packed.shape[1])
+    nnz_blocks = nnz.reshape(nb, block_rows)
     base = jnp.arange(nb, dtype=jnp.int32) * block_rows
+    zero = jnp.int32(0)
     return jax.lax.map(
         lambda args: _hits_one_block(
-            args[0], packed, thresh, nnz, args[1], m_f, measure
+            args[0], packed, thresh, args[2], nnz, args[1], zero, m_f, measure
         ),
-        (blocks, base),
+        (blocks, base, nnz_blocks),
     )
 
 
@@ -257,6 +263,22 @@ def _measure_host(inter, ca, cb, measure, m_bits):
         return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
 
 
+def _validate_screen(measure: str, threshold: float) -> jax.Array:
+    """Validate (measure, threshold) and return the float32 device-screen
+    threshold (with under-admission slack for similarity measures)."""
+    from stormtpu.setops import SIM_OPS
+
+    if measure != "count" and measure not in SIM_OPS:
+        raise ValueError(f"unknown measure {measure!r}")
+    if measure == "count":
+        if threshold < 1:
+            raise ValueError("count threshold must be >= 1 (0 matches every pair)")
+        return jnp.float32(threshold)
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("similarity threshold must be in (0, 1]")
+    return jnp.float32(threshold) - jnp.float32(1e-4)  # slack
+
+
 def pairs_above(
     x: MatrixLike,
     threshold: float,
@@ -282,18 +304,7 @@ def pairs_above(
     bm = _as_bitmatrix(x)
     if block_rows is None:
         block_rows = _default_block_rows(bm.m_bits)
-    from stormtpu.setops import SIM_OPS
-
-    if measure != "count" and measure not in SIM_OPS:
-        raise ValueError(f"unknown measure {measure!r}")
-    if measure == "count":
-        if threshold < 1:
-            raise ValueError("count threshold must be >= 1 (0 matches every pair)")
-        dev_thresh = jnp.float32(threshold)
-    else:
-        if not 0.0 < threshold <= 1.0:
-            raise ValueError("similarity threshold must be in (0, 1]")
-        dev_thresh = jnp.float32(threshold) - jnp.float32(1e-4)  # slack
+    dev_thresh = _validate_screen(measure, threshold)
     lcm = int(np.lcm(block_rows, 32))
     n_pad = round_up(max(bm.n, 1), lcm)
     xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
@@ -306,7 +317,15 @@ def pairs_above(
             block_rows, measure, jnp.float32(bm.m_bits),
         )
     ).reshape(n_pad, n_pad // 32)
-    # expand the hit bitmap on host
+    return _expand_and_refine(bm, hits, n_pad, measure, threshold)
+
+
+def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
+                       threshold: float):
+    """Expand a packed [n_pad, n_pad/32] hit bitmap to COO on host and
+    re-filter candidates with exact arithmetic (int counts via
+    ``pair_counts``; float64 for similarities). Shared with the
+    distributed screen (parallel/query.py)."""
     from stormtpu.layout import unpack_bits
 
     dense_hits = unpack_bits(hits, n_pad)[: bm.n, : bm.n]

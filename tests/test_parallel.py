@@ -147,3 +147,70 @@ def test_kshard_triangular_large_w(mesh8):
     bm = random_bitmatrix(40, 8 * 128 * 32 + 77, 0.2, seed=71)
     got = distributed_count_matrix(bm.packed, mesh=mesh8, shard_axis="bits")
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+# ---- distributed reduced queries (parallel/query.py) --------------------
+
+
+def test_distributed_topk_matches_single_chip(mesh8):
+    from stormtpu import pair_counts, topk_neighbors
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    bm = random_bitmatrix(96, 2048, 0.2, seed=51)
+    v1, i1 = topk_neighbors(bm, k=5)
+    vd, idd = distributed_topk_neighbors(bm, 5, mesh=make_row_mesh(8),
+                                         block_rows=8)
+    # values are uniquely determined; tie order among equal counts is not
+    np.testing.assert_array_equal(vd, v1)
+    # every reported (row, idx) must actually realize its reported count
+    rows = np.repeat(np.arange(bm.n, dtype=np.int32), 5)
+    got = pair_counts(bm, rows, idd.ravel().astype(np.int32))
+    np.testing.assert_array_equal(got.reshape(bm.n, 5), vd)
+
+
+def test_distributed_topk_ragged_and_k_over_nloc(mesh8):
+    from stormtpu import topk_neighbors
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    # N=21 over 8 shards with block_rows=4 → n_loc=4 < k=7
+    bm = random_bitmatrix(21, 512, 0.4, seed=52)
+    v1, _ = topk_neighbors(bm, k=7)
+    vd, _ = distributed_topk_neighbors(bm, 7, mesh=make_row_mesh(8),
+                                       block_rows=4)
+    np.testing.assert_array_equal(vd, v1)
+
+
+@pytest.mark.parametrize("measure,threshold", [
+    ("count", 40), ("jaccard", 0.15), ("r2", 0.005),
+])
+def test_distributed_pairs_above_matches_single_chip(mesh8, measure, threshold):
+    from stormtpu import pairs_above
+    from stormtpu.parallel import distributed_pairs_above
+
+    bm = random_bitmatrix(90, 1024, 0.25, seed=53)
+    ii1, jj1, vv1 = pairs_above(bm, threshold, measure=measure)
+    iid, jjd, vvd = distributed_pairs_above(
+        bm, threshold, measure=measure, mesh=make_row_mesh(8), block_rows=8
+    )
+    assert ii1.size > 0  # non-degenerate screen
+    np.testing.assert_array_equal(iid, ii1)
+    np.testing.assert_array_equal(jjd, jj1)
+    np.testing.assert_array_equal(vvd, vv1)
+
+
+def test_distributed_pairs_above_empty_and_ragged(mesh8):
+    from stormtpu import pairs_above
+    from stormtpu.parallel import distributed_pairs_above
+
+    bm = random_bitmatrix(19, 512, 0.05, seed=54)
+    ii, jj, vv = distributed_pairs_above(
+        bm, 10**6, mesh=make_row_mesh(8), block_rows=4
+    )
+    assert ii.size == jj.size == vv.size == 0
+    ii1, jj1, vv1 = pairs_above(bm, 5)
+    iid, jjd, vvd = distributed_pairs_above(
+        bm, 5, mesh=make_row_mesh(8), block_rows=4
+    )
+    np.testing.assert_array_equal(iid, ii1)
+    np.testing.assert_array_equal(jjd, jj1)
+    np.testing.assert_array_equal(vvd, vv1)
