@@ -15,6 +15,7 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 
 from stormtpu.parallel.mesh import make_row_mesh
 from stormtpu.parallel.allpairs import distributed_count_matrix
+from stormtpu.parallel.columns import distributed_column_counts
 from stormtpu.parallel.multihost import (
     distributed_stream_count_matrix,
     initialize_multihost,
@@ -28,6 +29,7 @@ from stormtpu.parallel.scaling import measure_scaling
 __all__ = [
     "make_row_mesh",
     "distributed_count_matrix",
+    "distributed_column_counts",
     "distributed_stream_count_matrix",
     "distributed_pairs_above",
     "distributed_topk_neighbors",

@@ -1,0 +1,75 @@
+"""Distributed positional popcount (column marginals) over a row mesh.
+
+The single-chip form (stormtpu/setops.py::column_counts, the
+pospopcnt-lineage sibling op) streams word chunks through one device; at
+row-sharded scale each device reduces its own rows and ``psum`` merges
+the exact int32 partials — counts ≤ N < 2³¹, so integer exactness is
+structural, same argument as the K-shard count path (parallel/allpairs.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.7 stable location
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from stormtpu.api import MatrixLike, _as_bitmatrix
+from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.setops import _column_partial
+from stormtpu.utils import round_up
+
+__all__ = ["distributed_column_counts"]
+
+
+@functools.lru_cache(maxsize=64)
+def _columns_fn(mesh: Mesh):
+    """Compiled psum-of-partials fn, cached per mesh (a fresh jit wrapper
+    per call would recompile every invocation — 20–60 s on this stack)."""
+    axis = mesh.axis_names[0]
+
+    def local_fn(words: jax.Array) -> jax.Array:
+        return jax.lax.psum(_column_partial(words), axis)
+
+    return jax.jit(
+        shard_map(
+            local_fn, mesh=mesh, in_specs=P(axis, None), out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def distributed_column_counts(
+    x: MatrixLike,
+    *,
+    mesh: Optional[Mesh] = None,
+    chunk_words: int = 4096,
+) -> np.ndarray:
+    """Per-position set-bit counts across all rows, int32 [m_bits],
+    computed row-sharded over ``mesh`` (psum of local partials)."""
+    bm = _as_bitmatrix(x)
+    if mesh is None:
+        mesh = make_row_mesh()
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    fn = _columns_fn(mesh)
+    n_pad = round_up(max(bm.n, r), r)
+    w = bm.n_words
+    out = np.empty(w * 32, dtype=np.int32)
+    shard = NamedSharding(mesh, P(axis, None))
+    for c0 in range(0, w, chunk_words):
+        chunk = np.zeros(
+            (n_pad, min(chunk_words, w - c0)), dtype=np.uint32
+        )
+        chunk[: bm.n] = bm.packed[:, c0 : c0 + chunk_words]
+        out[c0 * 32 : (c0 + chunk.shape[1]) * 32] = np.asarray(
+            fn(jax.device_put(chunk, shard))
+        )
+    return out[: bm.m_bits]

@@ -1,22 +1,34 @@
 """Distributed query layer: reduced queries over a row-sharded mesh.
 
-At the 1M×1M scale (BASELINE.json:11) the full count matrix is O(N²) and
-cannot materialize, so the *queries* — per-row top-k partners and
+At the 1M×1M scale (BASELINE.json:11) the full count matrix is O(N²·4 B)
+and cannot materialize, so the *queries* — per-row top-k partners and
 threshold screens — are the forms users actually run at scale. The
 reference has no analog (single-thread C, SURVEY.md §2); the single-chip
 forms live in stormtpu/query.py. Layout follows the ring driver
 (parallel/allpairs.py): X row-sharded over the mesh axis, the partner
 shard streamed around the ring with ``lax.ppermute`` while each device
-updates per-row state for its local rows only — output stays O(N·k)
-(top-k) or one bit per pair (screens), never O(N²·4 B).
+updates per-row state for its local rows only — device output stays
+O(N·k) (top-k) or one bit per pair (screens; 32× smaller than counts).
 
-Unlike the all-pairs ring, these run the full R steps square (every
-device needs its rows against every shard): per-row top-k state is not a
-symmetric-reducible tile, so there is no mirror-tile saving to ship.
+Ring shape per query:
+
+- The **screen** rides the TRIANGULAR ring (the allpairs.py pattern):
+  each unordered shard pair's count block is computed once and the
+  transposed hit tile — [n_loc, n_loc/32] uint32, 32× smaller than the
+  count tile allpairs ships — is ppermuted back to the partner. Half the
+  MXU FLOPs of the square form.
+- **Top-k** runs the full square ring: per-row top-k state is not
+  symmetric-reducible (row i's best-k says nothing about column i's),
+  so there is no mirror-tile saving to ship.
+
+Compiled fns are cached per (mesh, shape, static knobs): a fresh
+jit(shard_map(...)) wrapper per call would recompile every invocation,
+which costs 20–60 s per shape on this TPU stack (CLAUDE.md).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -35,7 +47,8 @@ from stormtpu.parallel.mesh import make_row_mesh
 from stormtpu.query import (
     _default_block_rows,
     _expand_and_refine,
-    _hits_one_block,
+    _pack_bit_rows,
+    _screen_vals,
     _validate_screen,
 )
 from stormtpu.utils import round_up
@@ -101,6 +114,21 @@ def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
     return local_fn
 
 
+@functools.lru_cache(maxsize=64)
+def _topk_fn(mesh: Mesh, n_loc: int, k: int, block_rows: int):
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    return jax.jit(
+        shard_map(
+            _ring_topk_local(axis, r, n_loc, k, block_rows),
+            mesh=mesh,
+            in_specs=P(axis, None),
+            out_specs=(P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+
+
 def distributed_topk_neighbors(
     x: MatrixLike,
     k: int,
@@ -126,16 +154,7 @@ def distributed_topk_neighbors(
     xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
     xp[: bm.n] = bm.packed
     x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
-    fn = jax.jit(
-        shard_map(
-            _ring_topk_local(axis, r, n_loc, k, block_rows),
-            mesh=mesh,
-            in_specs=P(axis, None),
-            out_specs=(P(axis, None), P(axis, None)),
-            check_vma=False,
-        )
-    )
-    vals, idx = fn(x_sharded)
+    vals, idx = _topk_fn(mesh, n_loc, k, block_rows)(x_sharded)
     vals = np.asarray(vals)[: bm.n]
     idx = np.asarray(idx)[: bm.n]
     # padded zero rows can appear among neighbors with count 0; keep them
@@ -150,13 +169,23 @@ def distributed_topk_neighbors(
 def _ring_hits_local(
     axis: str, r: int, n_loc: int, block_rows: int, measure: str
 ):
-    """Per-device ring loop emitting the packed hit bitmap for the local
-    rows over all N columns. The global col > row triangle condition
-    (inside ``_hits_one_block``) dedups across the ring: the device owning
-    row i emits (i, j) iff j > i, so each unordered pair is emitted by
-    exactly one device."""
+    """Per-device TRIANGULAR ring loop emitting the packed hit bitmap for
+    the local rows over all N columns.
+
+    Each unordered shard pair (d, e=d+s) is computed ONCE, by d: the
+    count block is screened WITHOUT the triangle mask, then split into
+    d's half (global col > row) and e's half (the transpose of the
+    complement), and e's half rides the ring back packed — the
+    allpairs.py mirror pattern, legal here because the hit tile (unlike
+    top-k state) is symmetric-derivable from one block. Step census
+    matches _ring_local_fn: s = 0 diagonal (triangle only, no mirror);
+    even R has a mutual step s = R/2 where both devices compute their own
+    half. Each of the r column blocks of ``out`` is written exactly once.
+    """
     nb = n_loc // block_rows
     wloc = n_loc // 32
+    wblk = block_rows // 32  # caller rounds block_rows up to a multiple of 32
+    s_max = r // 2 if r % 2 == 0 else (r - 1) // 2
 
     def local_fn(
         x_local: jax.Array,
@@ -171,29 +200,69 @@ def _ring_hits_local(
         blocks = x_local.reshape(nb, block_rows, x_local.shape[1])
         nnz_blocks = nnz_local.reshape(nb, block_rows)
         base = jnp.arange(nb, dtype=jnp.int32) * block_rows
-        for s in range(r):
+        for s in range(s_max + 1):
             partner = (my + s) % r
             c0 = partner * n_loc
             nnz_cols = jax.lax.dynamic_slice(nnz_all, (c0,), (n_loc,))
+            mutual = r % 2 == 0 and s == s_max
+            want_mirror = 0 < s and not mutual
 
             def step_block(args):
                 blk, b0, nzb = args
-                return _hits_one_block(
-                    blk, buf, thresh, nzb, nnz_cols,
-                    my * n_loc + b0, c0, m_f, measure,
+                counts = count_block_auto(blk, buf)
+                row_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
+                    + my * n_loc + b0
                 )
+                col_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + c0
+                )
+                hit = _screen_vals(counts, nzb, nnz_cols, m_f, measure) >= thresh
+                mine = _pack_bit_rows(hit & (col_g > row_g))  # [B, wloc]
+                # partner's half, transposed to (partner rows × my rows):
+                # entry (j, i) hits iff my global row i > partner row j
+                theirs = _pack_bit_rows((hit & (row_g > col_g)).T)  # [n_loc, wblk]
+                return mine, theirs
 
-            words = jax.lax.map(step_block, (blocks, base, nnz_blocks))
+            mine, theirs = jax.lax.map(step_block, (blocks, base, nnz_blocks))
             out = jax.lax.dynamic_update_slice(
-                out, words.reshape(n_loc, wloc), (0, partner * wloc)
+                out, mine.reshape(n_loc, wloc), (0, partner * wloc)
             )
-            if s < r - 1:
+            if want_mirror:
+                # [nb, n_loc, wblk] → [n_loc, nb·wblk = wloc]; block b's
+                # words cover my rows [b·B, (b+1)·B) — consecutive blocks
+                # are consecutive word ranges, so the transpose-reshape
+                # reassembles the global little-endian bit order
+                tile = jnp.transpose(theirs, (1, 0, 2)).reshape(n_loc, wloc)
+                t_recv = jax.lax.ppermute(
+                    tile, axis, [(i, (i + s) % r) for i in range(r)]
+                )
+                src = (my - s) % r
+                out = jax.lax.dynamic_update_slice(
+                    out, t_recv, (0, src * wloc)
+                )
+            if s < s_max:
                 buf = jax.lax.ppermute(
                     buf, axis, [(i, (i - 1) % r) for i in range(r)]
                 )
         return out
 
     return local_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _hits_fn(mesh: Mesh, n_loc: int, block_rows: int, measure: str):
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    return jax.jit(
+        shard_map(
+            _ring_hits_local(axis, r, n_loc, block_rows, measure),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(), P(), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
 
 
 def distributed_pairs_above(
@@ -216,9 +285,11 @@ def distributed_pairs_above(
     r = mesh.shape[axis]
     if block_rows is None:
         block_rows = _default_block_rows(bm.m_bits)
+    # mirror tiles pack bits along the local-row axis per block, so the
+    # block size must be word-aligned
+    block_rows = int(round_up(block_rows, 32))
     dev_thresh = _validate_screen(measure, threshold)
-    lcm = int(np.lcm(block_rows, 32))
-    n_pad = round_up(max(bm.n, r), r * lcm)
+    n_pad = round_up(max(bm.n, r), r * block_rows)
     n_loc = n_pad // r
     xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
     xp[: bm.n] = bm.packed
@@ -226,17 +297,8 @@ def distributed_pairs_above(
     nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
     shard = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
-    fn = jax.jit(
-        shard_map(
-            _ring_hits_local(axis, r, n_loc, block_rows, measure),
-            mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(), P(), P()),
-            out_specs=P(axis, None),
-            check_vma=False,
-        )
-    )
     hits = np.asarray(
-        fn(
+        _hits_fn(mesh, n_loc, block_rows, measure)(
             jax.device_put(xp, shard),
             jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
             jax.device_put(nnz_pad, rep),

@@ -149,6 +149,66 @@ def topk_neighbors(
     return vals, idx
 
 
+def _screen_vals(
+    counts: jax.Array,
+    nnz_rows: jax.Array,
+    nnz_cols: jax.Array,
+    m_f: jax.Array,
+    measure: str,
+) -> jax.Array:
+    """float32 screen values [B, C] for a counts block (the measure the
+    device threshold is compared against). Shared by the single-chip and
+    distributed (parallel/query.py) screens.
+
+    Similarity measures are screened in float32 with the caller's slack;
+    the host re-filters hits with exact float64 arithmetic, so float32
+    rounding can only add candidates, never lose them.
+    """
+    if measure == "count":
+        return counts.astype(jnp.float32)
+    inter = counts.astype(jnp.float32)
+    ca = nnz_rows[:, None].astype(jnp.float32)
+    cb = nnz_cols[None, :].astype(jnp.float32)
+    if measure == "jaccard":
+        denom = ca + cb - inter
+    elif measure == "dice":
+        inter = 2.0 * inter
+        denom = ca + cb
+    elif measure == "cosine":
+        denom = jnp.sqrt(ca * cb)
+    elif measure in ("phi", "r2"):
+        # num = m·inter − ca·cb suffers catastrophic cancellation in
+        # float32 when rows are dense (errors up to ~1e-4 in phi,
+        # larger than any fixed slack — verified), so the screen
+        # inflates num by a rounding bound: products/ints ≥ 2²⁴ carry
+        # relative error ~6e-8 each, and 2e-6·(|terms|) dominates the
+        # sum of all of them with ≥30× margin. The host re-filters
+        # exactly, so over-admission only costs a few extra checks.
+        terms = m_f * inter + ca * cb
+        err = 2e-6 * terms + 1e-3
+        num = m_f * inter - ca * cb + err
+        den = jnp.sqrt(ca * cb * (m_f - ca) * (m_f - cb))
+        if measure == "r2":
+            num = jnp.abs(m_f * inter - ca * cb) + err
+            num = num * num
+            den = den * den
+        inter = num
+        denom = den
+    else:  # overlap
+        denom = jnp.minimum(ca, cb)
+    return jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def _pack_bit_rows(mask: jax.Array) -> jax.Array:
+    """bool [X, Y] (Y % 32 == 0) → uint32 [X, Y/32], little bit order
+    (bit y of the row lands in word y//32 at weight 1 << (y%32) — the
+    layout ``layout.unpack_bits`` inverts)."""
+    x, y = mask.shape
+    bits = mask.reshape(x, y // 32, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
 def _hits_one_block(
     blk: jax.Array,
     packed: jax.Array,
@@ -165,55 +225,13 @@ def _hits_one_block(
     strictly upper-triangular pairs in GLOBAL ids (row b0+i, col c0+j) —
     global bases make this reusable by the distributed ring driver
     (parallel/query.py), where the column shard is a streamed partner.
-
-    Similarity measures are screened in float32 with the caller's slack;
-    the host re-filters hits with exact float64 arithmetic, so float32
-    rounding can only add candidates, never lose them.
     """
-    n = packed.shape[0]
-    block_rows = blk.shape[0]
-    wout = n // 32
     counts = count_block_auto(blk, packed)  # [B, N]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + b0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + c0
-    if measure == "count":
-        vals = counts.astype(jnp.float32)
-    else:
-        inter = counts.astype(jnp.float32)
-        ca = nnz_rows[:, None].astype(jnp.float32)
-        cb = nnz_cols[None, :].astype(jnp.float32)
-        if measure == "jaccard":
-            denom = ca + cb - inter
-        elif measure == "dice":
-            inter = 2.0 * inter
-            denom = ca + cb
-        elif measure == "cosine":
-            denom = jnp.sqrt(ca * cb)
-        elif measure in ("phi", "r2"):
-            # num = m·inter − ca·cb suffers catastrophic cancellation in
-            # float32 when rows are dense (errors up to ~1e-4 in phi,
-            # larger than any fixed slack — verified), so the screen
-            # inflates num by a rounding bound: products/ints ≥ 2²⁴ carry
-            # relative error ~6e-8 each, and 2e-6·(|terms|) dominates the
-            # sum of all of them with ≥30× margin. The host re-filters
-            # exactly, so over-admission only costs a few extra checks.
-            terms = m_f * inter + ca * cb
-            err = 2e-6 * terms + 1e-3
-            num = m_f * inter - ca * cb + err
-            den = jnp.sqrt(ca * cb * (m_f - ca) * (m_f - cb))
-            if measure == "r2":
-                num = jnp.abs(m_f * inter - ca * cb) + err
-                num = num * num
-                den = den * den
-            inter = num
-            denom = den
-        else:  # overlap
-            denom = jnp.minimum(ca, cb)
-        vals = jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+    vals = _screen_vals(counts, nnz_rows, nnz_cols, m_f, measure)
     hit = (vals >= thresh) & (col_ids > row_ids)  # dedup triangle
-    bits = hit.reshape(block_rows, wout, 32).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32)
+    return _pack_bit_rows(hit)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
@@ -325,13 +343,23 @@ def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
     """Expand a packed [n_pad, n_pad/32] hit bitmap to COO on host and
     re-filter candidates with exact arithmetic (int counts via
     ``pair_counts``; float64 for similarities). Shared with the
-    distributed screen (parallel/query.py)."""
+    distributed screen (parallel/query.py).
+
+    Expansion runs in row stripes so the transient dense uint8 view never
+    exceeds ~1 GB — an all-at-once unpack of a large-N bitmap would be
+    8× the bitmap (N=1M → 1 TB) and OOM the host."""
     from stormtpu.layout import unpack_bits
 
-    dense_hits = unpack_bits(hits, n_pad)[: bm.n, : bm.n]
-    ii, jj = np.nonzero(dense_hits)
-    ii = ii.astype(np.int32)
-    jj = jj.astype(np.int32)
+    stripe = max(512, (1 << 30) // max(n_pad, 1))
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    for r0 in range(0, bm.n, stripe):
+        dense_hits = unpack_bits(hits[r0 : min(r0 + stripe, bm.n)], n_pad)[:, : bm.n]
+        si, sj = np.nonzero(dense_hits)
+        ii_parts.append((si + r0).astype(np.int32))
+        jj_parts.append(sj.astype(np.int32))
+    ii = np.concatenate(ii_parts) if ii_parts else np.zeros(0, np.int32)
+    jj = np.concatenate(jj_parts) if jj_parts else np.zeros(0, np.int32)
     counts = pair_counts(bm, ii, jj) if ii.size else np.zeros(0, np.int32)
     if measure == "count":
         return ii, jj, counts

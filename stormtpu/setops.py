@@ -118,6 +118,21 @@ def similarity_matrix(
     return out
 
 
+def _column_partial(words):
+    """uint32 [N, C] → int32 [C·32] per-position counts in position order
+    (bit b of word c is position 32·c + b, so stack as [C, 32] then
+    flatten). Shared by the single-chip and mesh (parallel/columns.py)
+    forms so the reduction can never diverge between them."""
+    import jax.numpy as jnp
+
+    cols = [
+        jnp.sum(((words >> jnp.uint32(b)) & jnp.uint32(1))
+                .astype(jnp.int32), axis=0)
+        for b in range(32)
+    ]
+    return jnp.stack(cols, axis=1).reshape(-1)
+
+
 def column_counts(
     x: MatrixLike,
     *,
@@ -139,16 +154,7 @@ def column_counts(
     w = bm.n_words
     out = np.empty(w * 32, dtype=np.int32)
 
-    @jax.jit
-    def chunk_counts(words):
-        # uint32 [N, C] → int32 [C·32] in position order (bit b of word c
-        # is position 32·c + b, so stack as [C, 32] then flatten)
-        cols = [
-            jnp.sum(((words >> jnp.uint32(b)) & jnp.uint32(1))
-                    .astype(jnp.int32), axis=0)
-            for b in range(32)
-        ]
-        return jnp.stack(cols, axis=1).reshape(-1)
+    chunk_counts = jax.jit(_column_partial)
 
     packed = bm.packed
     for c0 in range(0, w, chunk_words):

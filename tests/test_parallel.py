@@ -214,3 +214,47 @@ def test_distributed_pairs_above_empty_and_ragged(mesh8):
     np.testing.assert_array_equal(iid, ii1)
     np.testing.assert_array_equal(jjd, jj1)
     np.testing.assert_array_equal(vvd, vv1)
+
+
+def test_distributed_column_counts(mesh8):
+    from stormtpu import column_counts
+    from stormtpu.parallel import distributed_column_counts
+
+    # ragged N (19 over 8 shards) and ragged M (not a chunk multiple)
+    bm = random_bitmatrix(19, 1000, 0.3, seed=55)
+    got = distributed_column_counts(bm, mesh=mesh8, chunk_words=8)
+    np.testing.assert_array_equal(got, column_counts(bm))
+    from stormtpu.layout import unpack_bits
+
+    dense = unpack_bits(bm.packed, bm.m_bits)
+    np.testing.assert_array_equal(got, dense.sum(axis=0).astype(np.int32))
+
+
+@pytest.mark.parametrize("r", (1, 2, 3, 5, 8))
+def test_distributed_screen_every_device_count(r):
+    """The screen's triangular-ring mirror census (diagonal / mirror /
+    even-R mutual steps) must be exact at every mesh size."""
+    from stormtpu import pairs_above
+    from stormtpu.parallel import distributed_pairs_above
+
+    bm = random_bitmatrix(41, 1024, 0.3, seed=60 + r)
+    ii1, jj1, vv1 = pairs_above(bm, 80)
+    iid, jjd, vvd = distributed_pairs_above(
+        bm, 80, mesh=make_row_mesh(r), block_rows=4
+    )
+    assert ii1.size > 0
+    np.testing.assert_array_equal(iid, ii1)
+    np.testing.assert_array_equal(jjd, jj1)
+    np.testing.assert_array_equal(vvd, vv1)
+
+
+@pytest.mark.parametrize("r", (3, 5, 7))
+def test_distributed_topk_odd_meshes(r):
+    from stormtpu import topk_neighbors
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    bm = random_bitmatrix(33, 512, 0.35, seed=70 + r)
+    v1, _ = topk_neighbors(bm, k=3)
+    vd, _ = distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(r),
+                                       block_rows=4)
+    np.testing.assert_array_equal(vd, v1)

@@ -133,3 +133,38 @@ def test_randomized_soak(tpu_backend):
         pw = np.bitwise_count(bm.packed[ii] & bm.packed[jj]).sum(
             axis=1, dtype=np.int64)
         assert np.array_equal(pc, pw), f"iter {it} pair_counts"
+
+
+def test_distributed_queries_on_device(tpu_backend):
+    """Distributed query paths on the real chip (1-device mesh — the
+    degenerate ring; multi-device logic is covered on the forced-8 CPU
+    mesh in test_parallel.py). Exercises shard_map + the screen/top-k
+    kernels under the TPU backend."""
+    import numpy as np
+
+    from stormtpu import pairs_above, topk_neighbors
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import (
+        distributed_column_counts,
+        distributed_pairs_above,
+        distributed_topk_neighbors,
+        make_row_mesh,
+    )
+
+    rng = np.random.default_rng(61)
+    dense = (rng.random((128, 4096)) < 0.2).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    mesh = make_row_mesh(1)
+
+    v1, _ = topk_neighbors(bm, k=4)
+    vd, idd = distributed_topk_neighbors(bm, 4, mesh=mesh)
+    np.testing.assert_array_equal(vd, v1)
+
+    i1, j1, c1 = pairs_above(bm, 180)
+    iid, jjd, cd = distributed_pairs_above(bm, 180, mesh=mesh)
+    np.testing.assert_array_equal(iid, i1)
+    np.testing.assert_array_equal(jjd, j1)
+    np.testing.assert_array_equal(cd, c1)
+
+    ac = distributed_column_counts(bm, mesh=mesh)
+    np.testing.assert_array_equal(ac, dense.sum(axis=0).astype(np.int32))
