@@ -22,6 +22,7 @@ from stormtpu.parallel import distributed_count_matrix, make_row_mesh
 rng = np.random.default_rng(7)
 n, m = 128, 8192
 dense = (rng.random((n, m)) < 0.2).astype(np.uint8)
+dense[100] = dense[3]  # a perfectly-correlated pair for the LD screen demo
 bm = BitMatrix.from_dense(dense)
 
 mesh = make_row_mesh()  # all visible devices
@@ -30,3 +31,22 @@ print(f"mesh: {mesh.shape} over {len(jax.devices())} device(s)")
 counts = distributed_count_matrix(bm.packed, mesh=mesh)
 assert np.array_equal(counts, oracle_count_matrix(bm.packed))
 print(f"distributed counts exact ✓ ({counts.shape}, sum={counts.sum()})")
+
+# At N where C = O(N²) can't materialize, run the reduced queries instead —
+# same mesh, O(N·k) / one-bit-per-pair outputs:
+from stormtpu.parallel import (
+    distributed_column_counts,
+    distributed_pairs_above,
+    distributed_topk_neighbors,
+)
+
+vals, idx = distributed_topk_neighbors(bm, 5, mesh=mesh)
+print(f"top-5 neighbors ✓ (best pair count {int(vals.max())})")
+
+ii, jj, r2 = distributed_pairs_above(bm, 0.9, measure="r2", mesh=mesh)
+assert (3, 100) in set(zip(ii.tolist(), jj.tolist()))
+print(f"r² ≥ 0.9 screen ✓ ({ii.size} pair(s), found the planted duplicate)")
+
+ac = distributed_column_counts(bm, mesh=mesh)
+assert np.array_equal(ac, dense.sum(axis=0).astype(np.int32))
+print(f"column counts exact ✓ (max {int(ac.max())})")
