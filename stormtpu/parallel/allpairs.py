@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from stormtpu.config import EngineConfig, default_config
-from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.utils import round_up
 
 __all__ = ["distributed_count_matrix", "ring_count_rows"]
@@ -250,4 +250,4 @@ def distributed_count_matrix(
     x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
     fn = jax.jit(ring_count_rows(mesh, axis, n_loc, block_fn))
     c = fn(x_sharded)
-    return np.asarray(c)[:n, :n]
+    return fetch_global(c)[:n, :n]

@@ -16,7 +16,24 @@ from jax.sharding import Mesh
 
 from stormtpu.config import default_config
 
-__all__ = ["make_row_mesh"]
+__all__ = ["make_row_mesh", "fetch_global"]
+
+
+def fetch_global(x) -> "np.ndarray":
+    """Host ``np.ndarray`` of a global ``jax.Array``.
+
+    Under a single controller this is ``np.asarray``; in a multi-process
+    run a row-sharded result spans non-addressable devices (fetching
+    raises RuntimeError), so every process all-gathers its addressable
+    shards — each host gets the full array, matching the single-process
+    contract of the ``distributed_*`` wrappers."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def make_row_mesh(

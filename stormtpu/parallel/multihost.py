@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from stormtpu.config import EngineConfig, default_config
 from stormtpu.layout import BitMatrix
 from stormtpu.parallel.allpairs import BlockFn, shard_map
-from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.stream import stripe_path
 from stormtpu.utils import round_up
 
@@ -131,7 +131,9 @@ def distributed_stream_count_matrix(
                 packed[j * superblock_rows : (j + 1) * superblock_rows],
                 b_sharding,
             )
-            stripe = np.asarray(stripe_fn(xi, xj))
+            # row-sharded result: gather collectively (every process must
+            # participate even though only process 0 writes)
+            stripe = fetch_global(stripe_fn(xi, xj))
             if is_writer:
                 tmp = path + ".tmp.npz"
                 np.savez_compressed(tmp, counts=stripe, i=i, j=j)

@@ -43,7 +43,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from stormtpu.api import MatrixLike, _as_bitmatrix
 from stormtpu.kernels import count_block_auto
-from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.query import (
     _default_block_rows,
     _expand_and_refine,
@@ -155,8 +155,8 @@ def distributed_topk_neighbors(
     xp[: bm.n] = bm.packed
     x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
     vals, idx = _topk_fn(mesh, n_loc, k, block_rows)(x_sharded)
-    vals = np.asarray(vals)[: bm.n]
-    idx = np.asarray(idx)[: bm.n]
+    vals = fetch_global(vals)[: bm.n]
+    idx = fetch_global(idx)[: bm.n]
     # padded zero rows can appear among neighbors with count 0; keep them
     # only as "count 0 at a real row" — same post-rule as the single-chip
     # form (query.py)
@@ -297,7 +297,7 @@ def distributed_pairs_above(
     nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
     shard = NamedSharding(mesh, P(axis, None))
     rep = NamedSharding(mesh, P())
-    hits = np.asarray(
+    hits = fetch_global(
         _hits_fn(mesh, n_loc, block_rows, measure)(
             jax.device_put(xp, shard),
             jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),

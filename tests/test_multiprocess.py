@@ -95,3 +95,81 @@ def test_three_process_odd_ring_exact(tmp_path):
     # R=3 (odd): every unordered shard pair is computed once and the
     # MIRROR count tile crosses a real process boundary via ppermute
     _run_procs(tmp_path, nproc=3, dpp=1)
+
+
+_WRAPPER_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    dpp = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dpp}"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc, process_id=pid,
+    )
+    import numpy as np
+    sys.path.insert(0, "@REPO@")
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import (
+        distributed_count_matrix, distributed_pairs_above,
+        distributed_topk_neighbors, distributed_column_counts,
+        make_row_mesh,
+    )
+
+    # the PUBLIC wrappers (not the raw shard_map fns) must work with a
+    # multi-process mesh: inputs device_put globally, row-sharded results
+    # gathered via fetch_global (a plain np.asarray of a non-addressable
+    # sharded result raises RuntimeError — the bug this test pins)
+    rng = np.random.default_rng(5)
+    dense = (rng.random((48, 1024)) < 0.25).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    C = dense.astype(np.int64) @ dense.T
+    mesh = make_row_mesh()
+
+    got = distributed_count_matrix(bm.packed, mesh=mesh)
+    assert np.array_equal(got, C), "count_matrix INEXACT multihost"
+
+    ii, jj, vv = distributed_pairs_above(bm, 70, mesh=mesh)
+    eii, ejj = np.nonzero(np.triu(C >= 70, k=1))
+    assert eii.size > 0 and np.array_equal(ii, eii) and np.array_equal(jj, ejj)
+    assert np.array_equal(vv, C[eii, ejj])
+
+    vals, idx = distributed_topk_neighbors(bm, 4, mesh=mesh)
+    Cm = C.copy(); np.fill_diagonal(Cm, -1)
+    assert np.array_equal(vals, -np.sort(-Cm, axis=1)[:, :4])
+
+    ac = distributed_column_counts(bm, mesh=mesh)
+    assert np.array_equal(ac, dense.sum(0).astype(np.int32))
+    print(f"proc {pid} OK", flush=True)
+    """
+)
+
+
+@_SLOW
+def test_two_process_public_wrappers(tmp_path):
+    """Every public distributed_* wrapper end-to-end across a real
+    process boundary (2 procs x 2 devices; mirror tiles, top-k state,
+    hit bitmaps, and column psums all cross hosts)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "wrapper_worker.py"
+    script.write_text(_WRAPPER_WORKER.replace("@REPO@", repo))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out
