@@ -223,6 +223,46 @@ class BitMatrix:
     def to_dense(self) -> np.ndarray:
         return unpack_bits(self.packed, self.m_bits)
 
+    def device_padded(self, n_pad: int):
+        """Device-resident ``packed`` zero-padded to ``n_pad`` rows,
+        cached per ``n_pad``. Repeated queries on one matrix re-dispatch
+        on the same device buffer instead of re-uploading O(N·W) bytes
+        per call — measured on the relay: a 138 MB re-upload dominated a
+        0.15 s screen kernel. Cache lives outside the dataclass fields
+        (not part of equality or serialization)."""
+        import jax.numpy as jnp
+
+        if n_pad < self.n:
+            raise ValueError(f"n_pad={n_pad} < N={self.n}")
+        cache = self.__dict__.setdefault("_device_cache", {})
+        buf = cache.get(("padded", int(n_pad)))
+        if buf is None:
+            xp = np.zeros((n_pad, self.packed.shape[1]), dtype=np.uint32)
+            xp[: self.n] = self.packed
+            buf = jnp.asarray(xp)
+            cache[("padded", int(n_pad))] = buf
+        return buf
+
+    def device_nnz(self, n_pad: int):
+        """Device-resident int32 ``row_nnz`` zero-padded to ``n_pad``
+        rows, cached per ``n_pad`` (see :meth:`device_padded`)."""
+        import jax.numpy as jnp
+
+        if n_pad < self.n:
+            raise ValueError(f"n_pad={n_pad} < N={self.n}")
+        cache = self.__dict__.setdefault("_device_cache", {})
+        buf = cache.get(("nnz", int(n_pad)))
+        if buf is None:
+            nz = np.zeros(n_pad, dtype=np.int32)
+            nz[: self.n] = self.row_nnz.astype(np.int32)
+            buf = jnp.asarray(nz)
+            cache[("nnz", int(n_pad))] = buf
+        return buf
+
+    def clear_device_cache(self) -> None:
+        """Drop cached device buffers (frees device memory)."""
+        self.__dict__.pop("_device_cache", None)
+
     def positions_csr(self) -> tuple[np.ndarray, np.ndarray]:
         """(indptr int64 [N+1], indices int32 [nnz]) sorted per row.
 

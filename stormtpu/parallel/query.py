@@ -146,7 +146,7 @@ def distributed_topk_neighbors(
     axis = mesh.axis_names[0]
     r = mesh.shape[axis]
     if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits)
+        block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     n_pad = round_up(max(bm.n, r), r * block_rows)
@@ -284,7 +284,7 @@ def distributed_pairs_above(
     axis = mesh.axis_names[0]
     r = mesh.shape[axis]
     if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits)
+        block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
     # mirror tiles pack bits along the local-row axis per block, so the
     # block size must be word-aligned
     block_rows = int(round_up(block_rows, 32))

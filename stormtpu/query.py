@@ -38,16 +38,39 @@ __all__ = ["pair_counts", "topk_neighbors", "pairs_above"]
 _PAIR_GATHER_MAX_WORDS = 1 << 26
 
 
-def _default_block_rows(m_bits: int) -> int:
-    """At large M the block kernel routes to the Pallas MXU rectangle,
-    which pads A-blocks up to its k2_tile_rows tile — undersized query
-    blocks would be zero-padded 4x (wasted MXU work), so match the tile."""
+def _next_pow2(x: int) -> int:
+    """Smallest power of two ≥ max(x, 8) — the gather-chunk quantizer
+    (bounds the number of distinct compiled shapes to log₂ buckets)."""
+    return 1 << max(3, (max(x, 1) - 1).bit_length())
+
+
+def _default_block_rows(m_bits: int, n_cols: int = 0) -> int:
+    """Row-block size for the blocked query kernels (top-k / screens).
+
+    At large M the block kernel routes to the Pallas MXU rectangle, which
+    pads A-blocks up to its k2_tile_rows tile — undersized query blocks
+    would be zero-padded 4x (wasted MXU work), so match the tile.
+
+    At small M it routes to the XLA int8 path, which unpacks the FULL
+    partner matrix to int8 on EVERY ``lax.map`` step — 64-row blocks at
+    N=16384 meant 256 redundant 1 GB unpacks (measured 20 s for a screen
+    whose matmuls are ~0.1 s). Size the block by a counts-memory budget
+    instead (~512 MB of int32 per block) so a handful of big matmuls
+    amortize the unpack, and shave the last block's padding by balancing
+    the block count."""
     from stormtpu.config import default_config
     from stormtpu.kernels import MXU_XLA_MAX_BITS
 
     if m_bits > MXU_XLA_MAX_BITS:
         return default_config().k2_tile_rows
-    return 64
+    if n_cols <= 0:
+        return 64
+    budget = max(64, (1 << 29) // max(4 * n_cols, 1))
+    n64 = round_up(n_cols, 64)
+    blk = min(budget, n64, 8192)
+    nb = -(-n64 // blk)  # ceil: number of blocks at the budget size
+    blk = round_up(-(-n64 // nb), 64)  # re-balance so padding ≤ 64·nb rows
+    return int(blk)
 
 
 @jax.jit
@@ -73,15 +96,18 @@ def pair_counts(x: MatrixLike, ii, jj) -> np.ndarray:
         raise ValueError("pair index out of range")
     if ii.size == 0:
         return np.zeros(0, dtype=np.int32)
-    packed_d = jnp.asarray(bm.packed)
+    packed_d = bm.device_padded(bm.n)
     # Chunk the gathered stream: the gather materializes two [P, W]
     # operands, so an unchunked huge pair list (e.g. a permissive
     # pairs_above screen) would allocate P·W·8 bytes — 21 GB was observed
     # at P=167k, W=31250. Fixed chunk shape ⇒ one compile.
     budget_rows = max(8, _PAIR_GATHER_MAX_WORDS // max(bm.n_words, 1) // 8 * 8)
     # round UP so an in-budget list is one padded dispatch (rounding down
-    # made a 100-pair query take two dispatches on a ~25 ms-latency relay)
-    chunk = min(round_up(ii.size, 8), budget_rows)
+    # made a 100-pair query take two dispatches on a ~25 ms-latency relay),
+    # and quantize to powers of two: every distinct padded length is a
+    # fresh 20–60 s compile on this stack, so a screen returning 157 then
+    # 397 hits must land in the same bucket, not two new shapes
+    chunk = min(_next_pow2(ii.size), budget_rows)
     p_pad = round_up(ii.size, chunk)
     ii_p = np.zeros(p_pad, dtype=np.int32)
     jj_p = np.zeros(p_pad, dtype=np.int32)
@@ -132,13 +158,11 @@ def topk_neighbors(
     """
     bm = _as_bitmatrix(x)
     if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits)
+        block_rows = _default_block_rows(bm.m_bits, bm.n)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     n_pad = round_up(bm.n, block_rows)
-    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
-    xp[: bm.n] = bm.packed
-    vals, idx = _topk_blocks(jnp.asarray(xp), k, block_rows)
+    vals, idx = _topk_blocks(bm.device_padded(n_pad), k, block_rows)
     vals = np.asarray(vals).reshape(n_pad, k)[: bm.n]
     idx = np.asarray(idx).reshape(n_pad, k)[: bm.n]
     # padded zero rows can appear among neighbors with count 0 — they are
@@ -234,8 +258,7 @@ def _hits_one_block(
     return _pack_bit_rows(hit)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
-def _hits_blocks(
+def _hits_blocks_body(
     packed: jax.Array,
     thresh: jax.Array,
     nnz: jax.Array,
@@ -255,6 +278,46 @@ def _hits_blocks(
         ),
         (blocks, base, nnz_blocks),
     )
+
+
+_hits_blocks = functools.partial(jax.jit, static_argnames=("block_rows", "measure"))(
+    _hits_blocks_body
+)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
+def _hits_and_summary(
+    packed: jax.Array,
+    thresh: jax.Array,
+    nnz: jax.Array,
+    block_rows: int,
+    measure: str,
+    m_f: jax.Array,
+):
+    """Screen + word-level summary, both left ON DEVICE.
+
+    The hit bitmap is 32× smaller than counts, but through this relay
+    even that dominates (34 MB fetched at ~5 MB/s while the screen
+    compute is ~0.15 s — measured). So the device also packs a second
+    level: one bit per WORD of the hit bitmap (1024× smaller than
+    counts). The host fetches only the summary and then gathers the few
+    nonzero words — D2H is O(hits), not O(N²/32)."""
+    n = packed.shape[0]
+    wout = n // 32
+    hits = _hits_blocks_body(packed, thresh, nnz, block_rows, measure, m_f)
+    flat = hits.reshape(n, wout)
+    wsum = round_up(wout, 32)
+    nz = jnp.pad(flat != 0, ((0, 0), (0, wsum - wout)))
+    return flat, _pack_bit_rows(nz)
+
+
+@jax.jit
+def _gather_hit_words(
+    flat: jax.Array, ri: jax.Array, wi: jax.Array
+) -> jax.Array:
+    # 2-D gather (not a flattened index: row·W overflows int32 at the
+    # N=1M scale and jax demotes int64 indices)
+    return flat[ri, wi]
 
 
 def _measure_host(inter, ca, cb, measure, m_bits):
@@ -313,53 +376,94 @@ def pairs_above(
     Returns (ii, jj, values); values are int32 counts for "count",
     float64 similarities otherwise.
 
-    The device returns one *bit* per candidate pair (32× less transfer
-    than counts). For similarities the device screen runs in float32 with
-    slack and the host re-filters hits exactly in float64, so rounding can
-    only add candidates, never drop true hits.
+    Transfer is two-phase: the host fetches a 1-bit-per-WORD summary of
+    the device-resident hit bitmap (1024× less than counts) and then
+    gathers only the nonzero words — D2H scales with the number of hits,
+    not with N² (measured: the one-phase 34 MB bitmap fetch dominated the
+    0.15 s screen compute through this relay). A dense screen falls back
+    to the straight bitmap fetch. For similarities the device screen runs
+    in float32 with slack and the host re-filters hits exactly in
+    float64, so rounding can only add candidates, never drop true hits.
     """
     del config
     bm = _as_bitmatrix(x)
     if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits)
+        block_rows = _default_block_rows(bm.m_bits, bm.n)
     dev_thresh = _validate_screen(measure, threshold)
     lcm = int(np.lcm(block_rows, 32))
     n_pad = round_up(max(bm.n, 1), lcm)
-    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
-    xp[: bm.n] = bm.packed
-    nnz_pad = np.zeros(n_pad, dtype=np.int32)
-    nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
-    hits = np.asarray(
-        _hits_blocks(
-            jnp.asarray(xp), dev_thresh, jnp.asarray(nnz_pad),
-            block_rows, measure, jnp.float32(bm.m_bits),
-        )
-    ).reshape(n_pad, n_pad // 32)
-    return _expand_and_refine(bm, hits, n_pad, measure, threshold)
+    wout = n_pad // 32
+    hits_d, summary_d = _hits_and_summary(
+        bm.device_padded(n_pad), dev_thresh, bm.device_nnz(n_pad),
+        block_rows, measure, jnp.float32(bm.m_bits),
+    )
+    # phase 1: fetch the 1-bit-per-word summary; locate candidate words
+    summary = np.asarray(summary_d)
+    wi_r, wi_w = _expand_words(summary[: bm.n], np.int32(wout))
+    if wi_r.size > n_pad * wout // 8:
+        # dense screen: gathering word-by-word would cost more than the
+        # straight bitmap fetch
+        hits = np.asarray(hits_d)
+        return _expand_and_refine(bm, hits, n_pad, measure, threshold)
+    # phase 2: gather only the nonzero words (fixed-shape chunked
+    # dispatches, same pattern as pair_counts)
+    if wi_r.size:
+        k = wi_r.size
+        chunk = int(min(max(_next_pow2(k), 4096), 1 << 16))
+        p_pad = round_up(k, chunk)
+        ri_p = np.zeros(p_pad, dtype=np.int32)
+        wi_p = np.zeros(p_pad, dtype=np.int32)
+        ri_p[:k] = wi_r
+        wi_p[:k] = wi_w
+        words = np.concatenate([
+            np.asarray(_gather_hit_words(
+                hits_d, jnp.asarray(ri_p[o : o + chunk]),
+                jnp.asarray(wi_p[o : o + chunk]),
+            ))
+            for o in range(0, p_pad, chunk)
+        ])[:k]
+    else:
+        words = np.zeros(0, np.uint32)
+    ii, jj = _expand_bits(bm, wi_r, wi_w, words)
+    return _refine(bm, ii, jj, measure, threshold)
 
 
-def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
-                       threshold: float):
-    """Expand a packed [n_pad, n_pad/32] hit bitmap to COO on host and
-    re-filter candidates with exact arithmetic (int counts via
-    ``pair_counts``; float64 for similarities). Shared with the
-    distributed screen (parallel/query.py).
+def _expand_words(rows: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Set-bit coordinates of a packed uint32 bitmap: [R, W/32] →
+    (row, col) with col < ``width``, row-major (sorted) order. Only the
+    nonzero words are expanded, so cost is O(scan + set bits)."""
+    ri, wi = np.nonzero(rows)
+    if not ri.size:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bits = np.unpackbits(
+        rows[ri, wi].view("<u1").reshape(-1, 4), axis=1, bitorder="little"
+    )
+    sel, bit = np.nonzero(bits)
+    # nonzero orders are row-major, so (row, word, bit) stays sorted
+    cols = wi[sel] * 32 + bit
+    keep = cols < width
+    return ri[sel][keep], cols[keep]
 
-    Expansion runs in row stripes so the transient dense uint8 view never
-    exceeds ~1 GB — an all-at-once unpack of a large-N bitmap would be
-    8× the bitmap (N=1M → 1 TB) and OOM the host."""
-    from stormtpu.layout import unpack_bits
 
-    stripe = max(512, (1 << 30) // max(n_pad, 1))
-    ii_parts: list[np.ndarray] = []
-    jj_parts: list[np.ndarray] = []
-    for r0 in range(0, bm.n, stripe):
-        dense_hits = unpack_bits(hits[r0 : min(r0 + stripe, bm.n)], n_pad)[:, : bm.n]
-        si, sj = np.nonzero(dense_hits)
-        ii_parts.append((si + r0).astype(np.int32))
-        jj_parts.append(sj.astype(np.int32))
-    ii = np.concatenate(ii_parts) if ii_parts else np.zeros(0, np.int32)
-    jj = np.concatenate(jj_parts) if jj_parts else np.zeros(0, np.int32)
+def _expand_bits(bm, wi_r: np.ndarray, wi_w: np.ndarray, words: np.ndarray):
+    """COO pair indices from nonzero hit-bitmap words: word ``words[k]``
+    holds columns [wi_w[k]·32, +32) of row wi_r[k]."""
+    if not words.size:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    bits = np.unpackbits(
+        words.view("<u1").reshape(-1, 4), axis=1, bitorder="little"
+    )
+    sel, bit = np.nonzero(bits)
+    ii = wi_r[sel].astype(np.int32)
+    jj = (wi_w[sel] * 32 + bit).astype(np.int32)
+    keep = jj < bm.n  # padded columns (defensive; screens never admit them)
+    return ii[keep], jj[keep]
+
+
+def _refine(bm, ii: np.ndarray, jj: np.ndarray, measure: str,
+            threshold: float):
+    """Exact re-filter of screen candidates (int counts via
+    ``pair_counts``; float64 for similarities)."""
     counts = pair_counts(bm, ii, jj) if ii.size else np.zeros(0, np.int32)
     if measure == "count":
         return ii, jj, counts
@@ -367,3 +471,16 @@ def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
                          bm.m_bits)
     keep = vals >= threshold
     return ii[keep], jj[keep], vals[keep]
+
+
+def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
+                       threshold: float):
+    """Expand a full packed [n_pad, n_pad/32] hit bitmap to COO and
+    refine. Used by the distributed screen (parallel/query.py), whose
+    gather already materialized the bitmap, and by the dense-screen
+    fallback of ``pairs_above``."""
+    del n_pad
+    wi_r, wi_w = np.nonzero(hits[: bm.n])
+    words = hits[wi_r, wi_w] if wi_r.size else np.zeros(0, np.uint32)
+    ii, jj = _expand_bits(bm, wi_r, wi_w, words)
+    return _refine(bm, ii, jj, measure, threshold)

@@ -200,3 +200,15 @@ def test_pairs_above_phi_dense_rows_cancellation():
     ii, jj, vals = pairs_above(bm, phi - 1e-9, measure="phi", block_rows=32)
     assert (0, 1) in set(zip(ii.tolist(), jj.tolist()))
     np.testing.assert_allclose(vals[0], phi, rtol=1e-12)
+
+
+def test_pairs_above_dense_screen_fallback(data):
+    """threshold=1 at moderate density admits nearly every pair, pushing
+    the two-phase fetch past its density cutoff into the full-bitmap
+    fallback — results must be identical to the sparse-gather path."""
+    bm, want = data
+    ii, jj, counts = pairs_above(bm, 1, block_rows=32)
+    wi, wj = np.nonzero(np.triu(want, 1) >= 1)
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+    np.testing.assert_array_equal(counts, want[ii, jj])
