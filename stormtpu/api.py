@@ -86,10 +86,15 @@ def intersect_count_matrix(
             if packed_np.shape[1] == 0:
                 return np.zeros((bm.n, bm.n), dtype=np.int32)
     # host-only strategies must not pay a device transfer; device
-    # strategies convert here
-    packed = (
-        jnp.asarray(packed_np) if strategy != "sparse_outer" else packed_np
-    )
+    # strategies convert here (through the BitMatrix device cache when the
+    # operand is the uncompacted matrix — repeated calls skip the H2D
+    # re-upload, which costs seconds at 100 MB+ through the relay)
+    if strategy == "sparse_outer":
+        packed = packed_np
+    elif packed_np is bm.packed:
+        packed = bm.device_padded(bm.n)
+    else:
+        packed = jnp.asarray(packed_np)
     if strategy == "popcount":
         out = kx.count_matrix_popcount_xla(packed)
     elif strategy == "mxu":

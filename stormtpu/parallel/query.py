@@ -56,6 +56,29 @@ from stormtpu.utils import round_up
 __all__ = ["distributed_topk_neighbors", "distributed_pairs_above"]
 
 
+def _sharded_operands(bm, mesh: Mesh, n_pad: int):
+    """Mesh-sharded device operands for ``bm``, cached on the BitMatrix
+    (same rationale as BitMatrix.device_padded: repeated queries must not
+    re-upload O(N·W) per call). Returns (packed row-sharded,
+    nnz row-sharded, nnz replicated)."""
+    axis = mesh.axis_names[0]
+    cache = bm.__dict__.setdefault("_device_cache", {})
+    key = ("sharded", mesh, int(n_pad))
+    bufs = cache.get(key)
+    if bufs is None:
+        xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
+        xp[: bm.n] = bm.packed
+        nnz_pad = np.zeros(n_pad, dtype=np.int32)
+        nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
+        bufs = (
+            jax.device_put(xp, NamedSharding(mesh, P(axis, None))),
+            jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
+            jax.device_put(nnz_pad, NamedSharding(mesh, P())),
+        )
+        cache[key] = bufs
+    return bufs
+
+
 def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
     """Per-device ring loop maintaining running top-k for the local rows.
 
@@ -151,9 +174,7 @@ def distributed_topk_neighbors(
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     n_pad = round_up(max(bm.n, r), r * block_rows)
     n_loc = n_pad // r
-    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
-    xp[: bm.n] = bm.packed
-    x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
+    x_sharded, _, _ = _sharded_operands(bm, mesh, n_pad)
     vals, idx = _topk_fn(mesh, n_loc, k, block_rows)(x_sharded)
     vals = fetch_global(vals)[: bm.n]
     idx = fetch_global(idx)[: bm.n]
@@ -291,17 +312,13 @@ def distributed_pairs_above(
     dev_thresh = _validate_screen(measure, threshold)
     n_pad = round_up(max(bm.n, r), r * block_rows)
     n_loc = n_pad // r
-    xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
-    xp[: bm.n] = bm.packed
-    nnz_pad = np.zeros(n_pad, dtype=np.int32)
-    nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
-    shard = NamedSharding(mesh, P(axis, None))
+    x_sharded, nnz_sharded, nnz_rep = _sharded_operands(bm, mesh, n_pad)
     rep = NamedSharding(mesh, P())
     hits = fetch_global(
         _hits_fn(mesh, n_loc, block_rows, measure)(
-            jax.device_put(xp, shard),
-            jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
-            jax.device_put(nnz_pad, rep),
+            x_sharded,
+            nnz_sharded,
+            nnz_rep,
             jax.device_put(dev_thresh, rep),
             jax.device_put(jnp.float32(bm.m_bits), rep),
         )
