@@ -101,17 +101,26 @@ def cmd_accept(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_count(args: argparse.Namespace) -> int:
-    from stormtpu import BitMatrix, intersect_count_matrix
-    from stormtpu.setops import pairwise_cardinality
+def _load_matrix(infile: str):
+    from stormtpu import BitMatrix
 
-    if args.infile.endswith(".npz"):
-        with np.load(args.infile) as z:
-            bm = BitMatrix.from_positions(
+    if infile.endswith(".npz"):
+        with np.load(infile) as z:
+            if "packed" in z:  # io.save_bitmatrix format
+                from stormtpu.io import load_bitmatrix
+
+                return load_bitmatrix(infile)
+            return BitMatrix.from_positions(
                 z["row_ids"], z["positions"], int(z["n"]), int(z["m_bits"])
             )
-    else:
-        bm = BitMatrix.from_dense(np.load(args.infile))
+    return BitMatrix.from_dense(np.load(infile))
+
+
+def cmd_count(args: argparse.Namespace) -> int:
+    from stormtpu import intersect_count_matrix
+    from stormtpu.setops import pairwise_cardinality
+
+    bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.op == "intersect":
         out = intersect_count_matrix(bm, strategy=args.strategy)
@@ -119,6 +128,33 @@ def cmd_count(args: argparse.Namespace) -> int:
         out = pairwise_cardinality(bm, args.op, strategy=args.strategy)
     np.save(args.out, out)
     _log(f"wrote {args.out} shape={out.shape} dtype={out.dtype}")
+    return 0
+
+
+def cmd_topk(args: argparse.Namespace) -> int:
+    from stormtpu import topk_neighbors
+
+    bm = _load_matrix(args.infile)
+    _log(f"loaded {bm}")
+    vals, idx = topk_neighbors(bm, args.k)
+    np.savez(args.out, counts=vals, indices=idx)
+    _log(f"wrote {args.out}: counts/indices int32 [{bm.n}, {args.k}]")
+    return 0
+
+
+def cmd_screen(args: argparse.Namespace) -> int:
+    from stormtpu import pairs_above
+
+    bm = _load_matrix(args.infile)
+    _log(f"loaded {bm}")
+    ii, jj, vals = pairs_above(bm, args.threshold, measure=args.measure)
+    np.savez(args.out, ii=ii, jj=jj, values=vals)
+    _log(f"wrote {args.out}: {ii.size} pairs with {args.measure} >= "
+         f"{args.threshold}")
+    if args.print_pairs:
+        for a, b, v in zip(ii[: args.print_pairs], jj[: args.print_pairs],
+                           vals[: args.print_pairs]):
+            print(f"{a}\t{b}\t{v}")
     return 0
 
 
@@ -175,6 +211,28 @@ def main(argv=None) -> int:
                     choices=("intersect", "union", "xor", "andnot", "nand"))
     sp.add_argument("--strategy", default="auto")
     sp.set_defaults(fn=cmd_count)
+
+    sp = sub.add_parser("topk", help="per-row top-k partners by intersection count")
+    sp.add_argument("--in", dest="infile", required=True,
+                    help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
+    sp.add_argument("--out", required=True, help="output .npz (counts, indices)")
+    sp.add_argument("--k", type=int, default=10)
+    sp.set_defaults(fn=cmd_topk)
+
+    sp = sub.add_parser(
+        "screen",
+        help="all pairs with a measure above a threshold (LD-style screen)",
+    )
+    sp.add_argument("--in", dest="infile", required=True,
+                    help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
+    sp.add_argument("--out", required=True, help="output .npz (ii, jj, values)")
+    sp.add_argument("--threshold", type=float, required=True)
+    sp.add_argument("--measure", default="count",
+                    choices=("count", "jaccard", "dice", "cosine",
+                             "overlap", "phi", "r2"))
+    sp.add_argument("--print-pairs", type=int, default=0, metavar="K",
+                    help="also print the first K hits to stdout")
+    sp.set_defaults(fn=cmd_screen)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -234,13 +234,16 @@ class BitMatrix:
 
         if n_pad < self.n:
             raise ValueError(f"n_pad={n_pad} < N={self.n}")
+        import jax
+
         cache = self.__dict__.setdefault("_device_cache", {})
-        buf = cache.get(("padded", int(n_pad)))
+        key = ("padded", int(n_pad), jax.default_backend())
+        buf = cache.get(key)
         if buf is None:
             xp = np.zeros((n_pad, self.packed.shape[1]), dtype=np.uint32)
             xp[: self.n] = self.packed
             buf = jnp.asarray(xp)
-            cache[("padded", int(n_pad))] = buf
+            cache[key] = buf
         return buf
 
     def device_nnz(self, n_pad: int):
@@ -250,13 +253,16 @@ class BitMatrix:
 
         if n_pad < self.n:
             raise ValueError(f"n_pad={n_pad} < N={self.n}")
+        import jax
+
         cache = self.__dict__.setdefault("_device_cache", {})
-        buf = cache.get(("nnz", int(n_pad)))
+        key = ("nnz", int(n_pad), jax.default_backend())
+        buf = cache.get(key)
         if buf is None:
             nz = np.zeros(n_pad, dtype=np.int32)
             nz[: self.n] = self.row_nnz.astype(np.int32)
             buf = jnp.asarray(nz)
-            cache[("nnz", int(n_pad))] = buf
+            cache[key] = buf
         return buf
 
     def clear_device_cache(self) -> None:

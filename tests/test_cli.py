@@ -48,3 +48,40 @@ def test_cli_count_dense_union(tmp_path, rng):
     a = dense[:, None, :].astype(np.int64)
     b = dense[None, :, :].astype(np.int64)
     np.testing.assert_array_equal(got, (a | b).sum(axis=2))
+
+
+def test_cli_topk_and_screen(tmp_path):
+    import numpy as np
+
+    from stormtpu import BitMatrix, pairs_above, topk_neighbors
+    from stormtpu.cli import main
+    from stormtpu.io import save_bitmatrix
+
+    rng = np.random.default_rng(3)
+    dense = (rng.random((60, 1024)) < 0.3).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    mat = tmp_path / "m.npz"
+    save_bitmatrix(bm, str(mat))
+
+    out = tmp_path / "topk.npz"
+    assert main(["topk", "--in", str(mat), "--out", str(out), "--k", "4"]) == 0
+    with np.load(out) as z:
+        v1, i1 = topk_neighbors(bm, 4)
+        np.testing.assert_array_equal(z["counts"], v1)
+
+    out = tmp_path / "hits.npz"
+    assert main(["screen", "--in", str(mat), "--out", str(out),
+                 "--threshold", "100"]) == 0
+    with np.load(out) as z:
+        ii, jj, vv = pairs_above(bm, 100)
+        assert ii.size > 0
+        np.testing.assert_array_equal(z["ii"], ii)
+        np.testing.assert_array_equal(z["jj"], jj)
+        np.testing.assert_array_equal(z["values"], vv)
+
+    # dense .npy input path too
+    npy = tmp_path / "m.npy"
+    np.save(npy, dense)
+    out2 = tmp_path / "hits2.npz"
+    assert main(["screen", "--in", str(npy), "--out", str(out2),
+                 "--threshold", "0.3", "--measure", "jaccard"]) == 0
