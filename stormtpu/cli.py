@@ -102,14 +102,19 @@ def cmd_accept(args: argparse.Namespace) -> int:
 
 
 def _load_matrix(infile: str):
+    import zipfile
+
     from stormtpu import BitMatrix
 
     if infile.endswith(".npz"):
-        with np.load(infile) as z:
-            if "packed" in z:  # io.save_bitmatrix format
-                from stormtpu.io import load_bitmatrix
+        # probe the member list without decompressing anything
+        with zipfile.ZipFile(infile) as zf:
+            is_bitmatrix = "packed.npy" in zf.namelist()
+        if is_bitmatrix:  # io.save_bitmatrix format
+            from stormtpu.io import load_bitmatrix
 
-                return load_bitmatrix(infile)
+            return load_bitmatrix(infile)
+        with np.load(infile) as z:
             return BitMatrix.from_positions(
                 z["row_ids"], z["positions"], int(z["n"]), int(z["m_bits"])
             )

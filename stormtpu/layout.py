@@ -223,28 +223,61 @@ class BitMatrix:
     def to_dense(self) -> np.ndarray:
         return unpack_bits(self.packed, self.m_bits)
 
-    def device_padded(self, n_pad: int):
+    def device_cached(self, key: tuple, build):
+        """Cache a device buffer on this matrix under ``key`` (the
+        single cache-policy point shared by :meth:`device_padded`,
+        :meth:`device_nnz`, and the mesh-sharded operands in
+        parallel/query.py). ``jax.default_backend()`` is appended so a
+        matrix used on CPU then TPU in one process cannot serve a stale
+        buffer. Cache lives outside the dataclass fields (not part of
+        equality or serialization).
+
+        Contract: a BitMatrix is treated as IMMUTABLE once built — every
+        builder returns a fresh instance. If you mutate ``packed`` /
+        ``row_nnz`` in place anyway, call :meth:`clear_device_cache`
+        afterwards or device-path results will reflect the old data."""
+        import jax
+
+        cache = self.__dict__.setdefault("_device_cache", {})
+        full_key = key + (jax.default_backend(),)
+        buf = cache.get(full_key)
+        if buf is None:
+            buf = build()
+            cache[full_key] = buf
+        return buf
+
+    def device_padded(self, n_pad: int, *, reuse_larger: bool = False):
         """Device-resident ``packed`` zero-padded to ``n_pad`` rows,
         cached per ``n_pad``. Repeated queries on one matrix re-dispatch
         on the same device buffer instead of re-uploading O(N·W) bytes
         per call — measured on the relay: a 138 MB re-upload dominated a
-        0.15 s screen kernel. Cache lives outside the dataclass fields
-        (not part of equality or serialization)."""
+        0.15 s screen kernel.
+
+        ``reuse_larger``: return any already-cached padded buffer with
+        ≥ ``n_pad`` rows instead of materializing a new exact-size copy —
+        for callers whose row indices are < N anyway (gathers), so a
+        second full HBM copy is never pinned next to the screen's."""
+        import jax
         import jax.numpy as jnp
 
         if n_pad < self.n:
             raise ValueError(f"n_pad={n_pad} < N={self.n}")
-        import jax
+        if reuse_larger:
+            cache = self.__dict__.get("_device_cache", {})
+            backend = jax.default_backend()
+            candidates = [
+                k for k in cache
+                if k[0] == "padded" and k[2] == backend and k[1] >= n_pad
+            ]
+            if candidates:
+                return cache[min(candidates, key=lambda k: k[1])]
 
-        cache = self.__dict__.setdefault("_device_cache", {})
-        key = ("padded", int(n_pad), jax.default_backend())
-        buf = cache.get(key)
-        if buf is None:
+        def build():
             xp = np.zeros((n_pad, self.packed.shape[1]), dtype=np.uint32)
             xp[: self.n] = self.packed
-            buf = jnp.asarray(xp)
-            cache[key] = buf
-        return buf
+            return jnp.asarray(xp)
+
+        return self.device_cached(("padded", int(n_pad)), build)
 
     def device_nnz(self, n_pad: int):
         """Device-resident int32 ``row_nnz`` zero-padded to ``n_pad``
@@ -253,20 +286,17 @@ class BitMatrix:
 
         if n_pad < self.n:
             raise ValueError(f"n_pad={n_pad} < N={self.n}")
-        import jax
 
-        cache = self.__dict__.setdefault("_device_cache", {})
-        key = ("nnz", int(n_pad), jax.default_backend())
-        buf = cache.get(key)
-        if buf is None:
+        def build():
             nz = np.zeros(n_pad, dtype=np.int32)
             nz[: self.n] = self.row_nnz.astype(np.int32)
-            buf = jnp.asarray(nz)
-            cache[key] = buf
-        return buf
+            return jnp.asarray(nz)
+
+        return self.device_cached(("nnz", int(n_pad)), build)
 
     def clear_device_cache(self) -> None:
-        """Drop cached device buffers (frees device memory)."""
+        """Drop cached device buffers (frees device memory; REQUIRED
+        after any in-place mutation of ``packed``/``row_nnz``)."""
         self.__dict__.pop("_device_cache", None)
 
     def positions_csr(self) -> tuple[np.ndarray, np.ndarray]:

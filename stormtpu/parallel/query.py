@@ -62,21 +62,19 @@ def _sharded_operands(bm, mesh: Mesh, n_pad: int):
     re-upload O(N·W) per call). Returns (packed row-sharded,
     nnz row-sharded, nnz replicated)."""
     axis = mesh.axis_names[0]
-    cache = bm.__dict__.setdefault("_device_cache", {})
-    key = ("sharded", mesh, int(n_pad))
-    bufs = cache.get(key)
-    if bufs is None:
+
+    def build():
         xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
         xp[: bm.n] = bm.packed
         nnz_pad = np.zeros(n_pad, dtype=np.int32)
         nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
-        bufs = (
+        return (
             jax.device_put(xp, NamedSharding(mesh, P(axis, None))),
             jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
             jax.device_put(nnz_pad, NamedSharding(mesh, P())),
         )
-        cache[key] = bufs
-    return bufs
+
+    return bm.device_cached(("sharded", mesh, int(n_pad)), build)
 
 
 def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):

@@ -96,7 +96,10 @@ def pair_counts(x: MatrixLike, ii, jj) -> np.ndarray:
         raise ValueError("pair index out of range")
     if ii.size == 0:
         return np.zeros(0, dtype=np.int32)
-    packed_d = bm.device_padded(bm.n)
+    # reuse any larger cached buffer (e.g. the screen's padded copy):
+    # gather indices are < N, so extra zero rows are invisible, and a
+    # second full HBM copy is never pinned next to the screen's
+    packed_d = bm.device_padded(bm.n, reuse_larger=True)
     # Chunk the gathered stream: the gather materializes two [P, W]
     # operands, so an unchunked huge pair list (e.g. a permissive
     # pairs_above screen) would allocate P·W·8 bytes — 21 GB was observed
@@ -280,11 +283,6 @@ def _hits_blocks_body(
     )
 
 
-_hits_blocks = functools.partial(jax.jit, static_argnames=("block_rows", "measure"))(
-    _hits_blocks_body
-)
-
-
 @functools.partial(jax.jit, static_argnames=("block_rows", "measure"))
 def _hits_and_summary(
     packed: jax.Array,
@@ -428,36 +426,51 @@ def pairs_above(
     return _refine(bm, ii, jj, measure, threshold)
 
 
+# Words expanded per host chunk (~0.5 GB transient of unpacked bits).
+_EXPAND_CHUNK_WORDS = 1 << 24
+
+
+def _expand_word_coords(
+    wi_r: np.ndarray, wi_w: np.ndarray, words: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Set-bit coordinates from nonzero bitmap words: ``words[k]`` packs
+    columns [wi_w[k]·32, +32) of row wi_r[k]; keeps col < ``width``,
+    row-major (sorted) order. THE bit-expansion point — every screen/
+    summary expansion path goes through here. Chunked so the transient
+    unpacked-bit buffer stays bounded (a single pass over ~2e9 nonzero
+    words would allocate ~64 B/word of transients and OOM the host)."""
+    if not words.size:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    out_r: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for o in range(0, words.size, _EXPAND_CHUNK_WORDS):
+        w = words[o : o + _EXPAND_CHUNK_WORDS]
+        bits = np.unpackbits(
+            w.view("<u1").reshape(-1, 4), axis=1, bitorder="little"
+        )
+        sel, bit = np.nonzero(bits)
+        # nonzero orders are row-major, so (row, word, bit) stays sorted
+        cols = wi_w[o + sel] * 32 + bit
+        keep = cols < width
+        out_r.append(wi_r[o + sel][keep])
+        out_c.append(cols[keep])
+    return np.concatenate(out_r), np.concatenate(out_c)
+
+
 def _expand_words(rows: np.ndarray, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Set-bit coordinates of a packed uint32 bitmap: [R, W/32] →
-    (row, col) with col < ``width``, row-major (sorted) order. Only the
-    nonzero words are expanded, so cost is O(scan + set bits)."""
+    (row, col) with col < ``width``. Only the nonzero words are
+    expanded, so cost is O(bitmap scan + set bits)."""
     ri, wi = np.nonzero(rows)
     if not ri.size:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    bits = np.unpackbits(
-        rows[ri, wi].view("<u1").reshape(-1, 4), axis=1, bitorder="little"
-    )
-    sel, bit = np.nonzero(bits)
-    # nonzero orders are row-major, so (row, word, bit) stays sorted
-    cols = wi[sel] * 32 + bit
-    keep = cols < width
-    return ri[sel][keep], cols[keep]
+    return _expand_word_coords(ri, wi, rows[ri, wi], width)
 
 
 def _expand_bits(bm, wi_r: np.ndarray, wi_w: np.ndarray, words: np.ndarray):
-    """COO pair indices from nonzero hit-bitmap words: word ``words[k]``
-    holds columns [wi_w[k]·32, +32) of row wi_r[k]."""
-    if not words.size:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    bits = np.unpackbits(
-        words.view("<u1").reshape(-1, 4), axis=1, bitorder="little"
-    )
-    sel, bit = np.nonzero(bits)
-    ii = wi_r[sel].astype(np.int32)
-    jj = (wi_w[sel] * 32 + bit).astype(np.int32)
-    keep = jj < bm.n  # padded columns (defensive; screens never admit them)
-    return ii[keep], jj[keep]
+    """COO pair indices (int32) from nonzero hit-bitmap words."""
+    ii, jj = _expand_word_coords(wi_r, wi_w, words, bm.n)
+    return ii.astype(np.int32), jj.astype(np.int32)
 
 
 def _refine(bm, ii: np.ndarray, jj: np.ndarray, measure: str,
@@ -480,7 +493,6 @@ def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
     gather already materialized the bitmap, and by the dense-screen
     fallback of ``pairs_above``."""
     del n_pad
-    wi_r, wi_w = np.nonzero(hits[: bm.n])
-    words = hits[wi_r, wi_w] if wi_r.size else np.zeros(0, np.uint32)
-    ii, jj = _expand_bits(bm, wi_r, wi_w, words)
-    return _refine(bm, ii, jj, measure, threshold)
+    ii, jj = _expand_words(hits[: bm.n], bm.n)
+    return _refine(bm, ii.astype(np.int32), jj.astype(np.int32),
+                   measure, threshold)

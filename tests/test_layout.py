@@ -173,3 +173,24 @@ def test_bitmatrix_builder_validation():
     with _pytest.raises(ValueError):
         b.add(rid, [-1])
     assert b.finalize().nnz == 0
+
+
+def test_device_cache_reuse_and_clear():
+    from conftest import random_bitmatrix
+
+    bm = random_bitmatrix(50, 1024, 0.3, seed=9)
+    big = bm.device_padded(64)
+    # a gather-style caller must reuse the larger cached buffer instead
+    # of pinning a second full copy (HBM-OOM guard)
+    assert bm.device_padded(50, reuse_larger=True) is big
+    cache = bm.__dict__["_device_cache"]
+    assert len([k for k in cache if k[0] == "padded"]) == 1
+    # without reuse_larger an exact-size buffer is its own entry
+    exact = bm.device_padded(50)
+    assert exact is not big
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(exact)[:50], bm.packed)
+    np.testing.assert_array_equal(np.asarray(big)[50:], 0)
+    bm.clear_device_cache()
+    assert "_device_cache" not in bm.__dict__
