@@ -318,6 +318,84 @@ def _gather_hit_words(
     return flat[ri, wi]
 
 
+# Tile pairs screened per device chunk of the triangular tile screen
+# (chunk · ti² · 4 B of count tiles live at once — 64 MB at ti=256).
+_SCREEN_TILE_CHUNK = 256
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ti", "wk", "interpret", "variant", "measure"),
+)
+def _hits_tiles_and_summary(
+    packed: jax.Array,
+    ibs: jax.Array,
+    jbs: jax.Array,
+    thresh: jax.Array,
+    nnz: jax.Array,
+    m_f: jax.Array,
+    *,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    variant: str,
+    measure: str,
+):
+    """TRIANGULAR screen: the same tuned K2 MXU tile walk the count
+    matrix uses (half the FLOPs of the square block screen), with the
+    screen + bit-pack fused after each chunk of tiles so the count tiles
+    never materialize beyond one chunk. Off-diagonal tiles (ib < jb) are
+    entirely upper-triangular in global ids, so only diagonal tiles need
+    the col > row mask — which the global-id mask applies uniformly.
+    The caller pads the (ibs, jbs) list to a chunk multiple by repeating
+    the last tile: re-screening a tile rewrites the same bitmap words
+    with the same values (idempotent).
+
+    Returns (hit bitmap [n_pad, n_pad/32], word summary), both ON DEVICE
+    — the two-phase fetch of ``_hits_and_summary`` applies unchanged.
+    """
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+
+    n_pad = packed.shape[0]
+    wout = n_pad // 32
+    wt = ti // 32
+    chunk = min(_SCREEN_TILE_CHUNK, ibs.shape[0])
+    n_chunks = ibs.shape[0] // chunk
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+
+    def tile_hit(args):
+        tile, ib, jb = args
+        row_g = ib * ti + iota0
+        col_g = jb * ti + iota1
+        nzr = jax.lax.dynamic_slice(nnz, (ib * ti,), (ti,))
+        nzc = jax.lax.dynamic_slice(nnz, (jb * ti,), (ti,))
+        vals = _screen_vals(tile, nzr, nzc, m_f, measure)
+        return _pack_bit_rows((vals >= thresh) & (col_g > row_g))
+
+    def body(c, bitmap):
+        ib_c = jax.lax.dynamic_slice(ibs, (c * chunk,), (chunk,))
+        jb_c = jax.lax.dynamic_slice(jbs, (c * chunk,), (chunk,))
+        tiles = count_tiles_pallas_mxu(
+            packed, ib_c, jb_c, tile_rows=ti, tile_words=wk,
+            interpret=interpret, variant=variant,
+        )
+        words = jax.lax.map(tile_hit, (tiles, ib_c, jb_c))  # [chunk, ti, wt]
+
+        def place(k, bm_):
+            return jax.lax.dynamic_update_slice(
+                bm_, words[k], (ib_c[k] * ti, jb_c[k] * wt)
+            )
+
+        return jax.lax.fori_loop(0, chunk, place, bitmap)
+
+    bitmap = jnp.zeros((n_pad, wout), dtype=jnp.uint32)
+    bitmap = jax.lax.fori_loop(0, n_chunks, body, bitmap)
+    wsum = round_up(wout, 32)
+    nz = jnp.pad(bitmap != 0, ((0, 0), (0, wsum - wout)))
+    return bitmap, _pack_bit_rows(nz)
+
+
 def _measure_host(inter, ca, cb, measure, m_bits):
     inter = inter.astype(np.float64)
     ca = ca.astype(np.float64)
@@ -388,13 +466,82 @@ def pairs_above(
     if block_rows is None:
         block_rows = _default_block_rows(bm.m_bits, bm.n)
     dev_thresh = _validate_screen(measure, threshold)
-    lcm = int(np.lcm(block_rows, 32))
-    n_pad = round_up(max(bm.n, 1), lcm)
-    wout = n_pad // 32
-    hits_d, summary_d = _hits_and_summary(
-        bm.device_padded(n_pad), dev_thresh, bm.device_nnz(n_pad),
-        block_rows, measure, jnp.float32(bm.m_bits),
-    )
+    # Screens follow the same density-adaptive dispatch as counts (D1):
+    # when the host sparse paths win (extreme sparsity — K4's work is
+    # ∝ nnz², not N²·M), compute exact counts there and filter directly;
+    # no device screen or refine pass is needed.
+    from stormtpu.dispatch import choose_strategy
+
+    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) in (
+        "sparse", "sparse_outer"
+    ):
+        from stormtpu.api import intersect_count_matrix
+
+        c = intersect_count_matrix(bm)
+        if measure == "count":
+            si, sj = np.nonzero(np.triu(c, 1) >= threshold)
+            return (si.astype(np.int32), sj.astype(np.int32),
+                    c[si, sj].astype(np.int32))
+        if measure == "r2":
+            # r² is large for strongly ANTI-correlated pairs too (inter=0,
+            # complementary rows) — candidates are the full triangle
+            si, sj = np.triu_indices(bm.n, 1)
+            si = si.astype(np.int64); sj = sj.astype(np.int64)
+        else:
+            # jaccard/dice/cosine/overlap are 0 at inter=0; phi's numerator
+            # is negative there — zero-overlap pairs can never hit
+            si, sj = np.nonzero(np.triu(c, 1) > 0)
+        vals = _measure_host(c[si, sj], bm.row_nnz[si], bm.row_nnz[sj],
+                             measure, bm.m_bits)
+        keep = vals >= threshold
+        return si[keep].astype(np.int32), sj[keep].astype(np.int32), vals[keep]
+    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) == "pallas_mxu":
+        # triangular K2 tile screen: same tuned MXU walk as the count
+        # matrix — half the FLOPs of the square block screen
+        from stormtpu.config import default_config
+        from stormtpu.tuning import tuned_variant
+        from stormtpu.utils import pallas_interpret_default, triangular_tile_ids
+
+        cfg = default_config()
+        ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
+        w = bm.n_words
+        if w <= cfg.k2_tile_words:
+            wk = round_up(max(w, 8), 8)
+        else:
+            wk = round_up(cfg.k2_tile_words, 128)
+        n_pad = round_up(bm.n, ti)
+        wout = n_pad // 32
+        nb = n_pad // ti
+        ibs, jbs = triangular_tile_ids(nb)
+        t_pad = round_up(
+            ibs.size, min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size))
+        )
+        ibs_p = np.full(t_pad, ibs[-1], dtype=np.int32)
+        jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
+        ibs_p[: ibs.size] = ibs
+        jbs_p[: jbs.size] = jbs
+        w_pad = round_up(w, wk)
+
+        def _build_padded2d():
+            xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+            xp[: bm.n, :w] = bm.packed
+            return jnp.asarray(xp)
+
+        packed_d = bm.device_cached(("padded2d", n_pad, w_pad), _build_padded2d)
+        hits_d, summary_d = _hits_tiles_and_summary(
+            packed_d, jnp.asarray(ibs_p), jnp.asarray(jbs_p),
+            dev_thresh, bm.device_nnz(n_pad), jnp.float32(bm.m_bits),
+            ti=ti, wk=wk, interpret=bool(pallas_interpret_default()),
+            variant=tuned_variant("k2", cfg.k2_variant), measure=measure,
+        )
+    else:
+        lcm = int(np.lcm(block_rows, 32))
+        n_pad = round_up(max(bm.n, 1), lcm)
+        wout = n_pad // 32
+        hits_d, summary_d = _hits_and_summary(
+            bm.device_padded(n_pad), dev_thresh, bm.device_nnz(n_pad),
+            block_rows, measure, jnp.float32(bm.m_bits),
+        )
     # phase 1: fetch the 1-bit-per-word summary; locate candidate words
     summary = np.asarray(summary_d)
     wi_r, wi_w = _expand_words(summary[: bm.n], np.int32(wout))

@@ -212,3 +212,66 @@ def test_pairs_above_dense_screen_fallback(data):
     np.testing.assert_array_equal(ii, wi.astype(np.int32))
     np.testing.assert_array_equal(jj, wj.astype(np.int32))
     np.testing.assert_array_equal(counts, want[ii, jj])
+
+
+def test_pairs_above_sparse_dispatch_branch():
+    """At extreme sparsity the screen follows D1 dispatch to the host
+    sparse path (no device screen); results must match the dense-path
+    screen exactly, including similarity measures."""
+    from stormtpu.dispatch import choose_strategy
+
+    rng = np.random.default_rng(77)
+    n, m = 512, 1 << 17
+    dense = (rng.random((n, m)) < 1e-4).astype(np.uint8)
+    dense[7, :40] = 1
+    dense[13, :40] = 1  # guaranteed hits
+    from stormtpu import BitMatrix
+
+    bm = BitMatrix.from_dense(dense)
+    assert choose_strategy(bm.n, bm.m_bits, bm.density) in (
+        "sparse", "sparse_outer"
+    )
+    want = oracle_count_matrix(bm.packed)
+
+    ii, jj, vv = pairs_above(bm, 5)
+    wi, wj = np.nonzero(np.triu(want, 1) >= 5)
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+    np.testing.assert_array_equal(vv, want[wi, wj])
+
+    ii, jj, vv = pairs_above(bm, 0.5, measure="jaccard")
+    nnz = dense.sum(1).astype(np.float64)
+    J = want / np.maximum(nnz[:, None] + nnz[None, :] - want, 1)
+    wi, wj = np.nonzero(np.triu(J, 1) >= 0.5)
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+
+    ii, jj, vv = pairs_above(bm, 0.001, measure="r2")
+    assert (ii < jj).all()
+
+
+@pytest.mark.parametrize("measure,thresh_q", [("count", 90), ("jaccard", 95)])
+def test_pairs_above_tile_screen_route(monkeypatch, data, measure, thresh_q):
+    """Force the triangular K2 tile-screen route and verify it returns
+    exactly what the block screen / oracle does."""
+    import stormtpu.dispatch as dispatch
+
+    bm, want = data
+    tri = want[np.triu_indices(bm.n, 1)]
+    if measure == "count":
+        threshold = int(np.percentile(tri, thresh_q))
+        wi, wj = np.nonzero(np.triu(want, 1) >= threshold)
+        expect_vals = want[wi, wj]
+    else:
+        nnz = bm.row_nnz.astype(np.float64)
+        J = want / np.maximum(nnz[:, None] + nnz[None, :] - want, 1)
+        threshold = float(np.percentile(J[np.triu_indices(bm.n, 1)], thresh_q))
+        wi, wj = np.nonzero(np.triu(J, 1) >= threshold)
+        expect_vals = J[wi, wj]
+    monkeypatch.setattr(dispatch, "choose_strategy",
+                        lambda *a, **k: "pallas_mxu")
+    ii, jj, vv = pairs_above(bm, threshold, measure=measure)
+    assert wi.size > 0
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+    np.testing.assert_allclose(vv, expect_vals, rtol=0, atol=0)
