@@ -164,10 +164,31 @@ def topk_neighbors(
         block_rows = _default_block_rows(bm.m_bits, bm.n)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
-    n_pad = round_up(bm.n, block_rows)
-    vals, idx = _topk_blocks(bm.device_padded(n_pad), k, block_rows)
-    vals = np.asarray(vals).reshape(n_pad, k)[: bm.n]
-    idx = np.asarray(idx).reshape(n_pad, k)[: bm.n]
+    from stormtpu.dispatch import choose_strategy
+
+    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) == "pallas_mxu":
+        # triangular K2 tile walk (half the FLOPs of the block form);
+        # tie order among equal counts may differ from the full-row
+        # lax.top_k — values are identical (tested)
+        packed_d, ibs_p, jbs_p, valid_p, ti, wk, n_pad = _tile_walk_operands(bm)
+        from stormtpu.config import default_config
+        from stormtpu.tuning import tuned_variant
+        from stormtpu.utils import pallas_interpret_default
+
+        cfg = default_config()
+        vals_d, idx_d = _topk_tiles(
+            packed_d, ibs_p, jbs_p, valid_p,
+            k=k, ti=ti, wk=wk,
+            interpret=bool(pallas_interpret_default()),
+            variant=tuned_variant("k2", cfg.k2_variant),
+        )
+        vals = np.asarray(vals_d)[: bm.n]
+        idx = np.asarray(idx_d)[: bm.n]
+    else:
+        n_pad = round_up(bm.n, block_rows)
+        vals, idx = _topk_blocks(bm.device_padded(n_pad), k, block_rows)
+        vals = np.asarray(vals).reshape(n_pad, k)[: bm.n]
+        idx = np.asarray(idx).reshape(n_pad, k)[: bm.n]
     # padded zero rows can appear among neighbors with count 0 — they are
     # legitimate "count 0" entries only if they point at real rows
     valid = idx < bm.n
@@ -321,6 +342,140 @@ def _gather_hit_words(
 # Tile pairs screened per device chunk of the triangular tile screen
 # (chunk · ti² · 4 B of count tiles live at once — 64 MB at ti=256).
 _SCREEN_TILE_CHUNK = 256
+
+
+def _tile_walk_operands(bm):
+    """Shared setup for the K2 tile-walk query paths (tile screen, tile
+    top-k): the (n_pad, w_pad)-padded device operand (cached on the
+    matrix) plus the triangular tile list padded to a chunk multiple by
+    repeating the last tile, with validity flags (the screen rewrites
+    identical words on a duplicate tile — idempotent — but a top-k merge
+    is NOT, so it masks invalid tiles)."""
+    from stormtpu.config import default_config
+    from stormtpu.utils import triangular_tile_ids
+
+    cfg = default_config()
+    ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
+    w = bm.n_words
+    if w <= cfg.k2_tile_words:
+        wk = round_up(max(w, 8), 8)
+    else:
+        wk = round_up(cfg.k2_tile_words, 128)
+    n_pad = round_up(bm.n, ti)
+    nb = n_pad // ti
+    ibs, jbs = triangular_tile_ids(nb)
+    t_pad = round_up(ibs.size, min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size)))
+    ibs_p = np.full(t_pad, ibs[-1], dtype=np.int32)
+    jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
+    valid = np.zeros(t_pad, dtype=np.int32)
+    ibs_p[: ibs.size] = ibs
+    jbs_p[: jbs.size] = jbs
+    valid[: ibs.size] = 1
+    w_pad = round_up(w, wk)
+
+    def build():
+        xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        xp[: bm.n, :w] = bm.packed
+        return jnp.asarray(xp)
+
+    packed_d = bm.device_cached(("padded2d", n_pad, w_pad), build)
+    return (packed_d, jnp.asarray(ibs_p), jnp.asarray(jbs_p),
+            jnp.asarray(valid), ti, wk, n_pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ti", "wk", "interpret", "variant"),
+)
+def _topk_tiles(
+    packed: jax.Array,
+    ibs: jax.Array,
+    jbs: jax.Array,
+    valid: jax.Array,
+    *,
+    k: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    variant: str,
+):
+    """TRIANGULAR top-k: the tuned K2 MXU tile walk with a per-row
+    running top-k merge — half the FLOPs of the square block form. Each
+    upper tile (ib, jb) offers candidates to BOTH row blocks: its rows
+    (columns in jb) and, transposed, jb's rows (columns in ib); a pair
+    (i, j) lives in exactly one upper tile, so no column is ever offered
+    to a row twice — top-k merges are not idempotent (a re-offered
+    candidate can displace a distinct equal-valued one), which is also
+    why padded duplicate tiles carry ``valid=False`` and are masked to
+    value −1 (init value; always displaced by real ≥0 counts), and why
+    diagonal tiles merge only one side (their transpose is the same
+    candidate set).
+
+    Correctness of the streaming merge is the distributed-topk argument
+    (parallel/query.py): a global top-k partner of row i is among the
+    top-min(k, ti) of its own tile column block. Tie order among equal
+    counts may differ from the single-chip full-row ``lax.top_k``.
+    """
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+
+    n_pad = packed.shape[0]
+    kk = min(k, ti)
+    chunk = min(_SCREEN_TILE_CHUNK, ibs.shape[0])
+    n_chunks = ibs.shape[0] // chunk
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+
+    def tile_cands(args):
+        tile, ib, jb, ok = args
+        row_g = ib * ti + iota0
+        col_g = jb * ti + iota1
+        c = jnp.where((row_g == col_g) | ~ok, jnp.int32(-1),
+                      tile.astype(jnp.int32))
+        va, ia = jax.lax.top_k(c, kk)
+        vb, ib_ = jax.lax.top_k(c.T, kk)
+        return (va, ia.astype(jnp.int32) + jb * ti,
+                vb, ib_.astype(jnp.int32) + ib * ti)
+
+    def merge(best, row0, v, gi):
+        bv = jax.lax.dynamic_slice(best[0], (row0, 0), (ti, k))
+        bi = jax.lax.dynamic_slice(best[1], (row0, 0), (ti, k))
+        cand_v = jnp.concatenate([bv, v], axis=1)
+        cand_i = jnp.concatenate([bi, gi], axis=1)
+        nv, sel = jax.lax.top_k(cand_v, k)
+        ni = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (
+            jax.lax.dynamic_update_slice(best[0], nv, (row0, 0)),
+            jax.lax.dynamic_update_slice(best[1], ni, (row0, 0)),
+        )
+
+    def body(c, best):
+        ib_c = jax.lax.dynamic_slice(ibs, (c * chunk,), (chunk,))
+        jb_c = jax.lax.dynamic_slice(jbs, (c * chunk,), (chunk,))
+        ok_c = jax.lax.dynamic_slice(valid, (c * chunk,), (chunk,))
+        tiles = count_tiles_pallas_mxu(
+            packed, ib_c, jb_c, tile_rows=ti, tile_words=wk,
+            interpret=interpret, variant=variant,
+        )
+        va, ia, vb, ib_t = jax.lax.map(
+            tile_cands, (tiles, ib_c, jb_c, ok_c.astype(bool))
+        )
+
+        def place(t, best_):
+            best_ = merge(best_, ib_c[t] * ti, va[t], ia[t])
+            # transpose side only for off-diagonal tiles (a diagonal
+            # tile's transpose is the same candidate set — re-merging
+            # would duplicate indices)
+            mirror_v = jnp.where(ib_c[t] == jb_c[t], jnp.int32(-1), vb[t])
+            return merge(best_, jb_c[t] * ti, mirror_v, ib_t[t])
+
+        return jax.lax.fori_loop(0, chunk, place, best)
+
+    best = (
+        jnp.full((n_pad, k), -1, dtype=jnp.int32),
+        jnp.zeros((n_pad, k), dtype=jnp.int32),
+    )
+    best = jax.lax.fori_loop(0, n_chunks, body, best)
+    return best
 
 
 @functools.partial(
@@ -500,36 +655,13 @@ def pairs_above(
         # matrix — half the FLOPs of the square block screen
         from stormtpu.config import default_config
         from stormtpu.tuning import tuned_variant
-        from stormtpu.utils import pallas_interpret_default, triangular_tile_ids
+        from stormtpu.utils import pallas_interpret_default
 
         cfg = default_config()
-        ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
-        w = bm.n_words
-        if w <= cfg.k2_tile_words:
-            wk = round_up(max(w, 8), 8)
-        else:
-            wk = round_up(cfg.k2_tile_words, 128)
-        n_pad = round_up(bm.n, ti)
+        packed_d, ibs_p, jbs_p, _, ti, wk, n_pad = _tile_walk_operands(bm)
         wout = n_pad // 32
-        nb = n_pad // ti
-        ibs, jbs = triangular_tile_ids(nb)
-        t_pad = round_up(
-            ibs.size, min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size))
-        )
-        ibs_p = np.full(t_pad, ibs[-1], dtype=np.int32)
-        jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
-        ibs_p[: ibs.size] = ibs
-        jbs_p[: jbs.size] = jbs
-        w_pad = round_up(w, wk)
-
-        def _build_padded2d():
-            xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
-            xp[: bm.n, :w] = bm.packed
-            return jnp.asarray(xp)
-
-        packed_d = bm.device_cached(("padded2d", n_pad, w_pad), _build_padded2d)
         hits_d, summary_d = _hits_tiles_and_summary(
-            packed_d, jnp.asarray(ibs_p), jnp.asarray(jbs_p),
+            packed_d, ibs_p, jbs_p,
             dev_thresh, bm.device_nnz(n_pad), jnp.float32(bm.m_bits),
             ti=ti, wk=wk, interpret=bool(pallas_interpret_default()),
             variant=tuned_variant("k2", cfg.k2_variant), measure=measure,

@@ -168,3 +168,47 @@ def test_distributed_queries_on_device(tpu_backend):
 
     ac = distributed_column_counts(bm, mesh=mesh)
     np.testing.assert_array_equal(ac, dense.sum(axis=0).astype(np.int32))
+
+
+def test_query_soak_on_device(tpu_backend):
+    """Randomized shapes/densities/measures through the QUERY layer on
+    the real chip, exact vs host brute force — shields the dispatch
+    (tile screen / block screen / sparse shortcut), the two-phase fetch,
+    and the pow2 gather buckets."""
+    import numpy as np
+
+    from stormtpu import BitMatrix, pairs_above, topk_neighbors
+
+    rng = np.random.default_rng(123)
+    for it in range(3):
+        n = int(rng.integers(40, 900))
+        m = int(rng.integers(1000, 120_000))
+        density = float(10 ** rng.uniform(-3, -0.3))
+        dense = (rng.random((n, m)) < density).astype(np.uint8)
+        dense[0] = dense[n // 2]  # a guaranteed high-count pair
+        bm = BitMatrix.from_dense(dense)
+        want = (dense.astype(np.int64) @ dense.T)
+
+        k = int(rng.integers(1, min(8, n - 1) + 1))
+        vals, idx = topk_neighbors(bm, k)
+        w = want.copy()
+        np.fill_diagonal(w, -1)
+        exp = np.sort(w, axis=1)[:, ::-1][:, :k]
+        assert np.array_equal(vals, exp), f"iter {it} topk"
+
+        tri = want[np.triu_indices(n, 1)]
+        thresh = max(1, int(np.percentile(tri, 99)))
+        ii, jj, vv = pairs_above(bm, thresh)
+        wi, wj = np.nonzero(np.triu(want, 1) >= thresh)
+        assert np.array_equal(ii, wi.astype(np.int32)), f"iter {it} screen ii"
+        assert np.array_equal(jj, wj.astype(np.int32)), f"iter {it} screen jj"
+        assert np.array_equal(vv, want[wi, wj]), f"iter {it} screen vals"
+
+        nnz = dense.sum(1).astype(np.float64)
+        J = want / np.maximum(nnz[:, None] + nnz[None, :] - want, 1)
+        jt = float(np.percentile(J[np.triu_indices(n, 1)], 99.5))
+        if 0 < jt <= 1:
+            ii, jj, vv = pairs_above(bm, jt, measure="jaccard")
+            wi, wj = np.nonzero(np.triu(J, 1) >= jt)
+            assert np.array_equal(ii, wi.astype(np.int32)), f"iter {it} jac"
+            assert np.allclose(vv, J[wi, wj], rtol=0, atol=0), f"iter {it} jacv"
