@@ -281,6 +281,19 @@ def _count_block_padded(
     )(a_pad, b_pad)
 
 
+def k2_tile_shape(cfg: EngineConfig, n: int, w: int) -> tuple[int, int]:
+    """(tile_rows, tile_words) for the K2 tile walk — the single home of
+    the Mosaic block-shape rule (last dim divisible by 128, or equal to
+    the full padded dim; small W collapses to a single K step). Shared by
+    the count drivers here and the tile-walk query paths (query.py)."""
+    ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
+    if w <= cfg.k2_tile_words:
+        wk = round_up(max(w, 8), 8)
+    else:
+        wk = round_up(cfg.k2_tile_words, 128)
+    return ti, wk
+
+
 def count_block_pallas_mxu(
     a_packed: jax.Array,
     b_packed: jax.Array,
@@ -303,11 +316,7 @@ def count_block_pallas_mxu(
     nb_rows, wb = b_packed.shape
     if w != wb:
         raise ValueError("word-count mismatch")
-    ti = min(cfg.k2_tile_rows, round_up(max(na, nb_rows, 32), 32))
-    if w <= cfg.k2_tile_words:
-        wk = round_up(max(w, 8), 8)
-    else:
-        wk = round_up(cfg.k2_tile_words, 128)
+    ti, wk = k2_tile_shape(cfg, max(na, nb_rows), w)
     w_pad = round_up(w, wk)
     na_pad = round_up(na, ti)
     nb_pad = round_up(nb_rows, ti)
@@ -342,13 +351,7 @@ def count_matrix_pallas_mxu(
         variant = cfg.k2_variant
     packed = jnp.asarray(packed)
     n, w = packed.shape
-    ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
-    # Mosaic constraint: block last dim divisible by 128, or equal to the
-    # full (padded) array dim. Small W collapses to a single K step.
-    if w <= cfg.k2_tile_words:
-        wk = round_up(max(w, 8), 8)
-    else:
-        wk = round_up(cfg.k2_tile_words, 128)
+    ti, wk = k2_tile_shape(cfg, n, w)
     n_pad = round_up(n, ti)
     w_pad = round_up(w, wk)
     xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)

@@ -263,11 +263,15 @@ class BitMatrix:
         if n_pad < self.n:
             raise ValueError(f"n_pad={n_pad} < N={self.n}")
         if reuse_larger:
+            # any row-padded buffer works for gathers (indices < N), and
+            # the tile walk's word-padded "padded2d" buffers too — extra
+            # zero words add 0 to every popcount
             cache = self.__dict__.get("_device_cache", {})
             backend = jax.default_backend()
             candidates = [
                 k for k in cache
-                if k[0] == "padded" and k[2] == backend and k[1] >= n_pad
+                if k[0] in ("padded", "padded2d") and k[-1] == backend
+                and k[1] >= n_pad
             ]
             if candidates:
                 return cache[min(candidates, key=lambda k: k[1])]

@@ -156,8 +156,13 @@ def topk_neighbors(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count (self excluded).
 
-    Returns (counts int32 [N, k], indices int32 [N, k]), sorted descending.
-    Padding rows are masked out; ties break toward lower index (lax.top_k).
+    Returns (counts int32 [N, k], indices int32 [N, k]), sorted
+    descending. Counts are uniquely determined; tie ORDER among equal
+    counts depends on the dispatched route (the block form breaks toward
+    lower index via the full-row ``lax.top_k``; the triangular tile form
+    used at MXU shapes merges in tile order). ``block_rows`` tunes the
+    block route only — the tile route derives its tiling from
+    ``EngineConfig`` and ignores it.
     """
     bm = _as_bitmatrix(x)
     if block_rows is None:
@@ -339,9 +344,12 @@ def _gather_hit_words(
     return flat[ri, wi]
 
 
-# Tile pairs screened per device chunk of the triangular tile screen
-# (chunk · ti² · 4 B of count tiles live at once — 64 MB at ti=256).
-_SCREEN_TILE_CHUNK = 256
+# Tile pairs processed per device chunk of the tile-walk query paths
+# (chunk · ti² · 4 B of count tiles live at once — 16 MB at ti=256).
+# The tile list pads to a chunk multiple, so chunk also bounds the
+# wasted duplicate tiles at the tail: 64 keeps the worst-case waste
+# under 63 tiles (<2% at N=8192) where 256 wasted up to 45%.
+_SCREEN_TILE_CHUNK = 64
 
 
 def _tile_walk_operands(bm):
@@ -352,15 +360,12 @@ def _tile_walk_operands(bm):
     identical words on a duplicate tile — idempotent — but a top-k merge
     is NOT, so it masks invalid tiles)."""
     from stormtpu.config import default_config
+    from stormtpu.kernels.mxu import k2_tile_shape
     from stormtpu.utils import triangular_tile_ids
 
     cfg = default_config()
-    ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
     w = bm.n_words
-    if w <= cfg.k2_tile_words:
-        wk = round_up(max(w, 8), 8)
-    else:
-        wk = round_up(cfg.k2_tile_words, 128)
+    ti, wk = k2_tile_shape(cfg, bm.n, w)
     n_pad = round_up(bm.n, ti)
     nb = n_pad // ti
     ibs, jbs = triangular_tile_ids(nb)
@@ -627,30 +632,41 @@ def pairs_above(
     # no device screen or refine pass is needed.
     from stormtpu.dispatch import choose_strategy
 
-    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) in (
-        "sparse", "sparse_outer"
-    ):
+    strategy = (
+        choose_strategy(bm.n, bm.m_bits, bm.density) if bm.n > 1 else "popcount"
+    )
+    if strategy in ("sparse", "sparse_outer"):
         from stormtpu.api import intersect_count_matrix
 
         c = intersect_count_matrix(bm)
-        if measure == "count":
-            si, sj = np.nonzero(np.triu(c, 1) >= threshold)
-            return (si.astype(np.int32), sj.astype(np.int32),
-                    c[si, sj].astype(np.int32))
-        if measure == "r2":
-            # r² is large for strongly ANTI-correlated pairs too (inter=0,
-            # complementary rows) — candidates are the full triangle
-            si, sj = np.triu_indices(bm.n, 1)
-            si = si.astype(np.int64); sj = sj.astype(np.int64)
-        else:
-            # jaccard/dice/cosine/overlap are 0 at inter=0; phi's numerator
-            # is negative there — zero-overlap pairs can never hit
-            si, sj = np.nonzero(np.triu(c, 1) > 0)
-        vals = _measure_host(c[si, sj], bm.row_nnz[si], bm.row_nnz[sj],
-                             measure, bm.m_bits)
-        keep = vals >= threshold
-        return si[keep].astype(np.int32), sj[keep].astype(np.int32), vals[keep]
-    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) == "pallas_mxu":
+        # filter block-wise: a full-triangle materialization (np.triu
+        # copy, or triu_indices for r2, which needs the WHOLE triangle —
+        # anti-correlated zero-overlap pairs score high) would add O(N²)
+        # host transients on top of c itself
+        blk = max(1, (1 << 27) // max(bm.n, 1))
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        cols = np.arange(bm.n)
+        for r0 in range(0, bm.n, blk):
+            rows = np.arange(r0, min(r0 + blk, bm.n))
+            cb = c[r0 : r0 + rows.size]
+            if measure == "count":
+                vals_b = cb
+            else:
+                vals_b = _measure_host(
+                    cb.astype(np.float64),
+                    bm.row_nnz[rows][:, None], bm.row_nnz[None, :],
+                    measure, bm.m_bits,
+                )
+            tri = cols[None, :] > rows[:, None]
+            si_b, sj_b = np.nonzero(tri & (vals_b >= threshold))
+            out_v = (cb[si_b, sj_b].astype(np.int32) if measure == "count"
+                     else vals_b[si_b, sj_b])
+            parts.append((rows[si_b].astype(np.int32),
+                          sj_b.astype(np.int32), out_v))
+        ii = np.concatenate([p[0] for p in parts])
+        jj = np.concatenate([p[1] for p in parts])
+        return ii, jj, np.concatenate([p[2] for p in parts])
+    if strategy == "pallas_mxu":
         # triangular K2 tile screen: same tuned MXU walk as the count
         # matrix — half the FLOPs of the square block screen
         from stormtpu.config import default_config

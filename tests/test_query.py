@@ -283,7 +283,10 @@ def test_topk_tile_route(monkeypatch, data):
     import stormtpu.dispatch as dispatch
 
     bm, want = data
+    # compute BOTH block-route references before patching dispatch —
+    # otherwise the tile route would be compared against itself
     v1, _ = topk_neighbors(bm, 6)
+    v1b, _ = topk_neighbors(bm, bm.n - 1)
     monkeypatch.setattr(dispatch, "choose_strategy",
                         lambda *a, **k: "pallas_mxu")
     vt, it = topk_neighbors(bm, 6)
@@ -291,10 +294,5 @@ def test_topk_tile_route(monkeypatch, data):
     np.testing.assert_array_equal(
         want[np.arange(bm.n)[:, None], it], vt
     )
-    # k > ti would clamp kk; also exercise a k above the per-tile cap
-    # (here ti = 64 ≥ k, so instead check a larger k end-to-end)
-    v1b, _ = topk_neighbors(bm, bm.n - 1)
-    monkeypatch.setattr(dispatch, "choose_strategy",
-                        lambda *a, **k: "pallas_mxu")
     vtb, _ = topk_neighbors(bm, bm.n - 1)
     np.testing.assert_array_equal(vtb, v1b)
