@@ -25,6 +25,10 @@ from stormtpu.parallel.query import (
     distributed_topk_neighbors,
 )
 from stormtpu.parallel.scaling import measure_scaling
+from stormtpu.parallel.setops import (
+    distributed_pairwise_cardinality,
+    distributed_similarity_matrix,
+)
 
 __all__ = [
     "make_row_mesh",
@@ -32,6 +36,8 @@ __all__ = [
     "distributed_column_counts",
     "distributed_stream_count_matrix",
     "distributed_pairs_above",
+    "distributed_pairwise_cardinality",
+    "distributed_similarity_matrix",
     "distributed_topk_neighbors",
     "initialize_multihost",
     "measure_scaling",

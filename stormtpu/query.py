@@ -557,27 +557,9 @@ def _hits_tiles_and_summary(
 
 
 def _measure_host(inter, ca, cb, measure, m_bits):
-    inter = inter.astype(np.float64)
-    ca = ca.astype(np.float64)
-    cb = cb.astype(np.float64)
-    if measure == "jaccard":
-        denom = ca + cb - inter
-    elif measure == "dice":
-        inter = 2.0 * inter
-        denom = ca + cb
-    elif measure == "cosine":
-        denom = np.sqrt(ca * cb)
-    elif measure in ("phi", "r2"):
-        m = float(m_bits)
-        inter = m * inter - ca * cb
-        denom = np.sqrt(ca * cb * (m - ca) * (m - cb))
-        if measure == "r2":
-            inter = inter * inter
-            denom = denom * denom
-    else:  # overlap
-        denom = np.minimum(ca, cb)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
+    from stormtpu.setops import derive_similarity
+
+    return derive_similarity(inter, ca, cb, m_bits, measure)
 
 
 def _validate_screen(measure: str, threshold: float) -> jax.Array:

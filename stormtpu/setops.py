@@ -59,17 +59,26 @@ def pairwise_cardinality(
     inter = intersect_count_matrix(bm, strategy=strategy, config=config).astype(
         np.int64
     )
+    card = bm.row_nnz.astype(np.int64)
+    return derive_cardinality(inter, card[:, None], card[None, :],
+                              bm.m_bits, op)
+
+
+def derive_cardinality(inter, ca, cb, m_bits: int, op: str):
+    """Exact set-op cardinality from intersection counts + row
+    cardinalities (broadcastable int64 arrays) — the single home of the
+    inclusion–exclusion identities, shared by the single-chip and
+    distributed (parallel/setops.py) forms."""
     if op == "intersect":
         return inter
-    card = bm.row_nnz.astype(np.int64)
     if op == "union":
-        return card[:, None] + card[None, :] - inter
+        return ca + cb - inter
     if op == "xor":
-        return card[:, None] + card[None, :] - 2 * inter
+        return ca + cb - 2 * inter
     if op == "andnot":
-        return card[:, None] - inter
+        return ca - inter
     # nand: popcount(NOT(a AND b)) over the M-bit universe
-    return np.int64(bm.m_bits) - inter
+    return np.int64(m_bits) - inter
 
 
 def similarity_matrix(
@@ -91,31 +100,38 @@ def similarity_matrix(
     if measure not in SIM_OPS:
         raise ValueError(f"unknown measure {measure!r}; want one of {SIM_OPS}")
     bm = _as_bitmatrix(x)
-    inter = intersect_count_matrix(bm, strategy=strategy, config=config).astype(
-        np.float64
-    )
-    card = bm.row_nnz.astype(np.float64)
+    inter = intersect_count_matrix(bm, strategy=strategy, config=config)
+    card = bm.row_nnz
+    return derive_similarity(inter, card[:, None], card[None, :],
+                             bm.m_bits, measure)
+
+
+def derive_similarity(inter, ca, cb, m_bits: int, measure: str):
+    """float64 similarity from exact integer counts (broadcastable
+    arrays) — the single home of the similarity formulas, shared by
+    ``similarity_matrix``, the query refine (query.py), and the
+    distributed forms (parallel/setops.py). Zero denominators yield 0."""
+    inter = np.asarray(inter).astype(np.float64)
+    ca = np.asarray(ca).astype(np.float64)
+    cb = np.asarray(cb).astype(np.float64)
     if measure == "jaccard":
-        denom = card[:, None] + card[None, :] - inter
+        denom = ca + cb - inter
     elif measure == "dice":
         inter = 2.0 * inter
-        denom = card[:, None] + card[None, :]
+        denom = ca + cb
     elif measure == "cosine":
-        denom = np.sqrt(card[:, None] * card[None, :])
+        denom = np.sqrt(ca * cb)
     elif measure in ("phi", "r2"):
-        m = float(bm.m_bits)
-        inter = m * inter - card[:, None] * card[None, :]
-        denom = np.sqrt(
-            card[:, None] * card[None, :] * (m - card[:, None]) * (m - card[None, :])
-        )
+        m = float(m_bits)
+        inter = m * inter - ca * cb
+        denom = np.sqrt(ca * cb * (m - ca) * (m - cb))
         if measure == "r2":
             inter = inter * inter
             denom = denom * denom
     else:  # overlap
-        denom = np.minimum(card[:, None], card[None, :])
+        denom = np.minimum(ca, cb)
     with np.errstate(divide="ignore", invalid="ignore"):
-        out = np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
-    return out
+        return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
 
 
 def _column_partial(words):

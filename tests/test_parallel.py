@@ -258,3 +258,25 @@ def test_distributed_topk_odd_meshes(r):
     vd, _ = distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(r),
                                        block_rows=4)
     np.testing.assert_array_equal(vd, v1)
+
+
+def test_distributed_setops_match_single_chip(mesh8):
+    from stormtpu import pairwise_cardinality, similarity_matrix
+    from stormtpu.parallel import (
+        distributed_pairwise_cardinality,
+        distributed_similarity_matrix,
+    )
+
+    bm = random_bitmatrix(45, 1024, 0.3, seed=81)
+    for op in ("union", "xor", "andnot", "nand"):
+        got = distributed_pairwise_cardinality(bm, op, mesh=mesh8)
+        np.testing.assert_array_equal(got, pairwise_cardinality(bm, op))
+    for measure in ("jaccard", "cosine", "r2"):
+        got = distributed_similarity_matrix(bm, measure, mesh=mesh8)
+        np.testing.assert_array_equal(got, similarity_matrix(bm, measure))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distributed_pairwise_cardinality(bm, "bogus", mesh=mesh8)
+    with _pytest.raises(ValueError):
+        distributed_similarity_matrix(bm, "bogus", mesh=mesh8)
