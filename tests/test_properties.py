@@ -84,3 +84,42 @@ def test_all_strategies_agree(dense):
         np.testing.assert_array_equal(
             got, want, err_msg=f"strategy {strategy} diverged"
         )
+
+
+@given(bit_matrices(), st.integers(min_value=1, max_value=6))
+@settings(max_examples=12, deadline=None)
+def test_topk_property(dense, k):
+    """topk values == sorted row of the oracle with self masked, for any
+    matrix and any k ≤ N−1 (both dispatch routes are value-identical)."""
+    from stormtpu import topk_neighbors
+
+    n = dense.shape[0]
+    if n < 2:
+        return
+    k = min(k, n - 1)
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed).astype(np.int64)
+    vals, idx = topk_neighbors(bm, k)
+    w = want.copy()
+    np.fill_diagonal(w, -1)
+    exp = np.sort(w, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_array_equal(vals, exp)
+    np.testing.assert_array_equal(want[np.arange(n)[:, None], idx], vals)
+
+
+@given(bit_matrices(), st.integers(min_value=1, max_value=40))
+@settings(max_examples=12, deadline=None)
+def test_pairs_above_property(dense, threshold):
+    """The count screen returns exactly the upper-triangle pairs with
+    count ≥ threshold, for any matrix and threshold."""
+    from stormtpu import pairs_above
+
+    if dense.shape[0] < 2:
+        return
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed)
+    ii, jj, vv = pairs_above(bm, threshold)
+    wi, wj = np.nonzero(np.triu(want, 1) >= threshold)
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+    np.testing.assert_array_equal(vv, want[wi, wj])
