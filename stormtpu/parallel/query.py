@@ -321,4 +321,4 @@ def distributed_pairs_above(
             jax.device_put(jnp.float32(bm.m_bits), rep),
         )
     )
-    return _expand_and_refine(bm, hits, n_pad, measure, threshold)
+    return _expand_and_refine(bm, hits, measure, threshold)

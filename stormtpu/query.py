@@ -165,8 +165,6 @@ def topk_neighbors(
     ``EngineConfig`` and ignores it.
     """
     bm = _as_bitmatrix(x)
-    if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits, bm.n)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     from stormtpu.dispatch import choose_strategy
@@ -190,6 +188,8 @@ def topk_neighbors(
         vals = np.asarray(vals_d)[: bm.n]
         idx = np.asarray(idx_d)[: bm.n]
     else:
+        if block_rows is None:
+            block_rows = _default_block_rows(bm.m_bits, bm.n)
         n_pad = round_up(bm.n, block_rows)
         vals, idx = _topk_blocks(bm.device_padded(n_pad), k, block_rows)
         vals = np.asarray(vals).reshape(n_pad, k)[: bm.n]
@@ -330,9 +330,15 @@ def _hits_and_summary(
     wout = n // 32
     hits = _hits_blocks_body(packed, thresh, nnz, block_rows, measure, m_f)
     flat = hits.reshape(n, wout)
-    wsum = round_up(wout, 32)
-    nz = jnp.pad(flat != 0, ((0, 0), (0, wsum - wout)))
-    return flat, _pack_bit_rows(nz)
+    return flat, _word_summary(flat)
+
+
+def _word_summary(flat: jax.Array) -> jax.Array:
+    """One bit per WORD of a packed hit bitmap (the phase-1 fetch unit —
+    1024× smaller than counts)."""
+    wout = flat.shape[1]
+    nz = jnp.pad(flat != 0, ((0, 0), (0, round_up(wout, 32) - wout)))
+    return _pack_bit_rows(nz)
 
 
 @jax.jit
@@ -551,15 +557,7 @@ def _hits_tiles_and_summary(
 
     bitmap = jnp.zeros((n_pad, wout), dtype=jnp.uint32)
     bitmap = jax.lax.fori_loop(0, n_chunks, body, bitmap)
-    wsum = round_up(wout, 32)
-    nz = jnp.pad(bitmap != 0, ((0, 0), (0, wsum - wout)))
-    return bitmap, _pack_bit_rows(nz)
-
-
-def _measure_host(inter, ca, cb, measure, m_bits):
-    from stormtpu.setops import derive_similarity
-
-    return derive_similarity(inter, ca, cb, m_bits, measure)
+    return bitmap, _word_summary(bitmap)
 
 
 def _validate_screen(measure: str, threshold: float) -> jax.Array:
@@ -605,8 +603,6 @@ def pairs_above(
     """
     del config
     bm = _as_bitmatrix(x)
-    if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits, bm.n)
     dev_thresh = _validate_screen(measure, threshold)
     # Screens follow the same density-adaptive dispatch as counts (D1):
     # when the host sparse paths win (extreme sparsity — K4's work is
@@ -634,10 +630,11 @@ def pairs_above(
             if measure == "count":
                 vals_b = cb
             else:
-                vals_b = _measure_host(
-                    cb.astype(np.float64),
-                    bm.row_nnz[rows][:, None], bm.row_nnz[None, :],
-                    measure, bm.m_bits,
+                from stormtpu.setops import derive_similarity
+
+                vals_b = derive_similarity(
+                    cb, bm.row_nnz[rows][:, None], bm.row_nnz[None, :],
+                    bm.m_bits, measure,
                 )
             tri = cols[None, :] > rows[:, None]
             si_b, sj_b = np.nonzero(tri & (vals_b >= threshold))
@@ -665,6 +662,8 @@ def pairs_above(
             variant=tuned_variant("k2", cfg.k2_variant), measure=measure,
         )
     else:
+        if block_rows is None:
+            block_rows = _default_block_rows(bm.m_bits, bm.n)
         lcm = int(np.lcm(block_rows, 32))
         n_pad = round_up(max(bm.n, 1), lcm)
         wout = n_pad // 32
@@ -679,7 +678,7 @@ def pairs_above(
         # dense screen: gathering word-by-word would cost more than the
         # straight bitmap fetch
         hits = np.asarray(hits_d)
-        return _expand_and_refine(bm, hits, n_pad, measure, threshold)
+        return _expand_and_refine(bm, hits, measure, threshold)
     # phase 2: gather only the nonzero words (fixed-shape chunked
     # dispatches, same pattern as pair_counts)
     if wi_r.size:
@@ -757,19 +756,20 @@ def _refine(bm, ii: np.ndarray, jj: np.ndarray, measure: str,
     counts = pair_counts(bm, ii, jj) if ii.size else np.zeros(0, np.int32)
     if measure == "count":
         return ii, jj, counts
-    vals = _measure_host(counts, bm.row_nnz[ii], bm.row_nnz[jj], measure,
-                         bm.m_bits)
+    from stormtpu.setops import derive_similarity
+
+    vals = derive_similarity(counts, bm.row_nnz[ii], bm.row_nnz[jj],
+                             bm.m_bits, measure)
     keep = vals >= threshold
     return ii[keep], jj[keep], vals[keep]
 
 
-def _expand_and_refine(bm, hits: np.ndarray, n_pad: int, measure: str,
+def _expand_and_refine(bm, hits: np.ndarray, measure: str,
                        threshold: float):
     """Expand a full packed [n_pad, n_pad/32] hit bitmap to COO and
     refine. Used by the distributed screen (parallel/query.py), whose
     gather already materialized the bitmap, and by the dense-screen
     fallback of ``pairs_above``."""
-    del n_pad
     ii, jj = _expand_words(hits[: bm.n], bm.n)
     return _refine(bm, ii.astype(np.int32), jj.astype(np.int32),
                    measure, threshold)
