@@ -144,6 +144,18 @@ _WRAPPER_WORKER = textwrap.dedent(
 
     ac = distributed_column_counts(bm, mesh=mesh)
     assert np.array_equal(ac, dense.sum(0).astype(np.int32))
+
+    # streaming driver: all processes compute + gather collectively,
+    # process 0 writes; the result on disk must be the exact matrix
+    from stormtpu.parallel import distributed_stream_count_matrix
+    from stormtpu.stream import load_streamed_matrix
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "stream_out")
+    distributed_stream_count_matrix(bm, out_dir, superblock_rows=16,
+                                    mesh=mesh)
+    if jax.process_index() == 0:
+        got = load_streamed_matrix(out_dir)
+        assert np.array_equal(got, C), "multihost stream INEXACT"
     print(f"proc {pid} OK", flush=True)
     """
 )
