@@ -24,6 +24,12 @@ Ring shape per query:
 Compiled fns are cached per (mesh, shape, static knobs): a fresh
 jit(shard_map(...)) wrapper per call would recompile every invocation,
 which costs 20–60 s per shape on this TPU stack (CLAUDE.md).
+
+Scope: queries shard the ROW axis (the BASELINE.json:5 layout). The
+bit-axis (K-dim) sharding variant exists for counts
+(``distributed_count_matrix(shard_axis="bits")``) where it returns the
+replicated N×N matrix; a bits-sharded *query* would need a second
+reduction stage over psummed partials and is not implemented.
 """
 
 from __future__ import annotations
