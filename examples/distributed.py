@@ -50,3 +50,9 @@ print(f"r² ≥ 0.9 screen ✓ ({ii.size} pair(s), found the planted duplicate)"
 ac = distributed_column_counts(bm, mesh=mesh)
 assert np.array_equal(ac, dense.sum(axis=0).astype(np.int32))
 print(f"column counts exact ✓ (max {int(ac.max())})")
+
+from stormtpu.parallel import distributed_similarity_matrix
+
+J = distributed_similarity_matrix(bm, "jaccard", mesh=mesh)
+assert J[3, 100] == 1.0  # the planted duplicate pair
+print("similarity matrix exact ✓ (duplicate pair has jaccard 1.0)")
