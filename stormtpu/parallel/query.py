@@ -25,11 +25,12 @@ Compiled fns are cached per (mesh, shape, static knobs): a fresh
 jit(shard_map(...)) wrapper per call would recompile every invocation,
 which costs 20–60 s per shape on this TPU stack (CLAUDE.md).
 
-Scope: queries shard the ROW axis (the BASELINE.json:5 layout). The
-bit-axis (K-dim) sharding variant exists for counts
-(``distributed_count_matrix(shard_axis="bits")``) where it returns the
-replicated N×N matrix; a bits-sharded *query* would need a second
-reduction stage over psummed partials and is not implemented.
+Scope: queries default to the ROW axis (the BASELINE.json:5 layout).
+The screen also offers the bit-axis variant
+(``distributed_pairs_above(shard_axis="bits")``: psum of triangular K2
+count-tile partials, mirroring ``distributed_count_matrix``); top-k is
+row-axis only (its merge state would need a second reduction stage over
+psummed partials).
 """
 
 from __future__ import annotations
@@ -51,9 +52,12 @@ from stormtpu.api import MatrixLike, _as_bitmatrix
 from stormtpu.kernels import count_block_auto
 from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.query import (
+    _SCREEN_TILE_CHUNK,
     _default_block_rows,
     _expand_and_refine,
+    _next_pow2,
     _pack_bit_rows,
+    _screen_tile,
     _screen_vals,
     _validate_screen,
 )
@@ -290,6 +294,65 @@ def _hits_fn(mesh: Mesh, n_loc: int, block_rows: int, measure: str):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _kshard_hits_fn(
+    mesh: Mesh, ti: int, wk: int, chunk: int,
+    interpret: bool, variant: str, measure: str,
+):
+    """Bits-axis (K-dim) screen: every device holds a WORD slice of all
+    rows, computes triangular K2 count-tile partials for its slice in
+    chunks, ``psum`` merges the exact int32 partials, and the (replicated)
+    merged tiles are screened + bit-packed — the query analog of
+    ``kshard_count_tiles`` (parallel/allpairs.py). Output bitmap is
+    replicated."""
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+
+    axis = mesh.axis_names[0]
+
+    def local_fn(x_local, ibs, jbs, nnz, thresh, m_f):
+        n_pad = x_local.shape[0]
+        wout = n_pad // 32
+        wt = ti // 32
+        n_chunks = ibs.shape[0] // chunk
+        iota0 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 0)
+        iota1 = jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+
+        def tile_hit(args):
+            tile, ib, jb = args
+            return _screen_tile(tile, ib, jb, nnz, thresh, m_f, ti,
+                                measure, iota0, iota1)
+
+        def body(c, bitmap):
+            ib_c = jax.lax.dynamic_slice(ibs, (c * chunk,), (chunk,))
+            jb_c = jax.lax.dynamic_slice(jbs, (c * chunk,), (chunk,))
+            partial = count_tiles_pallas_mxu(
+                x_local, ib_c, jb_c, tile_rows=ti, tile_words=wk,
+                interpret=interpret, variant=variant,
+            )
+            tiles = jax.lax.psum(partial, axis)
+            words = jax.lax.map(tile_hit, (tiles, ib_c, jb_c))
+
+            def place(t, bm_):
+                return jax.lax.dynamic_update_slice(
+                    bm_, words[t], (ib_c[t] * ti, jb_c[t] * wt)
+                )
+
+            return jax.lax.fori_loop(0, chunk, place, bitmap)
+
+        bitmap = jnp.zeros((n_pad, wout), dtype=jnp.uint32)
+        return jax.lax.fori_loop(0, n_chunks, body, bitmap)
+
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None), P(None), P(None), P(), P()),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+    )
+
+
 def distributed_pairs_above(
     x: MatrixLike,
     threshold: float,
@@ -297,27 +360,85 @@ def distributed_pairs_above(
     measure: str = "count",
     mesh: Optional[Mesh] = None,
     block_rows: Optional[int] = None,
+    shard_axis: str = "rows",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All unordered pairs (i < j) with measure ≥ threshold, screened
-    row-sharded over ``mesh``. Same contract as the single-chip
+    over ``mesh``. Same contract as the single-chip
     ``stormtpu.pairs_above`` (one bit per candidate pair leaves the
     devices; float32 screen with slack, exact host refine — rounding can
-    only add candidates, never drop true hits)."""
+    only add candidates, never drop true hits).
+
+    ``shard_axis="rows"``: row-sharded X, triangular ring (the default
+    layout). ``shard_axis="bits"``: word-sharded X, psum of exact count
+    tiles (the K-dim variant, mirroring ``distributed_count_matrix``);
+    needs ≥128 words per device — smaller W falls back to the ring.
+    """
     bm = _as_bitmatrix(x)
     if mesh is None:
         mesh = make_row_mesh()
     axis = mesh.axis_names[0]
     r = mesh.shape[axis]
+    if shard_axis not in ("rows", "bits"):
+        raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
+    dev_thresh = _validate_screen(measure, threshold)
+    rep = NamedSharding(mesh, P())
+    if shard_axis == "bits" and bm.n_words >= r * 128:
+        from stormtpu.config import default_config
+        from stormtpu.tuning import tuned_variant
+        from stormtpu.utils import (
+            pallas_interpret_default,
+            triangular_tile_ids,
+        )
+
+        cfg = default_config()
+        ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
+        wk = 128  # per-device K-step (Mosaic 128-divisible last dim)
+        n_pad = round_up(max(bm.n, 1), ti)
+        w_pad = round_up(bm.n_words, r * wk)
+        nb = n_pad // ti
+        ibs, jbs = triangular_tile_ids(nb)
+        chunk = int(min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size)))
+        t_pad = round_up(ibs.size, chunk)
+        # duplicate-tile padding is idempotent for the screen
+        ibs_p = np.full(t_pad, ibs[-1], dtype=np.int32)
+        jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
+        ibs_p[: ibs.size] = ibs
+        jbs_p[: jbs.size] = jbs
+
+        def build():
+            xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+            xp[: bm.n, : bm.n_words] = bm.packed
+            nnz_pad = np.zeros(n_pad, dtype=np.int32)
+            nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
+            return (
+                jax.device_put(xp, NamedSharding(mesh, P(None, axis))),
+                jax.device_put(nnz_pad, rep),
+            )
+
+        x_sharded, nnz_rep = bm.device_cached(
+            ("ksharded", mesh, n_pad, w_pad), build
+        )
+        fn = _kshard_hits_fn(
+            mesh, ti, wk, chunk, bool(pallas_interpret_default()),
+            tuned_variant("k2", cfg.k2_variant), measure,
+        )
+        hits = np.asarray(fn(
+            x_sharded,
+            jax.device_put(jnp.asarray(ibs_p), rep),
+            jax.device_put(jnp.asarray(jbs_p), rep),
+            nnz_rep,
+            jax.device_put(dev_thresh, rep),
+            jax.device_put(jnp.float32(bm.m_bits), rep),
+        ))
+        return _expand_and_refine(bm, hits, measure, threshold)
     if block_rows is None:
         block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
     # mirror tiles pack bits along the local-row axis per block, so the
     # block size must be word-aligned
     block_rows = int(round_up(block_rows, 32))
-    dev_thresh = _validate_screen(measure, threshold)
     n_pad = round_up(max(bm.n, r), r * block_rows)
     n_loc = n_pad // r
     x_sharded, nnz_sharded, nnz_rep = _sharded_operands(bm, mesh, n_pad)
-    rep = NamedSharding(mesh, P())
     hits = fetch_global(
         _hits_fn(mesh, n_loc, block_rows, measure)(
             x_sharded,

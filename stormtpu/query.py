@@ -489,6 +489,19 @@ def _topk_tiles(
     return best
 
 
+def _screen_tile(tile, ib, jb, nnz, thresh, m_f, ti, measure, iota0, iota1):
+    """Screen one [ti, ti] count tile at global block coords (ib, jb) →
+    packed hit words [ti, ti/32] (col > row triangle in global ids).
+    Shared by the single-chip tile screen and the K-shard distributed
+    screen (parallel/query.py)."""
+    row_g = ib * ti + iota0
+    col_g = jb * ti + iota1
+    nzr = jax.lax.dynamic_slice(nnz, (ib * ti,), (ti,))
+    nzc = jax.lax.dynamic_slice(nnz, (jb * ti,), (ti,))
+    vals = _screen_vals(tile, nzr, nzc, m_f, measure)
+    return _pack_bit_rows((vals >= thresh) & (col_g > row_g))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ti", "wk", "interpret", "variant", "measure"),
@@ -532,12 +545,8 @@ def _hits_tiles_and_summary(
 
     def tile_hit(args):
         tile, ib, jb = args
-        row_g = ib * ti + iota0
-        col_g = jb * ti + iota1
-        nzr = jax.lax.dynamic_slice(nnz, (ib * ti,), (ti,))
-        nzc = jax.lax.dynamic_slice(nnz, (jb * ti,), (ti,))
-        vals = _screen_vals(tile, nzr, nzc, m_f, measure)
-        return _pack_bit_rows((vals >= thresh) & (col_g > row_g))
+        return _screen_tile(tile, ib, jb, nnz, thresh, m_f, ti, measure,
+                            iota0, iota1)
 
     def body(c, bitmap):
         ib_c = jax.lax.dynamic_slice(ibs, (c * chunk,), (chunk,))

@@ -280,3 +280,50 @@ def test_distributed_setops_match_single_chip(mesh8):
         distributed_pairwise_cardinality(bm, "bogus", mesh=mesh8)
     with _pytest.raises(ValueError):
         distributed_similarity_matrix(bm, "bogus", mesh=mesh8)
+
+
+@pytest.mark.parametrize("measure", ["count", "jaccard"])
+def test_distributed_pairs_above_bits_axis(mesh8, measure):
+    """K-shard screen (psum of triangular count-tile partials) must match
+    the single-chip screen exactly. Needs >= 128 words/device."""
+    from stormtpu import pairs_above
+    from stormtpu.parallel import distributed_pairs_above
+
+    bm = random_bitmatrix(90, 8 * 128 * 32 + 50, 0.02, seed=91)
+    want = oracle_count_matrix(bm.packed)
+    tri = want[np.triu_indices(bm.n, 1)]
+    if measure == "count":
+        threshold = max(1, int(np.percentile(tri, 99)))
+    else:
+        nnz = bm.row_nnz.astype(np.float64)
+        J = want / np.maximum(nnz[:, None] + nnz[None, :] - want, 1)
+        threshold = float(np.percentile(J[np.triu_indices(bm.n, 1)], 99))
+        if not 0 < threshold <= 1:
+            pytest.skip("degenerate similarity threshold")
+    ii1, jj1, vv1 = pairs_above(bm, threshold, measure=measure)
+    iid, jjd, vvd = distributed_pairs_above(
+        bm, threshold, measure=measure, mesh=make_row_mesh(8),
+        shard_axis="bits",
+    )
+    assert ii1.size > 0
+    np.testing.assert_array_equal(iid, ii1)
+    np.testing.assert_array_equal(jjd, jj1)
+    np.testing.assert_array_equal(vvd, vv1)
+
+
+def test_distributed_pairs_above_bits_small_w_falls_back(mesh8):
+    from stormtpu import pairs_above
+    from stormtpu.parallel import distributed_pairs_above
+
+    bm = random_bitmatrix(40, 512, 0.4, seed=92)  # 16 words << 8*128
+    ii1, jj1, vv1 = pairs_above(bm, 50)
+    iid, jjd, vvd = distributed_pairs_above(
+        bm, 50, mesh=make_row_mesh(8), shard_axis="bits", block_rows=4
+    )
+    np.testing.assert_array_equal(iid, ii1)
+    np.testing.assert_array_equal(vvd, vv1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distributed_pairs_above(bm, 50, mesh=make_row_mesh(8),
+                                shard_axis="cols")
