@@ -166,6 +166,12 @@ def test_distributed_queries_on_device(tpu_backend):
     np.testing.assert_array_equal(jjd, j1)
     np.testing.assert_array_equal(cd, c1)
 
+    # bits-axis screen (128 words = 1 device × wk): psum tile partials
+    iik, jjk, ck = distributed_pairs_above(bm, 180, mesh=mesh,
+                                           shard_axis="bits")
+    np.testing.assert_array_equal(iik, i1)
+    np.testing.assert_array_equal(ck, c1)
+
     ac = distributed_column_counts(bm, mesh=mesh)
     np.testing.assert_array_equal(ac, dense.sum(axis=0).astype(np.int32))
 
