@@ -145,6 +145,18 @@ _WRAPPER_WORKER = textwrap.dedent(
     ac = distributed_column_counts(bm, mesh=mesh)
     assert np.array_equal(ac, dense.sum(0).astype(np.int32))
 
+    # bits-axis screen: psum of triangular count-tile partials crosses
+    # the process boundary (needs >= 128 words per device)
+    dense2 = (rng.random((24, 4 * 128 * 32 + 40)) < 0.1).astype(np.uint8)
+    bm2 = BitMatrix.from_dense(dense2)
+    C2 = dense2.astype(np.int64) @ dense2.T
+    thr = max(1, int(C2[np.triu_indices(24, 1)].max()) - 1)
+    ii, jj, vv = distributed_pairs_above(bm2, thr, mesh=mesh,
+                                         shard_axis="bits")
+    eii, ejj = np.nonzero(np.triu(C2 >= thr, k=1))
+    assert eii.size > 0 and np.array_equal(ii, eii) and np.array_equal(jj, ejj)
+    assert np.array_equal(vv, C2[eii, ejj])
+
     # streaming driver: all processes compute + gather collectively,
     # process 0 writes; the result on disk must be the exact matrix
     from stormtpu.parallel import distributed_stream_count_matrix
