@@ -111,6 +111,11 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="", help="jax.profiler trace dir")
+    ap.add_argument(
+        "--smoke", action="store_true",
+        help="tiny shape for CI contract checks (CPU-friendly; the "
+        "reported number is NOT a performance figure)",
+    )
     cli = ap.parse_args()
 
     from stormtpu.kernels import xla as kx
@@ -126,7 +131,7 @@ def main() -> None:
     log(f"device: {dev} (platform={dev.platform})")
     interpret = pallas_interpret_default()
 
-    n, m_bits = N_HEAD, M_HEAD
+    n, m_bits = (1024, 4096) if cli.smoke else (N_HEAD, M_HEAD)
     w = m_bits // 32
     rng = np.random.default_rng(12345)
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
@@ -286,7 +291,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "allpairs_intersect_count_16384x65536_dense",
+                "metric": (
+                    f"allpairs_intersect_count_{n}x{m_bits}_dense_SMOKE"
+                    if cli.smoke
+                    else "allpairs_intersect_count_16384x65536_dense"
+                ),
                 "value": round(gpairs, 6),
                 "unit": "G-pairs/s",
                 "vs_baseline": round(vs_baseline, 3),

@@ -71,9 +71,16 @@ def intersect_count_matrix(
     cfg = config or default_config()
     cfg.validate(bm.m_bits)
     if strategy == "auto":
-        strategy = choose_strategy(bm.n, bm.m_bits, bm.density, cfg)
+        strategy = choose_strategy(bm.n, bm.m_bits, bm.density, cfg, bm=bm)
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
+    if strategy == "clustered":
+        # K5 builds its own padded+cached device operand and work list
+        # (empty K-groups are skipped per tile pair, which subsumes the
+        # global empty-column compaction below)
+        from stormtpu.kernels.clustered import count_matrix_clustered
+
+        return count_matrix_clustered(bm, config=cfg)
 
     packed_np = bm.packed
     if strategy not in ("sparse", "sparse_outer") and bm.n > 1:
@@ -85,11 +92,13 @@ def intersect_count_matrix(
             packed_np = np.ascontiguousarray(packed_np[:, occupied])
             if packed_np.shape[1] == 0:
                 return np.zeros((bm.n, bm.n), dtype=np.int32)
-    # host-only strategies must not pay a device transfer; device
-    # strategies convert here (through the BitMatrix device cache when the
-    # operand is the uncompacted matrix — repeated calls skip the H2D
-    # re-upload, which costs seconds at 100 MB+ through the relay)
-    if strategy == "sparse_outer":
+    # host-only strategies must not pay a device transfer ("sparse"
+    # builds its own position-list operands in count_matrix_sparse, so
+    # uploading the packed matrix here would waste an ~8 s/138 MB relay
+    # H2D and pin an unused HBM buffer); device strategies convert here
+    # (through the BitMatrix device cache when the operand is the
+    # uncompacted matrix — repeated calls skip the H2D re-upload)
+    if strategy in ("sparse", "sparse_outer"):
         packed = packed_np
     elif packed_np is bm.packed:
         packed = bm.device_padded(bm.n)
@@ -116,11 +125,23 @@ def intersect_count_matrix(
     elif strategy == "sparse_outer":
         from stormtpu.kernels.sparse import count_matrix_sparse_outer
 
+        if bm.n > 32768:
+            # K4's documented N²-int32-buffer refusal: an explicit
+            # sparse_outer request must surface it, not silently
+            # materialize the multi-GB dense count matrix the error
+            # message tells the caller to avoid (auto dispatch never
+            # routes here above this N).
+            raise ValueError(
+                f"K4's N²-int32 count buffer is impractical at n={bm.n} "
+                f"(> 4 GB); use a dense or streaming strategy"
+            )
         try:
             out = count_matrix_sparse_outer(bm, config=cfg)
         except ValueError:
-            # clustered column occupancy blows the K4 emission padding —
-            # every strategy is exact, so fall back to the dense MXU form
+            # NumPy-fallback capacity guards (native tier unbuilt:
+            # clustered column occupancy blows the emission padding, or
+            # positions extraction would densify) — every strategy is
+            # exact, so fall back to the dense MXU form
             from stormtpu.kernels.mxu import count_matrix_pallas_mxu
             from stormtpu.tuning import tuned_variant
 

@@ -56,6 +56,17 @@ class EngineConfig:
     # work on clustered inputs; uniform-random sparsity never triggers it.
     compact_occupancy_threshold: float = 0.9
 
+    # --- K5 block-clustered work-list kernel (C8 per-pair block skip) ---
+    # The clustered strategy runs the K2 MXU tile kernel over a host-built
+    # work list of (tile pair, co-occupied K-group) items — tile pairs
+    # whose block summaries share no occupied group cost nothing
+    # (SURVEY.md §1 regime 3, the Roaring-style summary-AND skip). Chosen
+    # when the co-occupied work fraction (worklist / full K2 walk) is
+    # below this threshold (the measured-crossover analog of the
+    # reference's C7 container threshold; K5's per-item overhead vs K2 is
+    # a few % — tile-axis scalar prefetch is free, CLAUDE.md K2 note).
+    clustered_work_fraction_threshold: float = 0.5
+
     # --- distribution ---
     mesh_axis: str = "rows"        # row-shard axis name
 

@@ -21,6 +21,14 @@ Strategies:
 - ``sparse_outer``  — K4 inverted-index outer-product path (emit row
                       pairs per occupied column; work ∝ N²·M·density²).
                       The TPU winner at extreme sparsity.
+- ``clustered``     — K5 block-clustered work-list kernel: K2 MXU tiles
+                      over summary-AND co-occupied (tile pair, K-group)
+                      items only (the reference C8 block-skip regime —
+                      block-diagonal / LD-panel structure where global
+                      column compaction is a no-op). Chosen from the
+                      block-summary co-occupancy statistic when it cuts
+                      the dense walk's work below
+                      ``clustered_work_fraction_threshold``.
 """
 
 from __future__ import annotations
@@ -32,7 +40,8 @@ from stormtpu.config import EngineConfig, default_config
 __all__ = ["choose_strategy", "STRATEGIES"]
 
 STRATEGIES = (
-    "popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse", "sparse_outer"
+    "popcount", "mxu", "pallas_dense", "pallas_mxu", "sparse",
+    "sparse_outer", "clustered",
 )
 
 # Shared routing constant (see stormtpu/kernels/__init__.py): above this
@@ -46,12 +55,19 @@ def choose_strategy(
     m_bits: int,
     density: float,
     config: Optional[EngineConfig] = None,
+    *,
+    bm=None,
 ) -> str:
     """Pick the all-pairs strategy for an N×M bit matrix.
 
     Thresholds mirror the reference's honest measured crossovers (C6):
     the sparse path only wins at extreme sparsity on TPU because the MXU
     dense path is disproportionately fast (SURVEY.md §7 "Sparse on TPU").
+
+    ``bm``: the BitMatrix itself, when available — enables the
+    block-summary co-occupancy statistic (C8) that routes block-clustered
+    inputs to the K5 work-list kernel. Scalar-only calls (no matrix in
+    hand) never choose "clustered".
     """
     cfg = config or default_config()
     cfg.validate(m_bits)
@@ -95,8 +111,21 @@ def choose_strategy(
         if winner == "mxu" and m_bits > _MXU_XLA_MAX_BITS:
             # the XLA int8 path materializes the 8× unpacked operand;
             # at large M only the in-kernel-unpack Pallas form is viable
-            return "pallas_mxu"
-        return winner
-    if m_bits <= _MXU_XLA_MAX_BITS:
-        return "mxu"
-    return "pallas_mxu"
+            winner = "pallas_mxu"
+    elif m_bits <= _MXU_XLA_MAX_BITS:
+        winner = "mxu"
+    else:
+        winner = "pallas_mxu"
+    if bm is not None and winner in ("mxu", "pallas_mxu"):
+        # C8 block-clustered regime: when the summary-AND co-occupancy
+        # says the K5 work list is a small fraction of the full K2 walk,
+        # the skip pays ≈ 1/fraction (per-item cost matches K2's tile
+        # steps — measured, CLAUDE.md). Global-compaction-invisible
+        # structure (every column occupied by SOME row) is exactly what
+        # this catches.
+        from stormtpu.kernels.clustered import clustered_work_fraction
+
+        wf = clustered_work_fraction(bm, cfg)
+        if wf is not None and wf < cfg.clustered_work_fraction_threshold:
+            return "clustered"
+    return winner

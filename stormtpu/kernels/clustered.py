@@ -1,0 +1,356 @@
+"""K5 — block-clustered work-list kernel: MXU tiles over co-occupied
+K-groups only.
+
+TPU-native analog of the reference's hybrid/skip regime (SURVEY.md §1
+regime 3, §3 C8 ``STORM_bitmap_cont_t``): the reference keeps a per-bitmap
+summary bitmap of non-empty 2¹⁶-bit blocks and ANDs the summaries so
+co-empty block pairs cost O(1). Per-pair branching is XLA-hostile, so the
+TPU form hoists ALL of the skipping to the host and leaves the device a
+flat, branch-free work list:
+
+1. ``BitMatrix.block_summary`` gives per-row K-group occupancy (group =
+   one K2 K-step, ``tile_words`` words); OR-reduce over each ``tile_rows``
+   row block → per-tile-block occupancy ``occ[nb, ng]``.
+2. For every upper-triangular tile pair (ib, jb), the co-occupied groups
+   are ``occ[ib] & occ[jb]`` — the summary AND. Emit one work item
+   (tile pair, group) per set bit; tile pairs with no co-occupied group
+   never reach the device (their count tile is exactly zero).
+3. The Pallas kernel runs the K2 MXU tile body (in-VMEM bit-unpack +
+   int8 XXᵀ) over the 1-D work-item grid, with scalar-prefetched
+   (ibs, jbs, gsel, slot, first) steering the block index maps —
+   identical per-item cost to the K2 triangular walk (the tile axis is
+   already "arbitrary"-sequenced there; measured ±0.1%, CLAUDE.md), so
+   the speedup over K2 is ≈ 1 / work-fraction.
+
+Work items are sorted by output slot; ``first`` flags the first item of
+each slot (zero-initialize on arrival, accumulate across its K-groups —
+the same revisit pattern as K2's K axis). Padding items point at a
+trailing all-zero K-group of the operand and re-target the last slot with
+``first=0``: they accumulate exactly zero.
+
+Exactness: same argument as K2 (0/1 products, int32 accumulation,
+EngineConfig.validate bounds M < 2³¹); dropped (tile pair, group) items
+contribute zero by construction of the summary. Oracle-tested across
+densities and layouts in tests/test_clustered.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stormtpu.config import WORD_BITS, EngineConfig, default_config
+from stormtpu.kernels.mxu import _unpack_bits_int8, k2_tile_shape
+from stormtpu.utils import (
+    assemble_triangular,
+    pallas_interpret_default,
+    round_up,
+)
+
+__all__ = [
+    "ClusteredPlan",
+    "build_clustered_plan",
+    "count_tiles_worklist",
+    "count_matrix_clustered",
+]
+
+
+def _k5_kernel_concat(ibs_ref, jbs_ref, gs_ref, sl_ref, fi_ref,
+                      a_ref, b_ref, o_ref):
+    """One work item: accumulate one co-occupied K-group into the slot's
+    count tile (concat-unpack variant)."""
+    t = pl.program_id(0)
+
+    @pl.when(fi_ref[t] == 1)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    ua = _unpack_bits_int8(a_ref[:])
+    ub = _unpack_bits_int8(b_ref[:])
+    o_ref[0] += jax.lax.dot_general(
+        ua,
+        ub,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _k5_kernel_planes(ibs_ref, jbs_ref, gs_ref, sl_ref, fi_ref,
+                      a_ref, b_ref, o_ref):
+    """One work item, "planes" variant: one MXU dot per bit plane."""
+    t = pl.program_id(0)
+
+    @pl.when(fi_ref[t] == 1)
+    def _zero():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), dtype=jnp.int32)
+    for bit in range(WORD_BITS):
+        ua = ((a >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        ub = ((b >> jnp.uint32(bit)) & jnp.uint32(1)).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            ua,
+            ub,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    o_ref[0] += acc
+
+
+_K5_VARIANTS = {"concat": _k5_kernel_concat, "planes": _k5_kernel_planes}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_slots", "tile_rows", "tile_words", "interpret",
+                     "variant"),
+)
+def count_tiles_worklist(
+    packed: jax.Array,
+    ibs: jax.Array,
+    jbs: jax.Array,
+    gsel: jax.Array,
+    slots: jax.Array,
+    first: jax.Array,
+    *,
+    n_slots: int,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+    variant: str = "planes",
+) -> jax.Array:
+    """``n_slots`` count tiles int32 [n_slots, TI, TI]: work item t
+    accumulates the (ibs[t], jbs[t]) row-block pair over K-group gsel[t]
+    into output slot slots[t]. Items must arrive sorted by slot with
+    ``first`` marking each slot's first item; every slot must be visited
+    (unvisited output memory is undefined — the planner guarantees this).
+    """
+    n_pad, w_pad = packed.shape
+    assert n_pad % tile_rows == 0 and w_pad % tile_words == 0
+    t_work = ibs.shape[0]
+    kdim = tile_words * WORD_BITS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(t_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda t, ibs_r, jbs_r, gs_r, sl_r, fi_r: (ibs_r[t], gs_r[t]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_rows, tile_words),
+                lambda t, ibs_r, jbs_r, gs_r, sl_r, fi_r: (jbs_r[t], gs_r[t]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, tile_rows),
+            lambda t, ibs_r, jbs_r, gs_r, sl_r, fi_r: (sl_r[t], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _K5_VARIANTS[variant],
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_slots, tile_rows, tile_rows),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tile_rows * tile_rows * kdim * t_work,
+            bytes_accessed=(2 * tile_rows * tile_words * 4
+                            + tile_rows * tile_rows * 4) * t_work,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ibs, jbs, gsel, slots, first, packed, packed)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusteredPlan:
+    """Host-built execution plan for the K5 work-list kernel."""
+
+    ti: int                 # tile rows
+    wk: int                 # words per K-group (= K2 K-step)
+    n_pad: int
+    w_pad: int              # includes one trailing all-zero pad group
+    nb: int                 # row blocks
+    ng: int                 # real K-groups (pad group excluded)
+    slot_ibs: np.ndarray    # int32 [P] visited tile-pair row blocks
+    slot_jbs: np.ndarray    # int32 [P]
+    ibs_w: np.ndarray       # int32 [T_pad] work-item row block
+    jbs_w: np.ndarray       # int32 [T_pad]
+    gsel_w: np.ndarray      # int32 [T_pad] work-item K-group
+    slots_w: np.ndarray     # int32 [T_pad] output slot
+    first_w: np.ndarray     # int32 [T_pad] 1 = first item of its slot
+    n_work: int             # real items (before pow2 padding)
+    work_fraction: float    # n_work / (T_tri · ng): the dispatch statistic
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(3, (max(x, 1) - 1).bit_length())
+
+
+def _block_occupancy(bm, cfg: EngineConfig):
+    """Per-tile-block K-group occupancy bool [nb, ng] (+ tile geometry),
+    cached on the BitMatrix — the one O(N·W) summary scan, shared by the
+    dispatch statistic and the plan builder. None when ng < 2 (a single
+    K-group: the summary cannot skip anything)."""
+    n, w = bm.n, bm.n_words
+    if n == 0 or w == 0:
+        return None
+    ti, wk = k2_tile_shape(cfg, n, w)
+    ng = -(-w // wk)
+    if ng < 2:
+        return None
+    cache = bm.__dict__.setdefault("_occ_cache", {})
+    key = (ti, wk)
+    hit = cache.get(key)
+    if hit is None:
+        n_pad = round_up(n, ti)
+        nb = n_pad // ti
+        # per-row group occupancy via the C8 summary, OR-reduced per
+        # tile block of rows
+        occ_rows = bm.block_summary(block_bits=wk * WORD_BITS).astype(bool)
+        occ = np.zeros((nb * ti, ng), dtype=bool)
+        occ[:n] = occ_rows
+        occ = occ.reshape(nb, ti, ng).any(axis=1)  # [nb, ng]
+        hit = (occ, ti, wk, n_pad, nb, ng)
+        cache[key] = hit
+    return hit
+
+
+def clustered_work_fraction(
+    bm, config: Optional[EngineConfig] = None
+) -> Optional[float]:
+    """The D1 dispatch statistic for the clustered regime: fraction of
+    (upper-triangular tile pair, K-group) cells whose summaries co-occupy
+    — i.e. K5's work relative to the full K2 walk. None for shapes where
+    the skip machinery is inapplicable (single K-group)."""
+    cfg = config or default_config()
+    geo = _block_occupancy(bm, cfg)
+    if geo is None:
+        return None
+    occ, ti, wk, n_pad, nb, ng = geo
+    ibs_t, jbs_t = np.triu_indices(nb)
+    co = occ[ibs_t] & occ[jbs_t]
+    return float(co.sum()) / float(ibs_t.size * ng)
+
+
+def build_clustered_plan(
+    bm, config: Optional[EngineConfig] = None
+) -> Optional[ClusteredPlan]:
+    """Summary-AND planning: per-tile-block K-group occupancy → sorted
+    (tile pair, group) work list. Returns None for degenerate shapes
+    (single K-group — nothing to skip) or an all-empty matrix.
+    """
+    cfg = config or default_config()
+    geo = _block_occupancy(bm, cfg)
+    if geo is None:
+        return None
+    occ, ti, wk, n_pad, nb, ng = geo
+
+    ibs_t, jbs_t = np.triu_indices(nb)
+    co = occ[ibs_t] & occ[jbs_t]               # [T_tri, ng] summary AND
+    pair_idx, group_idx = np.nonzero(co)       # sorted by pair (row-major)
+    n_work = pair_idx.size
+    t_tri = ibs_t.size
+    work_fraction = n_work / float(t_tri * ng)
+    if n_work == 0:
+        return None
+
+    # visited tile pairs → output slots (order of first appearance = pair
+    # order, since np.nonzero is pair-major)
+    visited, slot_of_item = np.unique(pair_idx, return_inverse=True)
+    slot_ibs = ibs_t[visited].astype(np.int32)
+    slot_jbs = jbs_t[visited].astype(np.int32)
+    first = np.empty(n_work, dtype=np.int32)
+    first[0] = 1
+    first[1:] = (slot_of_item[1:] != slot_of_item[:-1]).astype(np.int32)
+
+    # pad to a pow2 bucket (bounded compile count); padding items add an
+    # all-zero K-group (index ng — the trailing pad group) into the last
+    # visited slot with first=0: exact no-ops
+    t_pad = _next_pow2(n_work)
+    ibs_w = np.full(t_pad, slot_ibs[-1], dtype=np.int32)
+    jbs_w = np.full(t_pad, slot_jbs[-1], dtype=np.int32)
+    gsel_w = np.full(t_pad, ng, dtype=np.int32)
+    slots_w = np.full(t_pad, visited.size - 1, dtype=np.int32)
+    first_w = np.zeros(t_pad, dtype=np.int32)
+    ibs_w[:n_work] = ibs_t[pair_idx]
+    jbs_w[:n_work] = jbs_t[pair_idx]
+    gsel_w[:n_work] = group_idx
+    slots_w[:n_work] = slot_of_item
+    first_w[:n_work] = first
+
+    return ClusteredPlan(
+        ti=ti, wk=wk, n_pad=n_pad, w_pad=(ng + 1) * wk, nb=nb, ng=ng,
+        slot_ibs=slot_ibs, slot_jbs=slot_jbs,
+        ibs_w=ibs_w, jbs_w=jbs_w, gsel_w=gsel_w, slots_w=slots_w,
+        first_w=first_w, n_work=n_work, work_fraction=work_fraction,
+    )
+
+
+def count_matrix_clustered(
+    bm,
+    *,
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+    variant: Optional[str] = None,
+    plan: Optional[ClusteredPlan] = None,
+) -> np.ndarray:
+    """Full N×N exact counts via the K5 work-list kernel (summary-AND
+    block skip + triangular mirror). Tile pairs with no co-occupied
+    K-group are never computed — their counts are exactly zero."""
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if variant is None:
+        from stormtpu.tuning import tuned_variant
+
+        variant = tuned_variant("k2", cfg.k2_variant)
+    if plan is None:
+        plan = build_clustered_plan(bm, cfg)
+    if plan is None:
+        # degenerate (single K-group / empty): zero matrix or the plain
+        # K2 walk — both exact
+        if bm.n == 0 or bm.nnz == 0:
+            return np.zeros((bm.n, bm.n), dtype=np.int32)
+        from stormtpu.kernels.mxu import count_matrix_pallas_mxu
+
+        return count_matrix_pallas_mxu(
+            bm.device_padded(bm.n), config=cfg,
+            interpret=interpret, variant=variant,
+        )
+
+    def build():
+        xp = np.zeros((plan.n_pad, plan.w_pad), dtype=np.uint32)
+        xp[: bm.n, : bm.n_words] = bm.packed
+        return jnp.asarray(xp)
+
+    packed_d = bm.device_cached(("padded2dz", plan.n_pad, plan.w_pad), build)
+    tiles = count_tiles_worklist(
+        packed_d,
+        jnp.asarray(plan.ibs_w), jnp.asarray(plan.jbs_w),
+        jnp.asarray(plan.gsel_w), jnp.asarray(plan.slots_w),
+        jnp.asarray(plan.first_w),
+        n_slots=int(plan.slot_ibs.size),
+        tile_rows=plan.ti, tile_words=plan.wk,
+        interpret=bool(interpret), variant=variant,
+    )
+    return assemble_triangular(
+        np.asarray(tiles), plan.slot_ibs, plan.slot_jbs, plan.nb, bm.n
+    )

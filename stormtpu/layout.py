@@ -323,15 +323,22 @@ class BitMatrix:
         """Per-row non-empty-block summary, uint8 [N, ceil(M/block_bits)].
 
         Analog of ``STORM_bitmap_cont_t``'s summary bitmap (C8): entry
-        [i, b] is 1 iff row i has any set bit in block b. Used for tile-skip
-        statistics / clustered-sparsity detection in dispatch.
+        [i, b] is 1 iff row i has any set bit in block b. THE clustered-
+        sparsity signal: dispatch derives the co-occupied work fraction
+        from it (dispatch.clustered_stats) and the K5 work-list kernel
+        (kernels/clustered.py) executes only summary-AND co-occupied
+        (tile pair, K-group) items — the reference's per-2¹⁶-block
+        summary-AND skip, lifted to MXU tile granularity.
         """
         wpb = max(1, block_bits // WORD_BITS)
         w = self.packed.shape[1]
-        nb = -(-w // wpb)
-        padded = pad_words(self.packed, wpb * nb if nb else wpb)
-        grouped = padded[:, : nb * wpb].reshape(self.n, nb, wpb)
-        return (grouped != 0).any(axis=2).astype(np.uint8)
+        if w == 0:
+            return np.zeros((self.n, 0), dtype=np.uint8)
+        # reduceat ORs each wpb-word group in one pass (ragged tail
+        # included) — no padded copy of the O(N·W) matrix
+        starts = np.arange(0, w, wpb)
+        grouped = np.bitwise_or.reduceat(self.packed, starts, axis=1)
+        return (grouped != 0).astype(np.uint8)
 
     # ------------------------------------------------------------------ stats
     @property

@@ -26,11 +26,12 @@ jit(shard_map(...)) wrapper per call would recompile every invocation,
 which costs 20–60 s per shape on this TPU stack (CLAUDE.md).
 
 Scope: queries default to the ROW axis (the BASELINE.json:5 layout).
-The screen also offers the bit-axis variant
-(``distributed_pairs_above(shard_axis="bits")``: psum of triangular K2
-count-tile partials, mirroring ``distributed_count_matrix``); top-k is
-row-axis only (its merge state would need a second reduction stage over
-psummed partials).
+Both queries also offer the bit-axis variant (``shard_axis="bits"``):
+psum of triangular K2 count-tile partials, mirroring
+``distributed_count_matrix`` — the screen bit-packs the merged tiles,
+top-k runs the (non-idempotent) tile-walk merge on the replicated exact
+tiles after the psum (two-stage: reduce the K partials first, merge
+second).
 """
 
 from __future__ import annotations
@@ -85,6 +86,33 @@ def _sharded_operands(bm, mesh: Mesh, n_pad: int):
         )
 
     return bm.device_cached(("sharded", mesh, int(n_pad)), build)
+
+
+def _kshard_operands(bm, mesh: Mesh, ti: int, wk: int):
+    """Word-sharded device operands for the bits-axis (K-shard) query
+    paths, cached on the BitMatrix (shared by the K-shard screen and
+    top-k — same padding, same cache key). Returns
+    (packed word-sharded [n_pad, w_pad], nnz replicated, n_pad, w_pad)."""
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    n_pad = round_up(max(bm.n, 1), ti)
+    w_pad = round_up(bm.n_words, r * wk)
+    rep = NamedSharding(mesh, P())
+
+    def build():
+        xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        xp[: bm.n, : bm.n_words] = bm.packed
+        nnz_pad = np.zeros(n_pad, dtype=np.int32)
+        nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
+        return (
+            jax.device_put(xp, NamedSharding(mesh, P(None, axis))),
+            jax.device_put(nnz_pad, rep),
+        )
+
+    x_sharded, nnz_rep = bm.device_cached(
+        ("ksharded", mesh, n_pad, w_pad), build
+    )
+    return x_sharded, nnz_rep, n_pad, w_pad
 
 
 def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
@@ -160,26 +188,110 @@ def _topk_fn(mesh: Mesh, n_loc: int, k: int, block_rows: int):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _kshard_topk_fn(
+    mesh: Mesh, ti: int, wk: int, k: int, interpret: bool, variant: str
+):
+    """Bits-axis (K-dim) top-k: every device holds a WORD slice of all
+    rows and runs the triangular K2 tile walk on it; each chunk's count
+    tiles are int32 K-partials that ``psum`` merges to the exact tiles
+    BEFORE the (non-idempotent) top-k merge touches them — the two-stage
+    form of ``_kshard_hits_fn``. After the psum the tiles are replicated,
+    so every device runs the identical merge and the (replicated) output
+    needs no gather."""
+    from stormtpu.query import _topk_tile_walk
+
+    axis = mesh.axis_names[0]
+
+    def local_fn(x_local, ibs, jbs, valid):
+        return _topk_tile_walk(
+            x_local, ibs, jbs, valid,
+            k=k, ti=ti, wk=wk, interpret=interpret, variant=variant,
+            psum_axis=axis,
+        )
+
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None), P(None), P(None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    )
+
+
 def distributed_topk_neighbors(
     x: MatrixLike,
     k: int,
     *,
     mesh: Optional[Mesh] = None,
     block_rows: Optional[int] = None,
+    shard_axis: str = "rows",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count, computed
-    row-sharded over ``mesh`` (self excluded). Returns (counts int32
-    [N, k], indices int32 [N, k]) like the single-chip form; values are
-    identical to it, tie order among equal counts may differ."""
+    sharded over ``mesh`` (self excluded). Returns (counts int32 [N, k],
+    indices int32 [N, k]) like the single-chip form; values are identical
+    to it, tie order among equal counts may differ.
+
+    ``shard_axis="rows"``: row-sharded X, square ring (the default
+    layout; scales N). ``shard_axis="bits"``: word-sharded X, psum of
+    triangular K2 count-tile partials then the replicated tile-walk merge
+    (the K-dim variant for the regime where M is what must shard — a
+    single row slice exceeding per-device HBM); needs ≥128 words per
+    device — smaller W falls back to the ring."""
     bm = _as_bitmatrix(x)
     if mesh is None:
         mesh = make_row_mesh()
     axis = mesh.axis_names[0]
     r = mesh.shape[axis]
-    if block_rows is None:
-        block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
+    if shard_axis not in ("rows", "bits"):
+        raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    if shard_axis == "bits" and bm.n_words >= r * 128:
+        from stormtpu.config import default_config
+        from stormtpu.tuning import tuned_variant
+        from stormtpu.utils import (
+            pallas_interpret_default,
+            triangular_tile_ids,
+        )
+
+        cfg = default_config()
+        ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
+        wk = 128
+        x_sharded, _, n_pad, _ = _kshard_operands(bm, mesh, ti, wk)
+        nb = n_pad // ti
+        ibs, jbs = triangular_tile_ids(nb)
+        chunk = int(min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size)))
+        t_pad = round_up(ibs.size, chunk)
+        # padded duplicate tiles are NOT idempotent for a top-k merge —
+        # carry validity flags (masked to −1 in the walk)
+        ibs_p = np.full(t_pad, ibs[-1], dtype=np.int32)
+        jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
+        valid = np.zeros(t_pad, dtype=np.int32)
+        ibs_p[: ibs.size] = ibs
+        jbs_p[: jbs.size] = jbs
+        valid[: ibs.size] = 1
+        rep = NamedSharding(mesh, P())
+        fn = _kshard_topk_fn(
+            mesh, ti, wk, k, bool(pallas_interpret_default()),
+            tuned_variant("k2", cfg.k2_variant),
+        )
+        vals_d, idx_d = fn(
+            x_sharded,
+            jax.device_put(jnp.asarray(ibs_p), rep),
+            jax.device_put(jnp.asarray(jbs_p), rep),
+            jax.device_put(jnp.asarray(valid), rep),
+        )
+        vals = np.asarray(vals_d)[: bm.n]
+        idx = np.asarray(idx_d)[: bm.n]
+        valid_out = idx < bm.n
+        vals = np.where(valid_out, vals, 0)
+        idx = np.where(valid_out, idx, 0)
+        return vals, idx
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
     n_pad = round_up(max(bm.n, r), r * block_rows)
     n_loc = n_pad // r
     x_sharded, _, _ = _sharded_operands(bm, mesh, n_pad)
@@ -248,12 +360,23 @@ def _ring_hits_local(
                 )
                 hit = _screen_vals(counts, nzb, nnz_cols, m_f, measure) >= thresh
                 mine = _pack_bit_rows(hit & (col_g > row_g))  # [B, wloc]
+                if not want_mirror:
+                    # diagonal (s=0) and even-R mutual steps discard the
+                    # mirror tile — don't trace the transpose+pack at all
+                    # (relying on XLA to DCE an unused stacked lax.map
+                    # output inside the unrolled ring is not guaranteed)
+                    return mine
                 # partner's half, transposed to (partner rows × my rows):
                 # entry (j, i) hits iff my global row i > partner row j
                 theirs = _pack_bit_rows((hit & (row_g > col_g)).T)  # [n_loc, wblk]
                 return mine, theirs
 
-            mine, theirs = jax.lax.map(step_block, (blocks, base, nnz_blocks))
+            if want_mirror:
+                mine, theirs = jax.lax.map(
+                    step_block, (blocks, base, nnz_blocks)
+                )
+            else:
+                mine = jax.lax.map(step_block, (blocks, base, nnz_blocks))
             out = jax.lax.dynamic_update_slice(
                 out, mine.reshape(n_loc, wloc), (0, partner * wloc)
             )
@@ -393,8 +516,7 @@ def distributed_pairs_above(
         cfg = default_config()
         ti = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
         wk = 128  # per-device K-step (Mosaic 128-divisible last dim)
-        n_pad = round_up(max(bm.n, 1), ti)
-        w_pad = round_up(bm.n_words, r * wk)
+        x_sharded, nnz_rep, n_pad, _ = _kshard_operands(bm, mesh, ti, wk)
         nb = n_pad // ti
         ibs, jbs = triangular_tile_ids(nb)
         chunk = int(min(_SCREEN_TILE_CHUNK, _next_pow2(ibs.size)))
@@ -404,20 +526,6 @@ def distributed_pairs_above(
         jbs_p = np.full(t_pad, jbs[-1], dtype=np.int32)
         ibs_p[: ibs.size] = ibs
         jbs_p[: jbs.size] = jbs
-
-        def build():
-            xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
-            xp[: bm.n, : bm.n_words] = bm.packed
-            nnz_pad = np.zeros(n_pad, dtype=np.int32)
-            nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
-            return (
-                jax.device_put(xp, NamedSharding(mesh, P(None, axis))),
-                jax.device_put(nnz_pad, rep),
-            )
-
-        x_sharded, nnz_rep = bm.device_cached(
-            ("ksharded", mesh, n_pad, w_pad), build
-        )
         fn = _kshard_hits_fn(
             mesh, ti, wk, chunk, bool(pallas_interpret_default()),
             tuned_variant("k2", cfg.k2_variant), measure,

@@ -394,11 +394,7 @@ def _tile_walk_operands(bm):
             jnp.asarray(valid), ti, wk, n_pad)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "ti", "wk", "interpret", "variant"),
-)
-def _topk_tiles(
+def _topk_tile_walk(
     packed: jax.Array,
     ibs: jax.Array,
     jbs: jax.Array,
@@ -409,6 +405,7 @@ def _topk_tiles(
     wk: int,
     interpret: bool,
     variant: str,
+    psum_axis: Optional[str] = None,
 ):
     """TRIANGULAR top-k: the tuned K2 MXU tile walk with a per-row
     running top-k merge — half the FLOPs of the square block form. Each
@@ -426,6 +423,13 @@ def _topk_tiles(
     (parallel/query.py): a global top-k partner of row i is among the
     top-min(k, ti) of its own tile column block. Tie order among equal
     counts may differ from the single-chip full-row ``lax.top_k``.
+
+    ``psum_axis``: when set, ``packed`` is one device's WORD slice inside
+    a ``shard_map`` over that mesh axis — each chunk's count tiles are
+    int32 K-partials, ``psum``-merged to the exact tiles before any
+    top-k merge touches them (the bits-axis distributed form,
+    parallel/query.py). The merge itself then runs on replicated exact
+    tiles, so the single-chip correctness argument applies unchanged.
     """
     from stormtpu.kernels.mxu import count_tiles_pallas_mxu
 
@@ -467,6 +471,8 @@ def _topk_tiles(
             packed, ib_c, jb_c, tile_rows=ti, tile_words=wk,
             interpret=interpret, variant=variant,
         )
+        if psum_axis is not None:
+            tiles = jax.lax.psum(tiles, psum_axis)
         va, ia, vb, ib_t = jax.lax.map(
             tile_cands, (tiles, ib_c, jb_c, ok_c.astype(bool))
         )
@@ -487,6 +493,29 @@ def _topk_tiles(
     )
     best = jax.lax.fori_loop(0, n_chunks, body, best)
     return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ti", "wk", "interpret", "variant"),
+)
+def _topk_tiles(
+    packed: jax.Array,
+    ibs: jax.Array,
+    jbs: jax.Array,
+    valid: jax.Array,
+    *,
+    k: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    variant: str,
+):
+    """Single-chip jit wrapper over :func:`_topk_tile_walk`."""
+    return _topk_tile_walk(
+        packed, ibs, jbs, valid,
+        k=k, ti=ti, wk=wk, interpret=interpret, variant=variant,
+    )
 
 
 def _screen_tile(tile, ib, jb, nnz, thresh, m_f, ti, measure, iota0, iota1):

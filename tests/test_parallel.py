@@ -327,3 +327,39 @@ def test_distributed_pairs_above_bits_small_w_falls_back(mesh8):
     with _pytest.raises(ValueError):
         distributed_pairs_above(bm, 50, mesh=make_row_mesh(8),
                                 shard_axis="cols")
+
+
+def test_distributed_topk_bits_axis(mesh8):
+    """K-shard top-k (psum of triangular count-tile partials, then the
+    replicated tile-walk merge) must report the same VALUES as the
+    single-chip form, and every reported (row, idx) must realize its
+    count. Needs >= 128 words/device; ragged W on purpose."""
+    from stormtpu import pair_counts, topk_neighbors
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    bm = random_bitmatrix(70, 8 * 128 * 32 + 50, 0.02, seed=93)
+    v1, _ = topk_neighbors(bm, k=5)
+    vd, idd = distributed_topk_neighbors(
+        bm, 5, mesh=make_row_mesh(8), shard_axis="bits"
+    )
+    np.testing.assert_array_equal(vd, v1)
+    rows = np.repeat(np.arange(bm.n, dtype=np.int32), 5)
+    got = pair_counts(bm, rows, idd.ravel().astype(np.int32))
+    np.testing.assert_array_equal(got.reshape(bm.n, 5), vd)
+
+
+def test_distributed_topk_bits_small_w_falls_back(mesh8):
+    from stormtpu import topk_neighbors
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    bm = random_bitmatrix(40, 512, 0.4, seed=94)  # 16 words << 8*128
+    v1, _ = topk_neighbors(bm, k=3)
+    vd, _ = distributed_topk_neighbors(
+        bm, 3, mesh=make_row_mesh(8), shard_axis="bits", block_rows=4
+    )
+    np.testing.assert_array_equal(vd, v1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(8),
+                                   shard_axis="cols")
