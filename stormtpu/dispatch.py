@@ -88,13 +88,23 @@ def choose_strategy(
         from stormtpu.native import HAVE_NATIVE
 
         if n <= 32768 and HAVE_NATIVE:
+            from stormtpu.tuning import k4_cost_model
+
+            fit = k4_cost_model() or {}
+            # shipped defaults encode the round-1 v5e + 1-core host;
+            # `python -m stormtpu tune` re-fits them for this machine
+            # (tuning.refit_k4_constants)
+            c_sort = fit.get("c_sort_s_per_nnz", 3e-8)
+            c_n2 = fit.get("c_n2_s_per_elem", 4e-9)
+            c_emit = fit.get("c_emit_s_per_emission", 2e-9)
+            tops = fit.get("k2_int8_ops_per_s", 330e12)
+            floor = fit.get("dispatch_floor_s", 0.03)
             nnz = n * m_bits * density
-            # K4: np.unique sort (~3e-8 s/nnz) + N² zero/mirror
-            # (~4e-9 s/elem) + pair emission (~2e-9 s/emission,
-            # E ≈ nnz · n · density)
-            est_k4 = 3e-8 * nnz + 4e-9 * n * n + 2e-9 * nnz * n * density
-            # K2: triangular MXU matmul at ~330 int8 TOPS + dispatch floor
-            est_k2 = n * n * m_bits / 330e12 + 0.03
+            # K4: np.unique sort + N² zero/mirror + pair emission
+            # (E ≈ nnz · n · density)
+            est_k4 = c_sort * nnz + c_n2 * n * n + c_emit * nnz * n * density
+            # K2: triangular MXU matmul at the measured TOPS + floor
+            est_k2 = n * n * m_bits / tops + floor
             if est_k4 < est_k2:
                 return "sparse_outer"
     if n < cfg.mxu_min_rows:
@@ -103,10 +113,12 @@ def choose_strategy(
         # scalar fallback).
         return "popcount"
     # Measured crossover, when the device has been tuned
-    # (`python -m stormtpu tune`) — the C6-style honest threshold.
+    # (`python -m stormtpu tune`) — the C6-style honest threshold,
+    # per (N, M) bucket: the winner of the nearest tuned shape, not one
+    # global winner (the reference's ladder is length-aware, §4.4).
     from stormtpu.tuning import measured_dense_winner
 
-    winner = measured_dense_winner()
+    winner = measured_dense_winner(n, m_bits)
     if winner is not None:
         if winner == "mxu" and m_bits > _MXU_XLA_MAX_BITS:
             # the XLA int8 path materializes the 8× unpacked operand;

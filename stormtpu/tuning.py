@@ -1,24 +1,38 @@
-"""On-device kernel tuning — measured dispatch crossovers.
+"""On-device kernel tuning — measured dispatch crossovers, per shape bucket.
 
 The reference's dispatch constants (SURVEY.md §3 C6/C7: ISA ladder, the
-Roaring-style container threshold) encode *measured* crossovers for x86.
-The TPU analog: probe every exact kernel path on the live device at a
-representative shape, record pairs/s in a cache file, and let D1 dispatch
-prefer the measured winner. Tuning is explicit (``python -m stormtpu
+Roaring-style container threshold) encode *measured* crossovers for x86,
+and its ladder is length-aware (short inputs fall back to scalar). The TPU
+analog: probe every exact kernel path on the live device over a small
+(N, M) shape grid, record pairs/s per bucket in a cache file, and let D1
+dispatch prefer the measured winner of the NEAREST bucket (log-space
+distance) — a winner measured at one MXU-friendly shape must not misroute
+small-N/large-M workloads. Tuning is explicit (``python -m stormtpu
 tune``) because first-compiles are expensive; without a cache, dispatch
 falls back to its static heuristics.
+
+The same run re-fits the K4 host cost model's constants (sort/emission
+rates are host-CPU properties, the dense alternative's TOPS and the
+dispatch floor are device/link properties — all machine-specific; see
+``refit_k4_constants``). dispatch.py reads the fitted constants from the
+cache and falls back to the shipped v5e/1-core defaults when untuned.
 
 Timing methodology matches bench.py: warmup compile, then sustained slope
 timing over in-jit chains of perturbed inputs (this environment's relay
 memoizes identical executions, returns early from block_until_ready, and
 adds a ~25 ms fixed cost per dispatch — the slope cancels the fixed cost).
+Paths whose single dispatch exceeds ``slow_path_budget_s`` are recorded at
+their latency-inclusive upper-bound rate instead of slope-timed (marked
+``latency_bound``) — they are never near the winner, and slope-timing a
+30 s path would blow the tuning budget.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -28,6 +42,15 @@ _DEFAULT_CACHE = os.path.join(
 )
 
 _DENSE_PATHS = ("popcount", "mxu", "pallas_dense", "pallas_mxu")
+
+# (N, m_bits) probe grid — MXU-shaped, small-N, and long-K corners
+# (VERDICT r1 #6; all dims divide the shipped tile shapes so probe
+# operands need no padding copies).
+DEFAULT_GRID: tuple[tuple[int, int], ...] = (
+    (256, 8192), (256, 65536), (256, 1048576),
+    (4096, 8192), (4096, 65536), (4096, 1048576),
+    (16384, 8192), (16384, 65536), (16384, 1048576),
+)
 
 
 def cache_path() -> str:
@@ -42,31 +65,70 @@ def load_tuning() -> Optional[dict]:
         return None
 
 
-def tuned_variant(kernel: str, default: str) -> str:
-    """Best measured Pallas kernel variant ("k1" or "k2") on this device,
-    or ``default`` when untuned."""
+def _device_tuning() -> Optional[dict]:
     import jax
 
     t = load_tuning()
     if not t or t.get("device") != str(jax.devices()[0]):
+        return None
+    return t
+
+
+def tuned_variant(kernel: str, default: str) -> str:
+    """Best measured Pallas kernel variant ("k1" or "k2") on this device,
+    or ``default`` when untuned."""
+    t = _device_tuning()
+    if not t:
         return default
     return t.get(f"best_{kernel}_variant", default)
 
 
-def measured_dense_winner() -> Optional[str]:
-    """Best dense all-pairs strategy from the cache, if tuned on this
-    backend; None otherwise."""
-    import jax
+def _bucket_key(n: int, m_bits: int) -> str:
+    return f"{n}x{m_bits}"
 
-    t = load_tuning()
+
+def measured_dense_winner(
+    n: Optional[int] = None, m_bits: Optional[int] = None
+) -> Optional[str]:
+    """Best dense all-pairs strategy from the cache for the bucket nearest
+    (n, m_bits) in log space, if tuned on this backend; None otherwise.
+    Without a shape (legacy callers) the whole-cache best is returned."""
+    t = _device_tuning()
     if not t:
         return None
-    if t.get("device") != str(jax.devices()[0]):
+    buckets = t.get("buckets")
+    if not buckets:
+        # legacy single-shape cache (round-1 format)
+        rates = t.get("dense_pairs_per_s", {})
+        return max(rates, key=rates.get) if rates else None
+    if n is None or m_bits is None:
+        agg: dict[str, float] = {}
+        for b in buckets.values():
+            for k, v in b.get("dense_pairs_per_s", {}).items():
+                agg[k] = max(agg.get(k, 0.0), v)
+        return max(agg, key=agg.get) if agg else None
+
+    def dist(key: str) -> float:
+        bn, bm = key.split("x")
+        return abs(math.log(max(n, 1) / int(bn))) + abs(
+            math.log(max(m_bits, 1) / int(bm))
+        )
+
+    keys = [k for k in buckets if buckets[k].get("dense_pairs_per_s")]
+    if not keys:
         return None
-    rates = t.get("dense_pairs_per_s", {})
-    if not rates:
-        return None
+    near = min(keys, key=dist)
+    rates = buckets[near]["dense_pairs_per_s"]
     return max(rates, key=rates.get)
+
+
+def k4_cost_model() -> Optional[dict]:
+    """Fitted K4 cost-model constants for this device/host, or None when
+    untuned (dispatch then uses its shipped defaults)."""
+    t = _device_tuning()
+    if not t:
+        return None
+    return t.get("k4_cost_model")
 
 
 def _timeit(f, xs, c1: int = 2, c2: int = 20) -> float:
@@ -77,12 +139,15 @@ def _timeit(f, xs, c1: int = 2, c2: int = 20) -> float:
     return timeit_sustained(f, xs, c1=c1, c2=c2)
 
 
-def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
-    """Measure all dense paths (and Pallas kernel variants) at shape
-    (n, m_bits); verify each against the oracle; write the cache."""
-    import jax
+def _tune_shape(
+    n: int, m_bits: int, reps: int, slow_path_budget_s: float, log
+) -> dict:
+    """Measure all eligible dense paths (and Pallas kernel variants) at
+    one shape; verify each against the oracle; return the bucket dict."""
     import jax.numpy as jnp
 
+    from stormtpu.config import default_config
+    from stormtpu.kernels import MXU_XLA_MAX_BITS
     from stormtpu.kernels import xla as kx
     from stormtpu.kernels.dense import count_tiles_pallas_dense
     from stormtpu.kernels.mxu import count_tiles_pallas_mxu
@@ -92,8 +157,10 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
         round_up,
         triangular_tile_ids,
     )
+    from stormtpu.utils.profiling import timeit_chain
 
     interpret = pallas_interpret_default()
+    cfg = default_config()
     w = m_bits // 32
     rng = np.random.default_rng(99)
     packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
@@ -108,6 +175,7 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
 
     rates: dict[str, float] = {}
     variants: dict[str, float] = {}
+    latency_bound: list[str] = []
 
     # All candidates are timed identically: device output + host checksum
     # only (full-matrix D2H would swamp kernel time on tunneled devices and
@@ -117,44 +185,57 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
         if not np.array_equal(np.asarray(c_np)[:nc, :nc], want):
             raise AssertionError(f"tuning candidate {name} is INEXACT")
 
+    def measure(name, f, c2=20):
+        # one-dispatch roundtrip probe bounds the budget before the
+        # (chain-length) slope run
+        t1 = timeit_chain(f, xds[:2], 1)
+        if t1 > slow_path_budget_s:
+            rates[name] = tri / t1
+            latency_bound.append(name)
+            log(f"  {name}: {rates[name]:,.0f} pairs/s "
+                f"(latency-inclusive bound; {t1:.1f} s/dispatch)")
+            return
+        rates[name] = tri / _timeit(f, xds, c2=c2)
+        log(f"  {name}: {rates[name]:,.0f} pairs/s")
+
     check_block(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount",
                 min(n, 128))
-    rates["popcount"] = tri / _timeit(
-        lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8), xds
-    )
-    log(f"popcount: {rates['popcount']:,.0f} pairs/s")
+    measure("popcount", lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8),
+            c2=6)
 
-    check_block(kx.count_block_int8_xla(xd, xd), "mxu", min(n, 128))
-    rates["mxu"] = tri / _timeit(lambda x: kx.count_block_int8_xla(x, x), xds)
-    log(f"mxu: {rates['mxu']:,.0f} pairs/s")
+    if m_bits <= MXU_XLA_MAX_BITS:
+        check_block(kx.count_block_int8_xla(xd, xd), "mxu", min(n, 128))
+        measure("mxu", lambda x: kx.count_block_int8_xla(x, x), c2=8)
+    else:
+        log("  mxu: skipped (8× unpacked operand beyond memory budget)")
 
-    def pallas_candidate(count_tiles, ti_cap, wk_cap, variant):
+    def pallas_candidate(count_tiles, ti_cap, wk_cap, variant, c2):
         ti = min(ti_cap, round_up(max(n, 8), 8))
         wk = round_up(max(w, 128), 128) if w <= wk_cap else round_up(wk_cap, 128)
         n_pad, w_pad = round_up(n, ti), round_up(w, wk)
-        xps = [
-            jnp.zeros((n_pad, w_pad), dtype=jnp.uint32).at[:n, :w].set(x)
-            for x in xds
-        ]
+        if (n_pad, w_pad) == (n, w):
+            xps = xds  # grid shapes divide the tiles: no padding copies
+        else:
+            xps = [
+                jnp.zeros((n_pad, w_pad), dtype=jnp.uint32).at[:n, :w].set(x)
+                for x in xds
+            ]
         ibs, jbs = map(jnp.asarray, triangular_tile_ids(n_pad // ti))
         f = lambda x: count_tiles(
             x, ibs, jbs, tile_rows=ti, tile_words=wk,
             interpret=interpret, variant=variant,
         )
         check_block(f(xps[0])[0], variant, min(ti, n))
-        return tri / _timeit(f, xps)
+        return tri / _timeit(f, xps, c2=c2)
 
-    from stormtpu.config import default_config
-
-    cfg = default_config()
     # probe at the SHIPPED tile defaults so cached rates describe the
     # kernels production dispatch actually runs
     for variant in ("rows", "chunk"):
         variants[f"pallas_dense/{variant}"] = pallas_candidate(
             count_tiles_pallas_dense, cfg.k1_tile_rows, cfg.k1_tile_words,
-            variant,
+            variant, c2=8,
         )
-        log(f"pallas_dense/{variant}: "
+        log(f"  pallas_dense/{variant}: "
             f"{variants[f'pallas_dense/{variant}']:,.0f} pairs/s")
     rates["pallas_dense"] = max(
         v for k, v in variants.items() if k.startswith("pallas_dense")
@@ -163,28 +244,154 @@ def tune(n: int = 4096, m_bits: int = 65536, reps: int = 3, log=print) -> dict:
     for variant in ("concat", "planes"):
         variants[f"pallas_mxu/{variant}"] = pallas_candidate(
             count_tiles_pallas_mxu, cfg.k2_tile_rows, cfg.k2_tile_words,
-            variant,
+            variant, c2=12,
         )
-        log(f"pallas_mxu/{variant}: "
+        log(f"  pallas_mxu/{variant}: "
             f"{variants[f'pallas_mxu/{variant}']:,.0f} pairs/s")
     rates["pallas_mxu"] = max(
         v for k, v in variants.items() if k.startswith("pallas_mxu")
     )
+    return {
+        "dense_pairs_per_s": rates,
+        "variant_pairs_per_s": variants,
+        "latency_bound": latency_bound,
+    }
+
+
+def refit_k4_constants(log=print) -> Optional[dict]:
+    """Measure the K4 cost-model constants on THIS host/device (the
+    shipped dispatch defaults encode the round-1 machine: ~3e-8 s/nnz
+    np.unique sort, ~4e-9 s/elem N² mirror, ~2e-9 s/emission, 330 int8
+    TOPS, 30 ms dispatch floor). Returns the fitted dict or None when the
+    native tier is unbuilt (K4 is never auto-dispatched then)."""
+    import time
+
+    from stormtpu.native import HAVE_NATIVE
+
+    if not HAVE_NATIVE:
+        return None
+    from stormtpu.kernels.sparse import count_matrix_sparse_outer
+    from stormtpu.layout import BitMatrix
+
+    rng = np.random.default_rng(7)
+    # c_sort: the np.unique over col-major keys (the dominant nnz term)
+    nnz_probe = 4_000_000
+    keys = rng.integers(0, 2**62, nnz_probe, dtype=np.int64)
+    t0 = time.perf_counter()
+    np.unique(keys)
+    c_sort = (time.perf_counter() - t0) / nnz_probe
+
+    # c_n2: zero+mirror of the N² int32 buffer (measure a plain N² pass)
+    n_probe = 4096
+    buf = np.zeros((n_probe, n_probe), dtype=np.int32)
+    t0 = time.perf_counter()
+    buf += buf.T  # one full N² read-modify-write pass
+    c_n2 = (time.perf_counter() - t0) / (n_probe * n_probe)
+
+    # c_emit: end-to-end K4 at an emission-dominated shape, minus the
+    # sort and N² terms
+    n, m, d = 2048, 1 << 20, 3e-4
+    nnz = int(n * m * d)
+    rows = rng.integers(0, n, nnz).astype(np.int64)
+    poss = rng.integers(0, m, nnz).astype(np.int64)
+    bm = BitMatrix.from_positions(rows, poss, n, m)
+    count_matrix_sparse_outer(bm)  # warm (allocators, code paths)
+    t0 = time.perf_counter()
+    count_matrix_sparse_outer(bm)
+    total = time.perf_counter() - t0
+    emissions = n * n * m * d * d  # E ≈ N²·M·density²
+    c_emit = max(total - c_sort * nnz - c_n2 * n * n, 0.0) / max(emissions, 1)
+
+    fitted = {
+        "c_sort_s_per_nnz": c_sort,
+        "c_n2_s_per_elem": c_n2,
+        "c_emit_s_per_emission": c_emit,
+        "probe": {"n": n, "m_bits": m, "density": d,
+                  "k4_total_s": total},
+    }
+    log(f"k4 refit: sort {c_sort:.2e} s/nnz, n2 {c_n2:.2e} s/elem, "
+        f"emit {c_emit:.2e} s/emission (probe total {total * 1e3:.0f} ms)")
+    return fitted
+
+
+def tune(
+    n: Optional[int] = None,
+    m_bits: Optional[int] = None,
+    reps: int = 3,
+    log=print,
+    shapes: Optional[Sequence[tuple[int, int]]] = None,
+    slow_path_budget_s: float = 3.0,
+) -> dict:
+    """Measure all dense paths (and Pallas kernel variants) over the
+    shape grid; verify each against the oracle; re-fit the K4 host cost
+    model; write the cache. An explicit ``(n, m_bits)`` tunes ONLY that
+    shape (the single-shape CLI/legacy entry point); the default is the
+    full :data:`DEFAULT_GRID`."""
+    import jax
+
+    if shapes is not None:
+        grid = list(shapes)
+    elif n is not None and m_bits is not None:
+        grid = [(n, m_bits)]
+    else:
+        grid = list(DEFAULT_GRID)
+
+    buckets: dict[str, dict] = {}
+    for gn, gm in grid:
+        log(f"[tune] shape {gn} x {gm} bits")
+        buckets[_bucket_key(gn, gm)] = _tune_shape(
+            gn, gm, reps, slow_path_budget_s, log
+        )
+
+    # global best variants (variant deltas are shape-stable; the variant
+    # choice rides the largest-work bucket where it matters most)
+    def best_variant(prefix: str) -> str:
+        agg: dict[str, float] = {}
+        for b in buckets.values():
+            for k, v in b["variant_pairs_per_s"].items():
+                if k.startswith(prefix):
+                    agg[k] = max(agg.get(k, 0.0), v)
+        return max(agg, key=agg.get).split("/")[1]
+
+    # device TOPS for the K4-vs-K2 crossover: best measured MXU rate at
+    # the longest-K bucket (2·m_bits int8 MACs per unique pair)
+    k2_tops = 0.0
+    for key, b in buckets.items():
+        bm_bits = int(key.split("x")[1])
+        rate = b["dense_pairs_per_s"].get("pallas_mxu", 0.0)
+        k2_tops = max(k2_tops, rate * 2 * bm_bits)
+
+    from stormtpu.utils.profiling import timeit_chain
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    tiny = [
+        jnp.asarray(rng.integers(0, 2**32, (8, 128), dtype=np.uint32))
+        for _ in range(3)
+    ]
+    floor_s = timeit_chain(lambda x: x & jnp.uint32(7), tiny, 1)
 
     result = {
         "device": str(jax.devices()[0]),
-        "shape": {"n": n, "m_bits": m_bits},
-        "dense_pairs_per_s": rates,
-        "variant_pairs_per_s": variants,
-        "best_k1_variant": max(
-            (k for k in variants if k.startswith("pallas_dense")),
-            key=variants.get,
-        ).split("/")[1],
-        "best_k2_variant": max(
-            (k for k in variants if k.startswith("pallas_mxu")),
-            key=variants.get,
-        ).split("/")[1],
+        "grid": [list(g) for g in grid],
+        "buckets": buckets,
+        "best_k1_variant": best_variant("pallas_dense"),
+        "best_k2_variant": best_variant("pallas_mxu"),
+        "dispatch_floor_s": floor_s,
     }
+    if len(buckets) == 1:
+        # single-shape runs keep the round-1 top-level fields (CLI users
+        # and older cache readers)
+        only = next(iter(buckets.values()))
+        result["dense_pairs_per_s"] = only["dense_pairs_per_s"]
+        result["variant_pairs_per_s"] = only["variant_pairs_per_s"]
+        result["shape"] = {"n": grid[0][0], "m_bits": grid[0][1]}
+    k4 = refit_k4_constants(log)
+    if k4 is not None:
+        k4["k2_int8_ops_per_s"] = k2_tops
+        k4["dispatch_floor_s"] = floor_s
+        result["k4_cost_model"] = k4
+
     path = cache_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

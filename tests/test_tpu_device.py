@@ -218,3 +218,31 @@ def test_query_soak_on_device(tpu_backend):
             wi, wj = np.nonzero(np.triu(J, 1) >= jt)
             assert np.array_equal(ii, wi.astype(np.int32)), f"iter {it} jac"
             assert np.allclose(vv, J[wi, wj], rtol=0, atol=0), f"iter {it} jacv"
+
+
+def test_clustered_worklist_on_device(tpu_backend):
+    """K5's scalar-prefetched OUTPUT slot map is a Mosaic pattern no
+    other kernel uses — prove it compiles + runs exactly on the real
+    device (block-diagonal input whose structure is invisible to the
+    global column compaction). Measured r2: 4096x1M B=8 block-diagonal
+    runs 3.1 ms vs 53.6 ms for the K2 walk (17x; work fraction 2.2%)."""
+    from stormtpu.kernels.clustered import (
+        build_clustered_plan, clustered_work_fraction, count_matrix_clustered,
+    )
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_matrix
+
+    rng = np.random.default_rng(17)
+    n, m, B = 512, 65536, 4
+    dense = np.zeros((n, m), dtype=np.uint8)
+    for b in range(B):
+        dense[b * (n // B):(b + 1) * (n // B),
+              b * (m // B):(b + 1) * (m // B)] = (
+            rng.random((n // B, m // B)) < 0.3).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    assert bm.packed.any(axis=0).mean() > 0.99  # compaction no-op case
+    wf = clustered_work_fraction(bm)
+    assert wf is not None and wf < 0.5
+    assert build_clustered_plan(bm) is not None
+    got = count_matrix_clustered(bm, interpret=False)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
