@@ -90,10 +90,52 @@ def config2_allpairs_dense(full: bool, log) -> dict:
     want = oracle_count_matrix(packed)
     assert np.array_equal(got, want), "config2 full verification failed"
     pairs = n * n
+    # the wall number at this small shape is dominated by the relay's
+    # fixed per-dispatch cost + tile padding (N=1000 pads to 1024), so it
+    # is recorded as latency-bound; the SUSTAINED device rate is measured
+    # separately by slope timing (the headline methodology)
+    import jax.numpy as jnp
+
+    from stormtpu.config import default_config
+    from stormtpu.kernels.dense import count_tiles_pallas_dense
+    from stormtpu.tuning import tuned_variant
+    from stormtpu.utils import (
+        pallas_interpret_default,
+        round_up,
+        timeit_sustained,
+        triangular_tile_ids,
+    )
+
+    cfg = default_config()
+    ti = cfg.k1_tile_rows
+    wk = min(cfg.k1_tile_words, m // 32)
+    n_pad = round_up(n, ti)
+    rng = np.random.default_rng(7)
+    xds = []
+    for s in range(3):
+        xp = np.zeros((n_pad, m // 32), dtype=np.uint32)
+        xp[:n] = packed if s == 0 else _random_packed(n, m // 32, seed=300 + s)
+        xds.append(jnp.asarray(xp))
+    ibs, jbs = map(jnp.asarray, triangular_tile_ids(n_pad // ti))
+    interp = bool(pallas_interpret_default())
+    var = tuned_variant("k1", cfg.k1_variant)
+    dt_s = timeit_sustained(
+        lambda x: count_tiles_pallas_dense(
+            x, ibs, jbs, tile_rows=ti, tile_words=wk, interpret=interp,
+            variant=var,
+        ),
+        xds, c1=2, c2=10,
+    )
+    tri = n * (n + 1) / 2
     log(f"[config2] {n}×{m//1024}Kbit all-pairs exact (full check); "
-        f"{dt:.2f} s warm → {pairs / dt / 1e6:.1f} M-pairs/s")
+        f"{dt:.2f} s wall (latency-bound: relay floor + padding) → "
+        f"sustained {tri / dt_s / 1e6:.0f} M-pairs/s")
     return {"config": 2, "n": n, "m_bits": m, "exact": True, "seconds": dt,
-            "pairs_per_s": pairs / dt}
+            "pairs_per_s": pairs / dt, "latency_bound": True,
+            "sustained_pairs_per_s": tri / dt_s,
+            "note": "wall seconds are relay-dispatch dominated at this "
+            "small shape; sustained_pairs_per_s is the slope-timed device "
+            "rate"}
 
 
 def config3_sparse(full: bool, log) -> dict:
@@ -298,6 +340,93 @@ def _config4_spec_rate(log) -> dict:
     }
 
 
+def _config4_full_stream(log) -> dict:
+    """Drive the FULL 100k×1M config end-to-end through the streaming
+    stripe walk (n_super=25, all 325 superblock stripes) with the
+    D2H-minimizing checksum sink (stream.stream_count_checksums): the
+    matrix is generated on device, every stripe executes the exact
+    production tile-walk executable, and only per-stripe checksums +
+    sampled entries leave the device (this tunnel fetches at ~5 MB/s —
+    the 40 GB of stripes would take hours; the compute is ~30 s).
+
+    Verification: 8 sampled entries per stripe cross-checked on device
+    against the independent fused-XLA AND+popcount path, plus a host
+    oracle anchor on fetched rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from stormtpu.kernels import xla as kx
+    from stormtpu.stream import stream_count_checksums
+    from stormtpu.utils import round_up
+
+    n, m = 100_000, 1_000_000
+    sb = 4096
+    w = -(-m // 32)
+    from stormtpu.config import default_config
+
+    cfg = default_config()
+    n_pad = round_up(n, sb)
+    w_pad = round_up(w, cfg.k2_tile_words)
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.bits(key, (n_pad, w_pad), dtype=jnp.uint32)
+        row_ok = jnp.arange(n_pad)[:, None] < n
+        col_ok = jnp.arange(w_pad)[None, :] < w
+        return jnp.where(row_ok & col_ok, x, jnp.uint32(0))
+
+    xd = gen(jax.random.key(4))
+    xd.block_until_ready()
+    t0 = time.time()
+    man = stream_count_checksums(
+        xd, n, m, superblock_rows=sb,
+        progress=lambda d, t: (d % 50 == 0 or d == t)
+        and log(f"  [config4/full] stripe {d}/{t}"),
+    )
+    dt = time.time() - t0
+    assert man["n_super"] == n_pad // sb
+
+    # cross-path verification: the sampled entries must equal the fused
+    # XLA AND+popcount of the same rows (independent executable)
+    ii = np.asarray(man["sample_ii"], dtype=np.int32)
+    jj = np.asarray(man["sample_jj"], dtype=np.int32)
+
+    @jax.jit
+    def xla_pairs(x, ii_, jj_):
+        return kx.pair_count_batch_xla(
+            jnp.take(x, ii_, axis=0), jnp.take(x, jj_, axis=0)
+        )
+
+    want = np.asarray(xla_pairs(xd, jnp.asarray(ii), jnp.asarray(jj)))
+    assert np.array_equal(want, man["sample_vals"]), \
+        "config4 full-stream sampled entries mismatch XLA cross-path"
+
+    # host oracle anchor: 8 pairs recomputed from fetched rows
+    anchor = slice(0, 8)
+    rows_i = np.asarray(jnp.take(xd, jnp.asarray(ii[anchor]), axis=0))
+    rows_j = np.asarray(jnp.take(xd, jnp.asarray(jj[anchor]), axis=0))
+    host = np.bitwise_count(rows_i & rows_j).sum(axis=1, dtype=np.int64)
+    assert np.array_equal(host, man["sample_vals"][anchor].astype(np.int64)), \
+        "config4 full-stream host anchor mismatch"
+
+    pairs = n * (n + 1) / 2
+    log(f"[config4] FULL 100k×1M stream: {man['n_super']} superblocks / "
+        f"{len(man['stripes'])} stripes in {dt:.1f} s "
+        f"({pairs / dt / 1e6:.0f} M-pairs/s end-to-end), "
+        f"{ii.size} sampled entries exact (XLA cross-path + host anchor)")
+    del xd
+    return {
+        "full": True,
+        "sink": "checksum",
+        "n_super": man["n_super"],
+        "stripes": len(man["stripes"]),
+        "seconds": dt,
+        "pairs_per_s": pairs / dt,
+        "samples_verified": int(ii.size),
+        "sampled_exact": True,
+    }
+
+
 def config4_mxu_stream(full: bool, log) -> dict:
     """Density-adaptive tiled XXᵀ on (100k if full else 8k) × 1M bits,
     single chip MXU path with superblock streaming (B:10) — C would be
@@ -342,6 +471,7 @@ def config4_mxu_stream(full: bool, log) -> dict:
 
     if is_tpu_backend():
         result.update(_config4_spec_rate(log))
+        result["full_stream"] = _config4_full_stream(log)
     return result
 
 
@@ -371,7 +501,11 @@ def config5_multihost(full: bool, log) -> dict:
         f"{dt:.1f} s → {pairs / dt / 1e6:.1f} M-pairs/s "
         f"({len(jax.devices())} device(s) visible)")
     return {"config": 5, "n": n, "devices": len(mesh.devices.ravel()),
-            "exact_sampled": True, "seconds": dt, "pairs_per_s": pairs / dt}
+            "exact_sampled": True, "seconds": dt, "pairs_per_s": pairs / dt,
+            "latency_bound": not full,
+            "note": "scaled-mode wall time is relay-dispatch dominated; "
+            "the ≥80% scaling target needs a real pod "
+            "(parallel.measure_scaling)"}
 
 
 CONFIGS = {

@@ -78,6 +78,7 @@ def distributed_stream_count_matrix(
     config: Optional[EngineConfig] = None,
     block_fn: Optional[BlockFn] = None,
     resume: bool = True,
+    compress: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> dict:
     """Stream all upper-triangular superblock stripes of the count matrix,
@@ -136,7 +137,9 @@ def distributed_stream_count_matrix(
             stripe = fetch_global(stripe_fn(xi, xj))
             if is_writer:
                 tmp = path + ".tmp.npz"
-                np.savez_compressed(tmp, counts=stripe, i=i, j=j)
+                # see stream.py: compression is the 1-core-host wall at scale
+                save = np.savez_compressed if compress else np.savez
+                save(tmp, counts=stripe, i=i, j=j)
                 os.replace(tmp, path)
             manifest["completed"].append([i, j])
             done += 1

@@ -97,3 +97,56 @@ def test_stream_auto_kernel(tmp_path):
     )
     got = load_streamed_matrix(str(tmp_path))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_checksums_mode(tmp_path):
+    """The D2H-minimizing full-scale sink (stream_count_checksums) must
+    walk the same stripes as stream_count_matrix: per-stripe checksums
+    and sampled entries match the oracle exactly."""
+    import jax.numpy as jnp
+
+    from conftest import random_bitmatrix
+    from stormtpu.config import default_config
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stream import stream_count_checksums
+    from stormtpu.utils import round_up, triangular_tile_ids
+
+    bm = random_bitmatrix(600, 4000, 0.3, seed=77)
+    cfg = default_config()
+    ti, wk = cfg.k2_tile_rows, cfg.k2_tile_words
+    sb = round_up(512, ti)
+    n_pad = round_up(bm.n, sb)
+    w_pad = round_up(bm.n_words, wk)
+    xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+    xp[: bm.n, : bm.n_words] = bm.packed
+    man = stream_count_checksums(
+        jnp.asarray(xp), bm.n, bm.m_bits, superblock_rows=sb,
+        samples_per_stripe=4,
+    )
+    assert man["n_super"] == n_pad // sb == 2
+    assert len(man["stripes"]) == 3
+
+    want = oracle_count_matrix(bm.packed)
+    c_pad = np.zeros((n_pad, n_pad), dtype=np.int64)
+    c_pad[: bm.n, : bm.n] = want
+
+    # sampled entries are exact
+    for gi, gj, v in zip(man["sample_ii"], man["sample_jj"],
+                         man["sample_vals"]):
+        assert int(v) == int(c_pad[gi, gj]), (gi, gj)
+
+    # per-stripe checksums match the oracle tile sums
+    tps = sb // ti
+    for rec in man["stripes"]:
+        i, j = rec["i"], rec["j"]
+        if i == j:
+            li, lj = triangular_tile_ids(tps)
+        else:
+            li, lj = np.meshgrid(np.arange(tps), np.arange(tps),
+                                 indexing="ij")
+            li, lj = li.ravel(), lj.ravel()
+        chk = 0
+        for a, b in zip(li + i * tps, lj + j * tps):
+            tile = c_pad[a * ti:(a + 1) * ti, b * ti:(b + 1) * ti]
+            chk += int((tile % 251).sum())
+        assert rec["checksum"] == np.int32(chk), (i, j)
