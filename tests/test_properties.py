@@ -123,3 +123,54 @@ def test_pairs_above_property(dense, threshold):
     np.testing.assert_array_equal(ii, wi.astype(np.int32))
     np.testing.assert_array_equal(jj, wj.astype(np.int32))
     np.testing.assert_array_equal(vv, want[wi, wj])
+
+
+# --- tile-boundary properties (VERDICT r1 weak #7) -----------------------
+# The small-entropy matrices above never cross a Pallas tile boundary, so
+# they exercise only the XLA small-shape corners. These shapes DO cross
+# row-tile and K-step boundaries under a small-tile config (boundaries at
+# 32 rows / 128 words), with ragged tails on both axes.
+
+from stormtpu.config import EngineConfig
+
+_TILE_CFG = EngineConfig(
+    k1_tile_rows=8, k1_tile_words=128, k2_tile_rows=32, k2_tile_words=128
+)
+
+
+@st.composite
+def boundary_matrices(draw):
+    n = draw(st.integers(min_value=33, max_value=70))
+    m = draw(st.integers(min_value=4100, max_value=9000))
+    seed = draw(st.integers(min_value=0, max_value=2**31))
+    density = draw(st.sampled_from([0.005, 0.2, 0.6]))
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, m)) < density).astype(np.uint8)
+
+
+@given(boundary_matrices())
+@settings(max_examples=6, deadline=None)
+def test_all_strategies_agree_across_tile_boundaries(dense):
+    from stormtpu.dispatch import STRATEGIES
+
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed)
+    for strategy in STRATEGIES:
+        got = intersect_count_matrix(bm, strategy=strategy, config=_TILE_CFG)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"strategy {strategy} diverged at "
+            f"boundary shape {dense.shape}"
+        )
+
+
+@given(boundary_matrices(), st.integers(min_value=1, max_value=5))
+@settings(max_examples=4, deadline=None)
+def test_topk_property_across_tile_boundaries(dense, k):
+    from stormtpu import topk_neighbors
+
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed).astype(np.int64)
+    vals, _ = topk_neighbors(bm, k)
+    w = want.copy()
+    np.fill_diagonal(w, -1)
+    np.testing.assert_array_equal(vals, np.sort(w, axis=1)[:, ::-1][:, :k])
