@@ -157,6 +157,14 @@ _WRAPPER_WORKER = textwrap.dedent(
     assert eii.size > 0 and np.array_equal(ii, eii) and np.array_equal(jj, ejj)
     assert np.array_equal(vv, C2[eii, ejj])
 
+    # bits-axis top-k: the psum-then-merge form, replicated output across
+    # the same process boundary
+    vals2, idx2 = distributed_topk_neighbors(bm2, 3, mesh=mesh,
+                                             shard_axis="bits")
+    C2m = C2.copy(); np.fill_diagonal(C2m, -1)
+    assert np.array_equal(vals2, -np.sort(-C2m, axis=1)[:, :3]), \
+        "bits-axis topk INEXACT multihost"
+
     # streaming driver: all processes compute + gather collectively,
     # process 0 writes; the result on disk must be the exact matrix
     from stormtpu.parallel import distributed_stream_count_matrix
