@@ -169,7 +169,29 @@ def topk_neighbors(
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     from stormtpu.dispatch import choose_strategy
 
-    if bm.n > 1 and choose_strategy(bm.n, bm.m_bits, bm.density) == "pallas_mxu":
+    strategy = (
+        choose_strategy(bm.n, bm.m_bits, bm.density, bm=bm)
+        if bm.n > 1 else "popcount"
+    )
+    if strategy == "clustered" and bm.n <= 32768:
+        # block-clustered input with a host-materializable C: the K5
+        # counts skip all co-empty tile work; top-k on host. Tie order
+        # among equal counts may differ from the device routes (values
+        # are identical, tested).
+        from stormtpu.api import intersect_count_matrix
+
+        c = intersect_count_matrix(bm).astype(np.int64)
+        np.fill_diagonal(c, -1)
+        idx = np.argpartition(-c, min(k, bm.n - 1) - 1, axis=1)[:, :k]
+        vals = np.take_along_axis(c, idx, axis=1)
+        order = np.argsort(-vals, axis=1, kind="stable")
+        vals = np.take_along_axis(vals, order, axis=1).astype(np.int32)
+        idx = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+        valid = vals >= 0
+        vals = np.where(valid, vals, 0)
+        idx = np.where(valid, idx, 0)
+        return vals, idx
+    if bm.n > 1 and strategy in ("pallas_mxu", "clustered"):
         # triangular K2 tile walk (half the FLOPs of the block form);
         # tie order among equal counts may differ from the full-row
         # lax.top_k — values are identical (tested)
@@ -645,13 +667,23 @@ def pairs_above(
     # Screens follow the same density-adaptive dispatch as counts (D1):
     # when the host sparse paths win (extreme sparsity — K4's work is
     # ∝ nnz², not N²·M), compute exact counts there and filter directly;
-    # no device screen or refine pass is needed.
+    # no device screen or refine pass is needed. Block-clustered inputs
+    # (K5) take the same count-then-filter route while the count matrix
+    # fits on host — the K5 counts skip all co-empty tile work (measured
+    # 17× over the tile walk the screen would otherwise ride), and the
+    # full matrix makes every measure (incl. phi/r2, which score
+    # zero-intersection pairs) filterable exactly.
     from stormtpu.dispatch import choose_strategy
 
     strategy = (
-        choose_strategy(bm.n, bm.m_bits, bm.density) if bm.n > 1 else "popcount"
+        choose_strategy(bm.n, bm.m_bits, bm.density, bm=bm)
+        if bm.n > 1 else "popcount"
     )
-    if strategy in ("sparse", "sparse_outer"):
+    if strategy == "clustered" and bm.n > 32768:
+        # C = N²·int32 no longer fits on host; the triangular tile
+        # screen is the exact fallback (full dense walk)
+        strategy = "pallas_mxu"
+    if strategy in ("sparse", "sparse_outer", "clustered"):
         from stormtpu.api import intersect_count_matrix
 
         c = intersect_count_matrix(bm)

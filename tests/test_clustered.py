@@ -140,3 +140,62 @@ def test_block_summary_contract():
     for b in range(nb):
         want[:, b] = dense[:, b * 1024 : (b + 1) * 1024].any(axis=1)
     np.testing.assert_array_equal(s, want)
+
+
+def test_clustered_screen_and_topk_routes():
+    """Screens and top-k on block-clustered matrices take the K5
+    count-then-filter route (auto dispatch with the matrix in hand) and
+    stay exact — including r2, which scores zero-intersection
+    (anti-correlated) pairs and therefore needs the full matrix."""
+    import stormtpu.config as config_mod
+    from stormtpu import pairs_above, topk_neighbors
+    from stormtpu.dispatch import choose_strategy
+
+    bm = block_diagonal_bitmatrix(128, 16384, 4, 0.4, seed=21)
+    old = config_mod._DEFAULT
+    config_mod._DEFAULT = CFG  # query paths read default_config()
+    try:
+        assert choose_strategy(bm.n, bm.m_bits, bm.density, CFG, bm=bm) \
+            == "clustered"
+        want = oracle_count_matrix(bm.packed).astype(np.int64)
+
+        vals, idx = topk_neighbors(bm, 5)
+        w = want.copy()
+        np.fill_diagonal(w, -1)
+        np.testing.assert_array_equal(vals, np.sort(w, 1)[:, ::-1][:, :5])
+        np.testing.assert_array_equal(
+            want[np.arange(bm.n)[:, None], idx], vals)
+
+        tri = want[np.triu_indices(bm.n, 1)]
+        thr = max(1, int(np.percentile(tri[tri > 0], 50)))
+        ii, jj, vv = pairs_above(bm, thr)
+        ei, ej = np.nonzero(np.triu(want, 1) >= thr)
+        assert ei.size > 0
+        np.testing.assert_array_equal(ii, ei.astype(np.int32))
+        np.testing.assert_array_equal(jj, ej.astype(np.int32))
+        np.testing.assert_array_equal(vv.astype(np.int64), want[ei, ej])
+
+        # r2 screen: anti-correlated cross-block pairs (zero counts) can
+        # exceed the threshold — the full-matrix filter must keep them
+        from stormtpu.setops import derive_similarity
+
+        r2 = derive_similarity(
+            want, bm.row_nnz[:, None], bm.row_nnz[None, :], bm.m_bits, "r2")
+        thr2 = float(np.percentile(r2[np.triu_indices(bm.n, 1)], 98))
+        if 0 < thr2 <= 1:
+            ii, jj, vv = pairs_above(bm, thr2, measure="r2")
+            ei, ej = np.nonzero(np.triu(r2 >= thr2, 1))
+            np.testing.assert_array_equal(ii, ei.astype(np.int32))
+            np.testing.assert_array_equal(jj, ej.astype(np.int32))
+            np.testing.assert_array_equal(vv, r2[ei, ej])
+        # the skip trap itself: a LOW r2 threshold must keep
+        # zero-intersection (anti-correlated) cross-block pairs — the
+        # full-matrix filter sees them even though K5 never computed
+        # their tiles
+        thr3 = 0.005
+        ii, jj, vv = pairs_above(bm, thr3, measure="r2")
+        ei, ej = np.nonzero(np.triu(r2 >= thr3, 1))
+        np.testing.assert_array_equal(ii, ei.astype(np.int32))
+        assert (want[ei, ej] == 0).any(), "no zero-intersection pair kept"
+    finally:
+        config_mod._DEFAULT = old
