@@ -37,7 +37,7 @@ def stripe_path(out_dir: str, i: int, j: int) -> str:
     return os.path.join(out_dir, f"stripe_{i:05d}_{j:05d}.npz")
 
 
-def _auto_stream_kernel(m_bits: int) -> str:
+def _auto_stream_kernel(m_bits: int, n: Optional[int] = None) -> str:
     """Map the tuned dense winner (or heuristics) onto a stripe kernel.
 
     XLA forms materialize 8× unpacked operands / full-stripe broadcasts,
@@ -46,7 +46,7 @@ def _auto_stream_kernel(m_bits: int) -> str:
     from stormtpu.kernels import MXU_XLA_MAX_BITS
     from stormtpu.tuning import measured_dense_winner
 
-    winner = measured_dense_winner()
+    winner = measured_dense_winner(n, m_bits)
     small_m = m_bits <= MXU_XLA_MAX_BITS
     if winner in ("mxu", "pallas_mxu"):
         return "xla_int8" if (winner == "mxu" and small_m) else "mxu"
@@ -149,7 +149,7 @@ def stream_count_matrix(
     if interpret is None:
         interpret = pallas_interpret_default()
     if kernel == "auto":
-        kernel = _auto_stream_kernel(bm.m_bits)
+        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
     tile_rows = cfg.k2_tile_rows if kernel == "mxu" else cfg.k1_tile_rows
     tile_words = cfg.k2_tile_words if kernel == "mxu" else cfg.k1_tile_words
     superblock_rows = round_up(superblock_rows, tile_rows)
