@@ -197,12 +197,16 @@ def pair_count_stream_pallas(
     batched-pair regime, SURVEY.md §3). One full 2·(M/8)-byte stream per
     pair with VMEM-pipelined megabyte DMAs.
 
-    Measured on v5e (sustained, salt-perturbed chains): ~233 GB/s at
-    br=512/wk=1024, vs ~363 GB/s for the fused XLA form — the Pallas
-    2-input pipeline is DMA-issue-bound here ("nosum" kernel bodies
-    plateau identically), so dispatch keeps the XLA stream; this kernel
-    is retained as the explicit-pipelining form (and for backends where
-    XLA fusion of the AND+popcount+reduce chain regresses).
+    Measured on v5e (sustained, salt-perturbed 240-step chains, r2):
+    ~209 GB/s at the shipped blocks vs **744 GB/s** for the fused XLA
+    form (≈101% of the measured dual-stream ceiling). An explicit
+    manual-DMA double-buffered variant (make_async_copy, 2–4 buffers,
+    0.5–2 MB chunks per stream) plateaus identically at 207–254 GB/s —
+    per-stream DMA throughput, not issue overhead, walls Pallas 2-input
+    pipelines on this stack. Dispatch therefore keeps the XLA stream;
+    this kernel is retained as the explicit-pipelining form (and for
+    backends where XLA fusion of the AND+popcount+reduce chain
+    regresses).
 
     ``salt`` (uint32, default 0 = no-op) is XORed into A inside the
     kernel; see ``_stream_kernel`` for why benchmarks use it."""

@@ -140,7 +140,8 @@ def _timeit(f, xs, c1: int = 2, c2: int = 20) -> float:
 
 
 def _tune_shape(
-    n: int, m_bits: int, reps: int, slow_path_budget_s: float, log
+    n: int, m_bits: int, reps: int, slow_path_budget_s: float, log,
+    probe_variants: bool = True,
 ) -> dict:
     """Measure all eligible dense paths (and Pallas kernel variants) at
     one shape; verify each against the oracle; return the bucket dict."""
@@ -229,8 +230,13 @@ def _tune_shape(
         return tri / _timeit(f, xps, c2=c2)
 
     # probe at the SHIPPED tile defaults so cached rates describe the
-    # kernels production dispatch actually runs
-    for variant in ("rows", "chunk"):
+    # kernels production dispatch actually runs. Variant sweeps
+    # (rows/chunk, concat/planes) are compile-heavy and shape-stable, so
+    # grid runs probe them at ONE anchor shape (probe_variants) and
+    # elsewhere measure only the current best variant.
+    k1_vars = ("rows", "chunk") if probe_variants else (
+        tuned_variant("k1", cfg.k1_variant),)
+    for variant in k1_vars:
         variants[f"pallas_dense/{variant}"] = pallas_candidate(
             count_tiles_pallas_dense, cfg.k1_tile_rows, cfg.k1_tile_words,
             variant, c2=8,
@@ -241,7 +247,9 @@ def _tune_shape(
         v for k, v in variants.items() if k.startswith("pallas_dense")
     )
 
-    for variant in ("concat", "planes"):
+    k2_vars = ("concat", "planes") if probe_variants else (
+        tuned_variant("k2", cfg.k2_variant),)
+    for variant in k2_vars:
         variants[f"pallas_mxu/{variant}"] = pallas_candidate(
             count_tiles_pallas_mxu, cfg.k2_tile_rows, cfg.k2_tile_words,
             variant, c2=12,
@@ -336,11 +344,15 @@ def tune(
     else:
         grid = list(DEFAULT_GRID)
 
+    # variant sweep only at the anchor (largest-work) shape — variant
+    # deltas are shape-stable and each extra variant is 2 more compiles
+    anchor = max(grid, key=lambda g: g[0] * g[0] * g[1])
     buckets: dict[str, dict] = {}
     for gn, gm in grid:
         log(f"[tune] shape {gn} x {gm} bits")
         buckets[_bucket_key(gn, gm)] = _tune_shape(
-            gn, gm, reps, slow_path_budget_s, log
+            gn, gm, reps, slow_path_budget_s, log,
+            probe_variants=(gn, gm) == anchor or len(grid) == 1,
         )
 
     # global best variants (variant deltas are shape-stable; the variant
