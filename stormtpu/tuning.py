@@ -289,36 +289,39 @@ def refit_k4_constants(log=print) -> Optional[dict]:
     np.unique(keys)
     c_sort = (time.perf_counter() - t0) / nnz_probe
 
-    # c_n2: zero+mirror of the N² int32 buffer (measure a plain N² pass)
-    n_probe = 4096
-    buf = np.zeros((n_probe, n_probe), dtype=np.int32)
-    t0 = time.perf_counter()
-    buf += buf.T  # one full N² read-modify-write pass
-    c_n2 = (time.perf_counter() - t0) / (n_probe * n_probe)
+    # c_n2 and c_emit come from TWO end-to-end K4 runs (the real code
+    # path — a synthetic transpose-read pass over-estimated c_n2 4× and
+    # misrouted K4 at shapes where it measurably wins): probe A is
+    # emission-light (its remainder after the sort term is the N² pass),
+    # probe B emission-heavy (its remainder after sort + N² is E).
+    def k4_probe(d):
+        n, m = 2048, 1 << 20
+        nnz = int(n * m * d)
+        rows = rng.integers(0, n, nnz).astype(np.int64)
+        poss = rng.integers(0, m, nnz).astype(np.int64)
+        bm = BitMatrix.from_positions(rows, poss, n, m)
+        count_matrix_sparse_outer(bm)  # warm (allocators, code paths)
+        t0 = time.perf_counter()
+        count_matrix_sparse_outer(bm)
+        return n, m, nnz, time.perf_counter() - t0
 
-    # c_emit: end-to-end K4 at an emission-dominated shape, minus the
-    # sort and N² terms
-    n, m, d = 2048, 1 << 20, 3e-4
-    nnz = int(n * m * d)
-    rows = rng.integers(0, n, nnz).astype(np.int64)
-    poss = rng.integers(0, m, nnz).astype(np.int64)
-    bm = BitMatrix.from_positions(rows, poss, n, m)
-    count_matrix_sparse_outer(bm)  # warm (allocators, code paths)
-    t0 = time.perf_counter()
-    count_matrix_sparse_outer(bm)
-    total = time.perf_counter() - t0
-    emissions = n * n * m * d * d  # E ≈ N²·M·density²
-    c_emit = max(total - c_sort * nnz - c_n2 * n * n, 0.0) / max(emissions, 1)
+    n, m, nnz_a, total_a = k4_probe(3e-4)
+    c_n2 = max(total_a - c_sort * nnz_a, 0.0) / (n * n)
+    _, _, nnz_b, total_b = k4_probe(3e-3)
+    emissions_b = nnz_b * nnz_b / m  # E ≈ nnz²/M for uniform positions
+    c_emit = max(total_b - c_sort * nnz_b - c_n2 * n * n, 0.0) / max(
+        emissions_b, 1)
 
     fitted = {
         "c_sort_s_per_nnz": c_sort,
         "c_n2_s_per_elem": c_n2,
         "c_emit_s_per_emission": c_emit,
-        "probe": {"n": n, "m_bits": m, "density": d,
-                  "k4_total_s": total},
+        "probe": {"n": n, "m_bits": m,
+                  "k4_total_s": [total_a, total_b]},
     }
     log(f"k4 refit: sort {c_sort:.2e} s/nnz, n2 {c_n2:.2e} s/elem, "
-        f"emit {c_emit:.2e} s/emission (probe total {total * 1e3:.0f} ms)")
+        f"emit {c_emit:.2e} s/emission (probes {total_a*1e3:.0f}/"
+        f"{total_b*1e3:.0f} ms)")
     return fitted
 
 
