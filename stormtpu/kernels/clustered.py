@@ -303,6 +303,130 @@ def build_clustered_plan(
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class ShardedClusteredPlan:
+    """Per-device work lists for the bits-axis (K-shard) K5 form.
+
+    Every device covers the SAME output slot set (the union of tile
+    pairs co-occupied in ANY word slice) so the int32 tile partials can
+    ``psum``; a device whose slice never touches a slot gets one filler
+    item pointing at its local all-zero K-group with ``first=1`` (writes
+    an exact zero tile). The padded operand interleaves one zero K-group
+    at the END of every device's word slice to serve the fillers and the
+    tail padding."""
+
+    ti: int
+    wk: int
+    n_pad: int
+    w_pad: int              # R · (gpd + 1) · wk, zero group per slice
+    nb: int
+    gpd: int                # real K-groups per device
+    r: int                  # devices
+    slot_ibs: np.ndarray    # int32 [P]
+    slot_jbs: np.ndarray    # int32 [P]
+    ibs_w: np.ndarray       # int32 [R, T_pad]
+    jbs_w: np.ndarray      # int32 [R, T_pad]
+    gsel_w: np.ndarray      # int32 [R, T_pad] LOCAL group ids
+    slots_w: np.ndarray     # int32 [R, T_pad]
+    first_w: np.ndarray     # int32 [R, T_pad]
+    work_fraction: float
+
+
+def build_sharded_clustered_plan(
+    bm, r: int, config: Optional[EngineConfig] = None
+) -> Optional[ShardedClusteredPlan]:
+    """Bits-axis K5 planning over ``r`` word shards (wk = 128 words per
+    K-group, the Mosaic-minimal step). None when the geometry degenerates
+    (fewer than one real group per device, or nothing co-occupies)."""
+    cfg = config or default_config()
+    n, w = bm.n, bm.n_words
+    if n == 0 or w == 0:
+        return None
+    wk = 128
+    ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
+    gpd = -(-w // (r * wk))         # real groups per device (ceil)
+    if gpd < 1:
+        return None
+    ng = gpd * r
+    n_pad = round_up(n, ti)
+    nb = n_pad // ti
+    # global group occupancy at wk granularity, OR-reduced per tile block
+    occ_rows = bm.block_summary(block_bits=wk * WORD_BITS).astype(bool)
+    occ = np.zeros((nb * ti, ng), dtype=bool)
+    occ[:n, : occ_rows.shape[1]] = occ_rows
+    occ = occ.reshape(nb, ti, ng).any(axis=1)   # [nb, ng]
+
+    ibs_t, jbs_t = np.triu_indices(nb)
+    co = occ[ibs_t] & occ[jbs_t]                # [T_tri, ng]
+    pair_idx, group_idx = np.nonzero(co)
+    if pair_idx.size == 0:
+        return None
+    work_fraction = pair_idx.size / float(ibs_t.size * ng)
+    visited, slot_global = np.unique(pair_idx, return_inverse=True)
+    p = visited.size
+    slot_ibs = ibs_t[visited].astype(np.int32)
+    slot_jbs = jbs_t[visited].astype(np.int32)
+
+    dev_of_item = group_idx // gpd
+    lists = []
+    for d in range(r):
+        sel = dev_of_item == d
+        sl = slot_global[sel]
+        gl = (group_idx[sel] - d * gpd).astype(np.int64)
+        # fillers: slots this slice never touches → local zero group
+        # (index gpd), first=1 zero-writes the slot exactly
+        missing = np.setdiff1d(np.arange(p), sl, assume_unique=False)
+        sl = np.concatenate([sl, missing])
+        gl = np.concatenate([gl, np.full(missing.size, gpd, dtype=np.int64)])
+        order = np.argsort(sl, kind="stable")
+        sl, gl = sl[order], gl[order]
+        first = np.empty(sl.size, dtype=np.int32)
+        first[0] = 1
+        first[1:] = (sl[1:] != sl[:-1]).astype(np.int32)
+        lists.append((sl, gl, first))
+
+    t_pad = _next_pow2(max(sl.size for sl, _, _ in lists))
+    ibs_w = np.empty((r, t_pad), dtype=np.int32)
+    jbs_w = np.empty((r, t_pad), dtype=np.int32)
+    gsel_w = np.empty((r, t_pad), dtype=np.int32)
+    slots_w = np.empty((r, t_pad), dtype=np.int32)
+    first_w = np.zeros((r, t_pad), dtype=np.int32)
+    for d, (sl, gl, first) in enumerate(lists):
+        k = sl.size
+        ibs_w[d, :k] = slot_ibs[sl]
+        jbs_w[d, :k] = slot_jbs[sl]
+        gsel_w[d, :k] = gl
+        slots_w[d, :k] = sl
+        first_w[d, :k] = first
+        # tail padding: no-op items into the last slot via the zero group
+        ibs_w[d, k:] = slot_ibs[sl[-1]]
+        jbs_w[d, k:] = slot_jbs[sl[-1]]
+        gsel_w[d, k:] = gpd
+        slots_w[d, k:] = sl[-1]
+
+    return ShardedClusteredPlan(
+        ti=ti, wk=wk, n_pad=n_pad, w_pad=r * (gpd + 1) * wk, nb=nb,
+        gpd=gpd, r=r, slot_ibs=slot_ibs, slot_jbs=slot_jbs,
+        ibs_w=ibs_w, jbs_w=jbs_w, gsel_w=gsel_w, slots_w=slots_w,
+        first_w=first_w, work_fraction=work_fraction,
+    )
+
+
+def pack_sharded_clustered_operand(bm, plan: ShardedClusteredPlan) -> np.ndarray:
+    """Host-padded operand uint32 [n_pad, w_pad] laid out so contiguous
+    word-sharding gives every device [real groups | one zero group]."""
+    per_dev = (plan.gpd + 1) * plan.wk
+    xp = np.zeros((plan.n_pad, plan.r * per_dev), dtype=np.uint32)
+    w = bm.n_words
+    for d in range(plan.r):
+        src0 = d * plan.gpd * plan.wk
+        src1 = min(src0 + plan.gpd * plan.wk, w)
+        if src1 > src0:
+            xp[: bm.n, d * per_dev : d * per_dev + (src1 - src0)] = \
+                bm.packed[:, src0:src1]
+    return xp
+
+
 def count_matrix_clustered(
     bm,
     *,

@@ -160,6 +160,45 @@ def kshard_count_tiles(
     )
 
 
+def kshard_count_tiles_clustered(
+    mesh: Mesh,
+    axis: str,
+    *,
+    tile_rows: int,
+    tile_words: int,
+    n_slots: int,
+    interpret: bool,
+    variant: str,
+):
+    """Bits-axis K5: every device runs the work-list kernel over its OWN
+    word slice's co-occupied (tile pair, K-group) items (per-device lists
+    arrive as row-sharded scalar arrays), and ``psum`` merges the exact
+    int32 tile partials. Devices whose slice never touches a slot write
+    an exact zero tile via a filler item on their slice's zero K-group —
+    every device covers the same slot set, so the psum is well-formed.
+    The distributed form of the reference C8 summary-AND skip."""
+    from stormtpu.kernels.clustered import count_tiles_worklist
+
+    def local_fn(x_local, ibs, jbs, gsel, slots, first):
+        tiles = count_tiles_worklist(
+            x_local, ibs[0], jbs[0], gsel[0], slots[0], first[0],
+            n_slots=n_slots, tile_rows=tile_rows, tile_words=tile_words,
+            interpret=interpret, variant=variant,
+        )
+        return jax.lax.psum(tiles, axis)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(axis, None), P(axis, None), P(axis, None),
+            P(axis, None), P(axis, None),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+
+
 def distributed_count_matrix(
     packed: np.ndarray,
     *,
@@ -208,14 +247,52 @@ def distributed_count_matrix(
             x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
             fn = jax.jit(kshard_count_rows(mesh, axis, block_fn))
             return np.asarray(fn(x_sharded))[:n, :n]
-        # default: triangular K2 tiles per word-slice, psum of exact
-        # partials, host mirror — half the FLOPs of the square form
+        # block-clustered inputs route to the K-shard K5 work-list form:
+        # per-device summary-AND work lists + psum of exact tile partials
+        # (the reference C8 skip at mesh scale). Decided by the same
+        # co-occupancy statistic as the single-chip dispatch.
+        from stormtpu.kernels.clustered import (
+            build_sharded_clustered_plan,
+            pack_sharded_clustered_operand,
+        )
+        from stormtpu.layout import BitMatrix
         from stormtpu.tuning import tuned_variant
         from stormtpu.utils import (
             assemble_triangular,
             pallas_interpret_default,
             triangular_tile_ids,
         )
+
+        bm = BitMatrix.from_packed(packed, m_bits=w * 32)
+        splan = build_sharded_clustered_plan(bm, r, cfg)
+        if (
+            splan is not None
+            and splan.work_fraction < cfg.clustered_work_fraction_threshold
+        ):
+            xp = pack_sharded_clustered_operand(bm, splan)
+            fn = jax.jit(
+                kshard_count_tiles_clustered(
+                    mesh, axis,
+                    tile_rows=splan.ti, tile_words=splan.wk,
+                    n_slots=int(splan.slot_ibs.size),
+                    interpret=bool(pallas_interpret_default()),
+                    variant=tuned_variant("k2", cfg.k2_variant),
+                )
+            )
+            sh = NamedSharding(mesh, P(axis, None))
+            tiles = np.asarray(fn(
+                jax.device_put(xp, NamedSharding(mesh, P(None, axis))),
+                jax.device_put(splan.ibs_w, sh),
+                jax.device_put(splan.jbs_w, sh),
+                jax.device_put(splan.gsel_w, sh),
+                jax.device_put(splan.slots_w, sh),
+                jax.device_put(splan.first_w, sh),
+            ))
+            return assemble_triangular(
+                tiles, splan.slot_ibs, splan.slot_jbs, splan.nb, n
+            )
+        # default: triangular K2 tiles per word-slice, psum of exact
+        # partials, host mirror — half the FLOPs of the square form
 
         ti = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
         w_pad = round_up(w, r * wk)

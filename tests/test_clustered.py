@@ -199,3 +199,57 @@ def test_clustered_screen_and_topk_routes():
         assert (want[ei, ej] == 0).any(), "no zero-intersection pair kept"
     finally:
         config_mod._DEFAULT = old
+
+
+def test_distributed_bits_axis_clustered(mesh8=None):
+    """Bits-axis K5 (per-device work lists + psum of tile partials) must
+    be exact on the 8-device mesh, and must actually be the route taken
+    (the plan exists with a low work fraction)."""
+    import jax
+
+    from stormtpu.kernels.clustered import build_sharded_clustered_plan
+    from stormtpu.parallel import distributed_count_matrix, make_row_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_row_mesh(8)
+    # 8 matrix blocks, each exactly one 128-word K-group per device
+    n, m, B = 64, 8 * 128 * 32, 8
+    bm = block_diagonal_bitmatrix(n, m, B, 0.3, seed=31)
+    splan = build_sharded_clustered_plan(bm, 8, CFG)
+    assert splan is not None and splan.work_fraction < 0.5
+    got = distributed_count_matrix(
+        bm.packed, mesh=mesh, shard_axis="bits", config=CFG
+    )
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_distributed_bits_axis_clustered_ragged():
+    import jax
+
+    from stormtpu.parallel import distributed_count_matrix, make_row_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_row_mesh(8)
+    # ragged N and W (tail group partially filled), clustered enough
+    bm = block_diagonal_bitmatrix(53, 8 * 128 * 32 + 777, 4, 0.25, seed=32)
+    got = distributed_count_matrix(
+        bm.packed, mesh=mesh, shard_axis="bits", config=CFG
+    )
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_distributed_bits_axis_dense_unaffected():
+    # uniform input must still take the dense triangular K-shard path
+    import jax
+
+    from stormtpu.kernels.clustered import build_sharded_clustered_plan
+    from stormtpu.parallel import distributed_count_matrix, make_row_mesh
+
+    assert len(jax.devices()) >= 8
+    bm = random_bitmatrix(40, 8 * 128 * 32 + 50, 0.3, seed=33)
+    splan = build_sharded_clustered_plan(bm, 8, CFG)
+    assert splan is None or splan.work_fraction >= 0.5
+    got = distributed_count_matrix(
+        bm.packed, mesh=make_row_mesh(8), shard_axis="bits", config=CFG
+    )
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))

@@ -157,6 +157,25 @@ _WRAPPER_WORKER = textwrap.dedent(
     assert eii.size > 0 and np.array_equal(ii, eii) and np.array_equal(jj, ejj)
     assert np.array_equal(vv, C2[eii, ejj])
 
+    # bits-axis CLUSTERED counts: per-device K5 work lists + psum of
+    # tile partials across the process boundary (block-diagonal input
+    # whose co-occupancy routes the K-shard clustered form)
+    nb_, mb_ = 32, 4 * 128 * 32
+    db = np.zeros((nb_, mb_), dtype=np.uint8)
+    for b in range(4):
+        db[b * 8:(b + 1) * 8, b * (mb_ // 4):(b + 1) * (mb_ // 4)] = (
+            rng.random((8, mb_ // 4)) < 0.3).astype(np.uint8)
+    bmc = BitMatrix.from_dense(db)
+    from stormtpu.config import EngineConfig
+    from stormtpu.kernels.clustered import build_sharded_clustered_plan
+    cfgc = EngineConfig(k2_tile_rows=8, k2_tile_words=128)
+    sp = build_sharded_clustered_plan(bmc, 4, cfgc)
+    assert sp is not None and sp.work_fraction < 0.5, "route not clustered"
+    got = distributed_count_matrix(bmc.packed, mesh=mesh,
+                                   shard_axis="bits", config=cfgc)
+    Cc = db.astype(np.int64) @ db.T
+    assert np.array_equal(got, Cc), "bits-axis clustered INEXACT multihost"
+
     # bits-axis top-k: the psum-then-merge form, replicated output across
     # the same process boundary
     vals2, idx2 = distributed_topk_neighbors(bm2, 3, mesh=mesh,
