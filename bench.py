@@ -183,13 +183,17 @@ def main() -> None:
     ).astype(np.int64)
     want = np.bitwise_count(ab0[0] & ab0[1]).sum(axis=1, dtype=np.int64)
     assert np.array_equal(got, want), "stream baseline failed verification"
-    # c2=192: the baseline's per-step cost is sub-ms (≈0.36 ms at the
-    # measured 744 GB/s), so short chains leave the marginal inside the
-    # ±5 ms relay jitter and UNDER-measure the stream by 2× (r1's 193
-    # GB/s baseline row was this artifact; see BASELINE.md r2 streaming
-    # table). A ≥60 ms marginal is jitter-proof.
-    dt = _timeit_sustained(
-        lambda ab: kx.pair_count_batch_xla(ab[0], ab[1]), ab_list,
+    # Salted long chains: the baseline's per-step cost is sub-ms
+    # (≈0.36 ms at the measured 744 GB/s), so (a) short chains leave the
+    # marginal inside the ±5 ms relay jitter (r1's 193 GB/s row), and
+    # (b) the generic `x ^ s` perturbation of the STACKED input
+    # materializes a 256 MB temp per step, tripling the measured traffic
+    # (226 GB/s artifact) — the salt must enter post-slice where XLA can
+    # fuse it. See profiling.timeit_sustained_salted.
+    from stormtpu.utils import timeit_sustained_salted
+
+    dt = timeit_sustained_salted(
+        lambda ab, s: kx.pair_count_batch_xla(ab[0] ^ s, ab[1]), ab_list,
         c1=16, c2=192,
     )
     base_pairs_s = r_stream / dt

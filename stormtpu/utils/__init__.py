@@ -8,7 +8,13 @@ from stormtpu.utils.backend import (
     is_tpu_backend,
     pallas_interpret_default,
 )
-from stormtpu.utils.profiling import timeit_chain, timeit_sustained, trace
+from stormtpu.utils.profiling import (
+    timeit_chain,
+    timeit_chain_salted,
+    timeit_sustained,
+    timeit_sustained_salted,
+    trace,
+)
 
 __all__ = [
     "V5E_INT8_PEAK_OPS",
@@ -18,6 +24,8 @@ __all__ = [
     "is_tpu_backend",
     "pallas_interpret_default",
     "timeit_chain",
+    "timeit_chain_salted",
     "timeit_sustained",
+    "timeit_sustained_salted",
     "trace",
 ]

@@ -26,7 +26,13 @@ from typing import Iterator, Optional
 import jax
 import numpy as np
 
-__all__ = ["trace", "timeit_chain", "timeit_sustained"]
+__all__ = [
+    "trace",
+    "timeit_chain",
+    "timeit_sustained",
+    "timeit_chain_salted",
+    "timeit_sustained_salted",
+]
 
 # Slope below this fraction of the per-invocation upper bound is treated
 # as unresolved relay jitter rather than a real marginal cost.
@@ -80,6 +86,58 @@ def timeit_sustained(fn, xs, c1: int = 2, c2: int = 10) -> float:
     module docstring for why, and for the jitter-floor fallback)."""
     t1 = timeit_chain(fn, xs, c1)
     t2 = timeit_chain(fn, xs, c2)
+    slope = (t2 - t1) / (c2 - c1)
+    if slope < _JITTER_FLOOR_FRAC * t2 / c2:
+        return t2 / c2
+    return slope
+
+
+def _chained_salted(fn_salt, chain: int):
+    """Like :func:`_chained` but the step perturbation is routed by the
+    CALLER — ``fn_salt(x, s)`` decides where the uint32 salt enters.
+
+    Why it exists: ``fn(x ^ s)`` on a multi-operand stacked input is an
+    elementwise producer with several slice consumers, which XLA
+    MATERIALIZES — for a bandwidth-bound kernel that extra write+read
+    triples the measured traffic (observed: the streaming baseline read
+    226 GB/s this way vs 744 GB/s with the salt fused post-slice).
+    Bandwidth-bound candidates must salt a single fusable operand, e.g.
+    ``lambda ab, s: f(ab[0] ^ s, ab[1])``."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(x):
+        def step(carry, s):
+            c = fn_salt(x, s)
+            leaf = jax.tree.leaves(c)[0]
+            return carry + jnp.sum(leaf % jnp.int32(251)), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.int32(0), jnp.arange(1, chain + 1, dtype=jnp.uint32)
+        )
+        return out
+
+    return g
+
+
+def timeit_chain_salted(fn_salt, xs, chain: int) -> float:
+    """Mean wall time of one ``chain``-invocation dispatch of
+    ``fn_salt(x, s)`` over the distinct pre-staged inputs ``xs[1:]``."""
+    g = _chained_salted(fn_salt, chain)
+    np.asarray(g(xs[0]))
+    t0 = time.time()
+    for x in xs[1:]:
+        np.asarray(g(x))
+    return (time.time() - t0) / (len(xs) - 1)
+
+
+def timeit_sustained_salted(fn_salt, xs, c1: int = 16, c2: int = 192) -> float:
+    """Slope timing with caller-routed salt (see ``_chained_salted``) and
+    long default chains: sub-ms per-step costs need a ≥50 ms marginal to
+    clear the ±5 ms relay jitter (short chains mis-measured the streaming
+    regime 2× in BOTH directions — BASELINE.md r2 streaming notes)."""
+    t1 = timeit_chain_salted(fn_salt, xs, c1)
+    t2 = timeit_chain_salted(fn_salt, xs, c2)
     slope = (t2 - t1) / (c2 - c1)
     if slope < _JITTER_FLOOR_FRAC * t2 / c2:
         return t2 / c2
