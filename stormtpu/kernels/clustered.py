@@ -56,7 +56,9 @@ from stormtpu.utils import (
 
 __all__ = [
     "ClusteredPlan",
+    "StripeWorklist",
     "build_clustered_plan",
+    "build_stripe_worklist",
     "count_tiles_worklist",
     "count_matrix_clustered",
 ]
@@ -300,6 +302,93 @@ def build_clustered_plan(
         slot_ibs=slot_ibs, slot_jbs=slot_jbs,
         ibs_w=ibs_w, jbs_w=jbs_w, gsel_w=gsel_w, slots_w=slots_w,
         first_w=first_w, n_work=n_work, work_fraction=work_fraction,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StripeWorklist:
+    """Work list for ONE superblock stripe of the streaming driver
+    (stream.py): the C8 summary-AND skip at streaming scale, where the
+    N×N result cannot materialize and the single-matrix ``ClusteredPlan``
+    (host-assembled full C) does not apply.
+
+    Both the slot count and the item count are padded to pow2 buckets so
+    the jitted kernel compiles a bounded number of executables across a
+    whole streaming run (every distinct static shape is a fresh 20-60 s
+    compile through the remote-compile service). Padding slots are
+    zero-written by one filler item each (``first=1``, zero pad K-group);
+    tail items are exact no-ops into the last slot."""
+
+    ibs: np.ndarray        # int32 [T_pad] GLOBAL row-block ids
+    jbs: np.ndarray        # int32 [T_pad]
+    gsel: np.ndarray       # int32 [T_pad] K-group (ng = zero pad group)
+    slots: np.ndarray      # int32 [T_pad] ascending
+    first: np.ndarray      # int32 [T_pad]
+    vis_loc_i: np.ndarray  # int32 [n_vis] visited LOCAL tile coords
+    vis_loc_j: np.ndarray  # int32 [n_vis]
+    n_slots: int           # pow2-padded kernel output slots
+    n_vis: int             # real visited pairs (prefix of the slots)
+    n_work: int            # real items
+
+
+def build_stripe_worklist(
+    occ: np.ndarray, base_i: int, base_j: int, tps: int, triangular: bool
+) -> Optional[StripeWorklist]:
+    """Summary-AND work list for the superblock stripe whose row blocks
+    are ``[base_i, base_i+tps)`` × ``[base_j, base_j+tps)`` of the global
+    per-tile-block occupancy ``occ`` (bool [nb, ng]). ``triangular``
+    restricts to local upper-triangular pairs (diagonal stripes — the
+    caller mirrors at assembly). None when no (pair, group) co-occupies:
+    the stripe is exactly zero and need not touch the device."""
+    ng = occ.shape[1]
+    if triangular:
+        loc_i, loc_j = np.triu_indices(tps)
+        loc_i = loc_i.astype(np.int32)
+        loc_j = loc_j.astype(np.int32)
+    else:
+        loc_i, loc_j = np.meshgrid(
+            np.arange(tps, dtype=np.int32),
+            np.arange(tps, dtype=np.int32),
+            indexing="ij",
+        )
+        loc_i, loc_j = loc_i.ravel(), loc_j.ravel()
+    gi = base_i + loc_i
+    gj = base_j + loc_j
+    co = occ[gi] & occ[gj]                     # [P, ng] summary AND
+    pair_idx, group_idx = np.nonzero(co)       # sorted pair-major
+    n_work = pair_idx.size
+    if n_work == 0:
+        return None
+    visited, slot_of_item = np.unique(pair_idx, return_inverse=True)
+    n_vis = visited.size
+    first = np.empty(n_work, dtype=np.int32)
+    first[0] = 1
+    first[1:] = (slot_of_item[1:] != slot_of_item[:-1]).astype(np.int32)
+
+    n_slots = _next_pow2(n_vis)
+    n_fill = n_slots - n_vis
+    t_pad = _next_pow2(n_work + n_fill)
+    ibs = np.full(t_pad, gi[visited[-1]], dtype=np.int32)
+    jbs = np.full(t_pad, gj[visited[-1]], dtype=np.int32)
+    gsel = np.full(t_pad, ng, dtype=np.int32)
+    slots = np.full(t_pad, n_slots - 1, dtype=np.int32)
+    first_w = np.zeros(t_pad, dtype=np.int32)
+    ibs[:n_work] = gi[pair_idx]
+    jbs[:n_work] = gj[pair_idx]
+    gsel[:n_work] = group_idx
+    slots[:n_work] = slot_of_item
+    first_w[:n_work] = first
+    if n_fill:
+        # one filler per padding slot: first=1 + zero K-group writes an
+        # exact zero tile, keeping the "every slot visited" contract
+        slots[n_work : n_work + n_fill] = np.arange(
+            n_vis, n_slots, dtype=np.int32
+        )
+        first_w[n_work : n_work + n_fill] = 1
+    return StripeWorklist(
+        ibs=ibs, jbs=jbs, gsel=gsel, slots=slots, first=first_w,
+        vis_loc_i=loc_i[visited], vis_loc_j=loc_j[visited],
+        n_slots=n_slots, n_vis=n_vis, n_work=n_work,
     )
 
 

@@ -113,15 +113,31 @@ def _compute_stripe(
             interpret=interpret,
         )
     )
-    # vectorized scatter-assembly (a Python per-tile loop here cost 256
-    # host copies per stripe at superblock 4096 / ti 256 — real wall time
-    # across config 4's 325 stripes on a 1-core host)
-    tps = tiles_per_super
+    return _assemble_stripe(
+        tiles, loc_i, loc_j, tiles_per_super, tile_rows, sb_i == sb_j
+    )
+
+
+def _assemble_stripe(
+    tiles: np.ndarray,
+    loc_i: np.ndarray,
+    loc_j: np.ndarray,
+    tps: int,
+    tile_rows: int,
+    diagonal: bool,
+) -> np.ndarray:
+    """Dense [SB, SB] stripe from per-tile counts at local tile coords.
+    Vectorized scatter-assembly (a Python per-tile loop here cost 256
+    host copies per stripe at superblock 4096 / ti 256 — real wall time
+    across config 4's 325 stripes on a 1-core host). ``diagonal`` mirrors
+    the strictly-upper local tiles transposed (triangular tile lists).
+    Unlisted tiles are zero — the clustered stripes rely on this."""
     grid = np.zeros((tps, tps, tile_rows, tile_rows), dtype=np.int32)
-    grid[loc_i, loc_j] = tiles
-    if sb_i == sb_j:
-        off = loc_i != loc_j
-        grid[loc_j[off], loc_i[off]] = tiles[off].transpose(0, 2, 1)
+    if tiles.size:
+        grid[loc_i, loc_j] = tiles
+        if diagonal:
+            off = loc_i != loc_j
+            grid[loc_j[off], loc_i[off]] = tiles[off].transpose(0, 2, 1)
     sb = tps * tile_rows
     return grid.transpose(0, 2, 1, 3).reshape(sb, sb)
 
@@ -150,6 +166,21 @@ def stream_count_matrix(
         interpret = pallas_interpret_default()
     if kernel == "auto":
         kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+        # C8 skip at streaming scale: when the summary-AND co-occupancy
+        # says most (tile pair, K-group) cells are co-empty, the
+        # work-list stripes win by ≈ 1/fraction over ANY dense stripe
+        # walk — same statistic as the single-matrix dispatch
+        from stormtpu.kernels.clustered import clustered_work_fraction
+
+        wf = clustered_work_fraction(bm, cfg)
+        if wf is not None and wf < cfg.clustered_work_fraction_threshold:
+            kernel = "clustered"
+    if kernel == "clustered":
+        return _stream_clustered(
+            bm, out_dir, superblock_rows=superblock_rows, config=cfg,
+            resume=resume, compress=compress, interpret=bool(interpret),
+            progress=progress,
+        )
     tile_rows = cfg.k2_tile_rows if kernel == "mxu" else cfg.k1_tile_rows
     tile_words = cfg.k2_tile_words if kernel == "mxu" else cfg.k1_tile_words
     superblock_rows = round_up(superblock_rows, tile_rows)
@@ -187,6 +218,115 @@ def stream_count_matrix(
         # 1-core host becomes the wall once stripes outpace compute
         save = np.savez_compressed if compress else np.savez
         save(tmp, counts=stripe, i=i, j=j)
+        os.replace(tmp, path)
+        manifest["completed"].append([i, j])
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _stream_clustered(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    superblock_rows: int,
+    config: EngineConfig,
+    resume: bool,
+    compress: bool,
+    interpret: bool,
+    progress: Optional[Callable[[int, int], None]],
+) -> dict:
+    """K5 at streaming scale: per-stripe summary-AND work lists over the
+    global per-tile-block K-group occupancy. Stripes whose summaries
+    co-occupy nothing never touch the device; the rest run only their
+    co-occupied (tile pair, K-group) items, so a clustered input's whole
+    run costs ≈ work_fraction of the dense stripe walk — and its stripe
+    files store only the visited tiles (disk shrinks by the same factor).
+
+    Stripe format: ``tiles`` int32 [n_vis, ti, ti] + local tile coords
+    (``loc_i``/``loc_j``); ``load_streamed_matrix`` scatter-assembles.
+    Zero stripes write an n_vis=0 file, keeping the resume-by-file
+    contract of the dense path.
+    """
+    from stormtpu.kernels.clustered import (
+        _block_occupancy,
+        build_stripe_worklist,
+        count_tiles_worklist,
+    )
+    from stormtpu.tuning import tuned_variant
+
+    cfg = config
+    geo = _block_occupancy(bm, cfg)
+    if geo is None:
+        # single K-group: nothing to skip — dense stripe walk is exact
+        return stream_count_matrix(
+            bm, out_dir, superblock_rows=superblock_rows, kernel="mxu",
+            config=cfg, resume=resume, compress=compress,
+            interpret=interpret, progress=progress,
+        )
+    occ, ti, wk, n_pad, nb, ng = geo
+    superblock_rows = round_up(superblock_rows, ti)
+    tps = superblock_rows // ti
+    n_sb_pad = round_up(bm.n, superblock_rows)
+    nb_sb = n_sb_pad // ti
+    if nb_sb > nb:
+        # superblock padding rows: zero occupancy → never listed, tiles
+        # exactly zero
+        occ = np.concatenate(
+            [occ, np.zeros((nb_sb - nb, ng), dtype=bool)], axis=0
+        )
+    n_super = n_sb_pad // superblock_rows
+    variant = tuned_variant("k2", cfg.k2_variant)
+    w_pad = (ng + 1) * wk  # trailing all-zero pad K-group for fillers
+
+    def build():
+        xp = np.zeros((n_sb_pad, w_pad), dtype=np.uint32)
+        xp[: bm.n, : bm.n_words] = bm.packed
+        return jnp.asarray(xp)
+
+    packed_d = bm.device_cached(("padded2dz", n_sb_pad, w_pad), build)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {
+        "n": bm.n,
+        "m_bits": bm.m_bits,
+        "superblock_rows": superblock_rows,
+        "n_super": n_super,
+        "kernel": "clustered",
+        "tile_rows": ti,
+        "work_items": 0,
+        "completed": [],
+    }
+    total = n_super * (n_super + 1) // 2
+    done = 0
+    for i, j in _superblock_pairs(n_super):
+        path = stripe_path(out_dir, i, j)
+        if resume and os.path.exists(path):
+            manifest["completed"].append([i, j])
+            done += 1
+            continue
+        wl = build_stripe_worklist(occ, i * tps, j * tps, tps, i == j)
+        if wl is None:
+            tiles = np.zeros((0, ti, ti), dtype=np.int32)
+            loc_i = loc_j = np.zeros(0, dtype=np.int32)
+        else:
+            out = count_tiles_worklist(
+                packed_d,
+                jnp.asarray(wl.ibs), jnp.asarray(wl.jbs),
+                jnp.asarray(wl.gsel), jnp.asarray(wl.slots),
+                jnp.asarray(wl.first),
+                n_slots=wl.n_slots, tile_rows=ti, tile_words=wk,
+                interpret=interpret, variant=variant,
+            )
+            tiles = np.asarray(out)[: wl.n_vis]
+            loc_i, loc_j = wl.vis_loc_i, wl.vis_loc_j
+            manifest["work_items"] += wl.n_work
+        tmp = path + ".tmp.npz"
+        save = np.savez_compressed if compress else np.savez
+        save(tmp, tiles=tiles, loc_i=loc_i, loc_j=loc_j, i=i, j=j)
         os.replace(tmp, path)
         manifest["completed"].append([i, j])
         done += 1
@@ -318,7 +458,14 @@ def load_streamed_matrix(out_dir: str) -> np.ndarray:
     for i in range(n_super):
         for j in range(i, n_super):
             with np.load(stripe_path(out_dir, i, j)) as z:
-                stripe = z["counts"]
+                if "tiles" in z.files:  # clustered sparse-tile stripes
+                    ti = manifest["tile_rows"]
+                    stripe = _assemble_stripe(
+                        z["tiles"], z["loc_i"], z["loc_j"],
+                        sb // ti, ti, i == j,
+                    )
+                else:
+                    stripe = z["counts"]
             full[i * sb : (i + 1) * sb, j * sb : (j + 1) * sb] = stripe
             if i != j:
                 full[j * sb : (j + 1) * sb, i * sb : (i + 1) * sb] = stripe.T

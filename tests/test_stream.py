@@ -99,6 +99,77 @@ def test_stream_auto_kernel(tmp_path):
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
 
 
+def test_stream_clustered_exact(tmp_path):
+    """K5 at streaming scale: block-diagonal input (every word column
+    globally occupied) through the clustered stripe path — exact, and
+    zero stripes never reach the device."""
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=61)
+    manifest = stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, kernel="clustered",
+        config=CFG, interpret=True,
+    )
+    assert manifest["kernel"] == "clustered"
+    assert manifest["n_super"] == 2
+    assert manifest["work_items"] > 0
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_auto_routes_clustered(tmp_path):
+    """auto dispatch reroutes to the clustered stripes when the summary
+    statistic crosses the threshold (block-diagonal: wf = 0.1)."""
+    from stormtpu.kernels.clustered import clustered_work_fraction
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=62)
+    wf = clustered_work_fraction(bm, CFG)
+    assert wf is not None and wf < CFG.clustered_work_fraction_threshold
+    manifest = stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, kernel="auto",
+        config=CFG, interpret=True,
+    )
+    assert manifest["kernel"] == "clustered"
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_clustered_resume(tmp_path):
+    import os
+
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(96, 12800, 4, 0.35, seed=63)
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=32, kernel="clustered",
+        config=CFG, interpret=True,
+    )
+    os.remove(stripe_path(str(tmp_path), 0, 1))
+    calls = []
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=32, kernel="clustered",
+        config=CFG, interpret=True, progress=lambda d, t: calls.append(d),
+    )
+    assert len(calls) == 1
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_clustered_random_dense_input(tmp_path):
+    """Uniform-random input through the explicit clustered kernel stays
+    exact (every cell co-occupied → no skip, pure overhead case)."""
+    from test_clustered import CFG
+
+    bm = random_bitmatrix(64, 12800, 0.4, seed=64)
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=32, kernel="clustered",
+        config=CFG, interpret=True,
+    )
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
 def test_stream_checksums_mode(tmp_path):
     """The D2H-minimizing full-scale sink (stream_count_checksums) must
     walk the same stripes as stream_count_matrix: per-stripe checksums
