@@ -101,6 +101,19 @@ def distributed_stream_count_matrix(
     packed = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
     packed[: bm.n] = bm.packed
 
+    # C8 skip at mesh-streaming scale (superblock granularity): the
+    # per-superblock K-group occupancy summary decides, identically on
+    # every process (no collective needed), which stripes are exactly
+    # zero — those never upload operands or touch the mesh, and their
+    # files are empty sparse-tile records (see stream.py's format)
+    occ_sb = None
+    if bm.n and bm.n_words:
+        wk = 128
+        occ_rows = bm.block_summary(block_bits=wk * 32).astype(bool)
+        occ_pad = np.zeros((n_pad, occ_rows.shape[1]), dtype=bool)
+        occ_pad[: bm.n] = occ_rows
+        occ_sb = occ_pad.reshape(n_super, superblock_rows, -1).any(axis=1)
+
     is_writer = jax.process_index() == 0
     if is_writer:
         os.makedirs(out_dir, exist_ok=True)
@@ -114,20 +127,36 @@ def distributed_stream_count_matrix(
         "superblock_rows": superblock_rows,
         "n_super": n_super,
         "kernel": "distributed",
+        "tile_rows": 8,  # assembly unit of zero (sparse-tile) stripes
         "completed": [],
     }
     total = n_super * (n_super + 1) // 2
     done = 0
     for i in range(n_super):
-        xi = jax.device_put(
-            packed[i * superblock_rows : (i + 1) * superblock_rows], a_sharding
-        )
+        xi = None  # upload lazily: an all-skipped row never uploads
         for j in range(i, n_super):
             path = stripe_path(out_dir, i, j)
             if resume and os.path.exists(path):
                 manifest["completed"].append([i, j])
                 done += 1
                 continue
+            if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                if is_writer:
+                    tmp = path + ".tmp.npz"
+                    z = np.zeros(0, dtype=np.int32)
+                    np.savez(tmp, tiles=np.zeros((0, 8, 8), dtype=np.int32),
+                             loc_i=z, loc_j=z, i=i, j=j)
+                    os.replace(tmp, path)
+                manifest["completed"].append([i, j])
+                done += 1
+                if progress is not None:
+                    progress(done, total)
+                continue
+            if xi is None:
+                xi = jax.device_put(
+                    packed[i * superblock_rows : (i + 1) * superblock_rows],
+                    a_sharding,
+                )
             xj = jax.device_put(
                 packed[j * superblock_rows : (j + 1) * superblock_rows],
                 b_sharding,

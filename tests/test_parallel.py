@@ -94,6 +94,27 @@ def test_distributed_stream_exact(mesh8, tmp_path):
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
 
 
+def test_distributed_stream_zero_stripe_skip(mesh8, tmp_path):
+    """Block-diagonal input across the superblock boundary: the
+    off-diagonal stripe is summary-zero — written as an empty
+    sparse-tile record without touching the mesh — and the result
+    stays exact."""
+    from test_clustered import block_diagonal_bitmatrix
+
+    from stormtpu.parallel import distributed_stream_count_matrix
+    from stormtpu.stream import load_streamed_matrix, stripe_path
+
+    bm = block_diagonal_bitmatrix(128, 16384, 2, 0.3, seed=65)
+    man = distributed_stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=64, mesh=mesh8
+    )
+    assert man["n_super"] == 2
+    with np.load(stripe_path(str(tmp_path), 0, 1)) as z:
+        assert "tiles" in z.files and z["tiles"].size == 0
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
 def test_distributed_stream_resume(mesh8, tmp_path):
     from stormtpu.parallel import distributed_stream_count_matrix
 
