@@ -28,6 +28,7 @@ from stormtpu.utils import pallas_interpret_default, round_up, triangular_tile_i
 __all__ = [
     "stream_count_matrix",
     "stream_count_checksums",
+    "stream_count_checksums_clustered",
     "load_streamed_matrix",
     "stripe_path",
 ]
@@ -439,6 +440,152 @@ def stream_count_checksums(
         "n_super": n_super,
         "kernel": "mxu",
         "sink": "checksum",
+        "stripes": stripes,
+        "sample_ii": np.concatenate(sample_ii),
+        "sample_jj": np.concatenate(sample_jj),
+        "sample_vals": np.concatenate(sample_vals),
+    }
+
+
+def stream_count_checksums_clustered(
+    bm: BitMatrix,
+    *,
+    superblock_rows: int = 4096,
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+    samples_per_stripe: int = 8,
+    sample_seed: int = 0,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> dict:
+    """The D2H-minimizing checksum sink for the CLUSTERED stripe walk:
+    every stripe runs its summary-AND work list through the real K5
+    executable, fetching only a per-stripe checksum plus sampled
+    entries. Checksums are comparable to ``stream_count_checksums``'s on
+    the same input and superblock size: skipped (co-empty) tiles are
+    exactly zero, so they contribute 0 to ``sum(tiles % 251)`` either
+    way. Samples are drawn over the FULL local tile grid — a sample
+    landing on a skipped tile reports 0 without touching the device
+    (that IS the skip's claim; the caller's oracle check validates it).
+    """
+    from stormtpu.kernels.clustered import (
+        _block_occupancy,
+        build_stripe_worklist,
+        count_tiles_worklist,
+    )
+    from stormtpu.tuning import tuned_variant
+
+    import functools
+
+    import jax
+
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    geo = _block_occupancy(bm, cfg)
+    if geo is None:
+        raise ValueError(
+            "clustered checksum sink needs >=2 K-groups; use "
+            "stream_count_checksums for single-group shapes"
+        )
+    occ, ti, wk, n_pad, nb, ng = geo
+    superblock_rows = round_up(superblock_rows, ti)
+    tps = superblock_rows // ti
+    n_sb_pad = round_up(bm.n, superblock_rows)
+    nb_sb = n_sb_pad // ti
+    if nb_sb > nb:
+        occ = np.concatenate(
+            [occ, np.zeros((nb_sb - nb, ng), dtype=bool)], axis=0
+        )
+    n_super = n_sb_pad // superblock_rows
+    variant = tuned_variant("k2", cfg.k2_variant)
+    w_pad = (ng + 1) * wk
+
+    def build():
+        xp = np.zeros((n_sb_pad, w_pad), dtype=np.uint32)
+        xp[: bm.n, : bm.n_words] = bm.packed
+        return jnp.asarray(xp)
+
+    packed_d = bm.device_cached(("padded2dz", n_sb_pad, w_pad), build)
+
+    @functools.partial(jax.jit, static_argnames=("n_slots",))
+    def stripe_fn(x, ibs, jbs, gsel, slots, first, st, sr, sc, *, n_slots):
+        tiles = count_tiles_worklist(
+            x, ibs, jbs, gsel, slots, first, n_slots=n_slots,
+            tile_rows=ti, tile_words=wk, interpret=bool(interpret),
+            variant=variant,
+        )
+        # filler slots are exact zero tiles: they add 0 to the checksum,
+        # keeping it equal to the dense walk's sum over the same stripe
+        chk = jnp.sum(tiles % jnp.int32(251))
+        return chk, tiles[st, sr, sc]
+
+    rng = np.random.default_rng(sample_seed)
+    stripes = []
+    sample_ii: list[np.ndarray] = []
+    sample_jj: list[np.ndarray] = []
+    sample_vals: list[np.ndarray] = []
+    total = n_super * (n_super + 1) // 2
+    done = 0
+    work_items = 0
+    for i, j in _superblock_pairs(n_super):
+        if i == j:
+            li, lj = np.triu_indices(tps)
+        else:
+            li, lj = np.meshgrid(np.arange(tps), np.arange(tps),
+                                 indexing="ij")
+            li, lj = li.ravel(), lj.ravel()
+        # samples over the FULL local tile list (skipped tiles included)
+        st = rng.integers(0, li.size, samples_per_stripe)
+        sr = rng.integers(0, ti, samples_per_stripe).astype(np.int32)
+        sc = rng.integers(0, ti, samples_per_stripe).astype(np.int32)
+        sample_ii.append(
+            ((li[st] + i * tps) * ti + sr).astype(np.int64)
+        )
+        sample_jj.append(
+            ((lj[st] + j * tps) * ti + sc).astype(np.int64)
+        )
+
+        wl = build_stripe_worklist(occ, i * tps, j * tps, tps, i == j)
+        if wl is None:
+            stripes.append({"i": i, "j": j, "checksum": 0, "skipped": True})
+            sample_vals.append(np.zeros(samples_per_stripe, dtype=np.int32))
+            done += 1
+            if progress is not None:
+                progress(done, total)
+            continue
+        # map each sampled tile to its slot if visited, else it is an
+        # exact zero by the summary argument — no device round trip
+        vis_key = wl.vis_loc_i.astype(np.int64) * tps + wl.vis_loc_j
+        smp_key = li[st].astype(np.int64) * tps + lj[st]
+        slot_idx = np.searchsorted(vis_key, smp_key)
+        slot_idx = np.clip(slot_idx, 0, wl.n_vis - 1)
+        hit = vis_key[slot_idx] == smp_key
+        chk, vals = stripe_fn(
+            packed_d,
+            jnp.asarray(wl.ibs), jnp.asarray(wl.jbs),
+            jnp.asarray(wl.gsel), jnp.asarray(wl.slots),
+            jnp.asarray(wl.first),
+            jnp.asarray(slot_idx.astype(np.int32)),
+            jnp.asarray(sr), jnp.asarray(sc),
+            n_slots=wl.n_slots,
+        )
+        vals = np.where(hit, np.asarray(vals), 0).astype(np.int32)
+        stripes.append({"i": i, "j": j, "checksum": int(np.asarray(chk)),
+                        "skipped": False})
+        sample_vals.append(vals)
+        work_items += wl.n_work
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    return {
+        "n": bm.n,
+        "m_bits": bm.m_bits,
+        "superblock_rows": superblock_rows,
+        "n_super": n_super,
+        "kernel": "clustered",
+        "sink": "checksum",
+        "work_items": work_items,
         "stripes": stripes,
         "sample_ii": np.concatenate(sample_ii),
         "sample_jj": np.concatenate(sample_jj),

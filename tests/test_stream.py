@@ -170,6 +170,54 @@ def test_stream_clustered_random_dense_input(tmp_path):
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
 
 
+def test_stream_checksums_clustered(tmp_path):
+    """The clustered checksum sink must agree with the dense checksum
+    walk stripe-for-stripe on the same input (skipped tiles are exact
+    zeros either way) and its samples must match the oracle — including
+    samples landing on summary-skipped tiles."""
+    import jax.numpy as jnp
+
+    from stormtpu.config import default_config
+    from stormtpu.stream import (
+        stream_count_checksums,
+        stream_count_checksums_clustered,
+    )
+    from stormtpu.utils import round_up
+    from test_clustered import block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(600, 16384, 4, 0.3, seed=78)
+    cfg = default_config()
+    ti, wk = cfg.k2_tile_rows, cfg.k2_tile_words
+    # one tile-block per superblock: tile-blocks 0 and 2 occupy disjoint
+    # K-groups, so stripe (0, 2) is summary-zero (skipped entirely)
+    sb = round_up(256, ti)
+
+    man_c = stream_count_checksums_clustered(
+        bm, superblock_rows=sb, samples_per_stripe=6, config=cfg,
+    )
+    assert man_c["n_super"] == 3
+    assert any(rec["skipped"] for rec in man_c["stripes"])
+    assert man_c["work_items"] > 0
+
+    n_pad = round_up(bm.n, sb)
+    w_pad = round_up(bm.n_words, wk)
+    xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+    xp[: bm.n, : bm.n_words] = bm.packed
+    man_d = stream_count_checksums(
+        jnp.asarray(xp), bm.n, bm.m_bits, superblock_rows=sb, config=cfg,
+    )
+    chk_c = {(r["i"], r["j"]): r["checksum"] for r in man_c["stripes"]}
+    chk_d = {(r["i"], r["j"]): r["checksum"] for r in man_d["stripes"]}
+    assert chk_c == chk_d
+
+    want = oracle_count_matrix(bm.packed)
+    c_pad = np.zeros((n_pad, n_pad), dtype=np.int64)
+    c_pad[: bm.n, : bm.n] = want
+    for gi, gj, v in zip(man_c["sample_ii"], man_c["sample_jj"],
+                         man_c["sample_vals"]):
+        assert int(v) == int(c_pad[gi, gj]), (gi, gj)
+
+
 def test_stream_checksums_mode(tmp_path):
     """The D2H-minimizing full-scale sink (stream_count_checksums) must
     walk the same stripes as stream_count_matrix: per-stripe checksums

@@ -246,3 +246,30 @@ def test_clustered_worklist_on_device(tpu_backend):
     assert build_clustered_plan(bm) is not None
     got = count_matrix_clustered(bm, interpret=False)
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_clustered_stream_on_device(tpu_backend, tmp_path):
+    """The streaming clustered stripes (per-stripe work lists + sparse
+    tile files) on the real device: block-diagonal input crossing a
+    superblock boundary — the off-diagonal stripe is summary-zero and
+    must never reach the device; result exact vs oracle."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stream import load_streamed_matrix, stream_count_matrix
+
+    rng = np.random.default_rng(19)
+    n, m, B = 512, 65536, 4
+    dense = np.zeros((n, m), dtype=np.uint8)
+    for b in range(B):
+        dense[b * (n // B):(b + 1) * (n // B),
+              b * (m // B):(b + 1) * (m // B)] = (
+            rng.random((n // B, m // B)) < 0.3).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    man = stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=256, kernel="clustered",
+        interpret=False,
+    )
+    assert man["kernel"] == "clustered"
+    assert man["n_super"] == 2
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
