@@ -38,6 +38,31 @@ def stripe_path(out_dir: str, i: int, j: int) -> str:
     return os.path.join(out_dir, f"stripe_{i:05d}_{j:05d}.npz")
 
 
+def _device_operand_budget() -> int:
+    """HBM budget for keeping the whole padded matrix device-resident.
+    Above it the driver flips to operand streaming (HBM as a cache over
+    host RAM: two superblock slices resident at a time). Default leaves
+    ~4 GB of a v5e's 16 GB for count tiles, unpack buffers and XLA
+    scratch; override via STORMTPU_DEVICE_OPERAND_BUDGET_BYTES."""
+    env = os.environ.get("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES")
+    if env:
+        return int(env)
+    return 12 << 30
+
+
+def _host_superblock(
+    packed: np.ndarray, n: int, superblock_rows: int, w_pad: int, i: int
+) -> np.ndarray:
+    """Zero-padded host slice [superblock_rows, w_pad] of row-superblock
+    ``i`` of a packed uint32 [n, W] matrix."""
+    out = np.zeros((superblock_rows, w_pad), dtype=np.uint32)
+    r0 = i * superblock_rows
+    r1 = min(n, r0 + superblock_rows)
+    if r1 > r0:
+        out[: r1 - r0, : packed.shape[1]] = packed[r0:r1]
+    return out
+
+
 def _auto_stream_kernel(m_bits: int, n: Optional[int] = None) -> str:
     """Map the tuned dense winner (or heuristics) onto a stripe kernel.
 
@@ -119,6 +144,64 @@ def _compute_stripe(
     )
 
 
+def _compute_stripe_pair(
+    xi: jnp.ndarray,
+    xj: Optional[jnp.ndarray],
+    tiles_per_super: int,
+    tile_rows: int,
+    tile_words: int,
+    interpret: bool,
+    kernel: str,
+) -> np.ndarray:
+    """Operand-streaming twin of ``_compute_stripe``: the stripe for two
+    device-resident superblock slices (``xj=None`` ⇒ ``xi``'s diagonal
+    stripe) — nothing else of the matrix is on the device. Off-diagonal
+    tile walks run on the on-device concatenation [xi; xj] with local
+    tile-block ids (the tile kernels are index-map-steered, so the same
+    executable serves every stripe of a run)."""
+    if kernel in ("xla_int8", "xla_popcount"):
+        from stormtpu.kernels import xla as kx
+
+        xb = xi if xj is None else xj
+        if kernel == "xla_int8":
+            out = kx.count_block_int8_xla(xi, xb)
+        else:
+            out = kx.count_block_popcount_xla(xi, xb)
+        return np.asarray(out)
+    if kernel == "mxu":
+        from stormtpu.kernels.mxu import count_tiles_pallas_mxu as count_tiles
+    else:
+        from stormtpu.kernels.dense import count_tiles_pallas_dense as count_tiles
+
+    tps = tiles_per_super
+    if xj is None:
+        loc_i, loc_j = triangular_tile_ids(tps)
+        x = xi
+        jb = loc_j
+    else:
+        loc_i, loc_j = np.meshgrid(
+            np.arange(tps, dtype=np.int32),
+            np.arange(tps, dtype=np.int32),
+            indexing="ij",
+        )
+        loc_i, loc_j = loc_i.ravel(), loc_j.ravel()
+        x = jnp.concatenate([xi, xj], axis=0)
+        jb = loc_j + tps
+    tiles = np.asarray(
+        count_tiles(
+            x,
+            jnp.asarray(loc_i.astype(np.int32)),
+            jnp.asarray(jb.astype(np.int32)),
+            tile_rows=tile_rows,
+            tile_words=tile_words,
+            interpret=interpret,
+        )
+    )
+    return _assemble_stripe(
+        tiles, loc_i, loc_j, tps, tile_rows, xj is None
+    )
+
+
 def _assemble_stripe(
     tiles: np.ndarray,
     loc_i: np.ndarray,
@@ -153,6 +236,7 @@ def stream_count_matrix(
     resume: bool = True,
     compress: bool = True,
     interpret: Optional[bool] = None,
+    operand_streaming: Optional[bool] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> dict:
     """Compute all upper-triangular superblock stripes of the count matrix,
@@ -160,6 +244,15 @@ def stream_count_matrix(
 
     ``resume=True`` skips stripes whose shard file already exists (resume
     at block-pair granularity after interruption).
+
+    ``operand_streaming`` (default auto): when the padded packed matrix
+    exceeds the device budget (``_device_operand_budget``), keep only two
+    superblock slices device-resident per stripe — HBM becomes a cache
+    over host RAM, so single-chip N is bounded by host memory like the
+    reference's single-node driver (SURVEY.md §3 C11), not by HBM.
+    H2D volume is one row-superblock per stripe (the i slice is reused
+    across its row of stripes): total ≈ N²·W·4 / (2·superblock_rows)
+    bytes — pick large superblocks to amortize.
     """
     cfg = config or default_config()
     cfg.validate(bm.m_bits)
@@ -180,7 +273,7 @@ def stream_count_matrix(
         return _stream_clustered(
             bm, out_dir, superblock_rows=superblock_rows, config=cfg,
             resume=resume, compress=compress, interpret=bool(interpret),
-            progress=progress,
+            operand_streaming=operand_streaming, progress=progress,
         )
     tile_rows = cfg.k2_tile_rows if kernel == "mxu" else cfg.k1_tile_rows
     tile_words = cfg.k2_tile_words if kernel == "mxu" else cfg.k1_tile_words
@@ -189,8 +282,13 @@ def stream_count_matrix(
 
     n_pad = round_up(bm.n, superblock_rows)
     w_pad = round_up(bm.n_words, tile_words)
-    xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)
-    xp = xp.at[: bm.n, : bm.n_words].set(jnp.asarray(bm.packed))
+    if operand_streaming is None:
+        operand_streaming = n_pad * w_pad * 4 > _device_operand_budget()
+    if operand_streaming:
+        xp = None
+    else:
+        xp = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)
+        xp = xp.at[: bm.n, : bm.n_words].set(jnp.asarray(bm.packed))
     n_super = n_pad // superblock_rows
 
     os.makedirs(out_dir, exist_ok=True)
@@ -200,20 +298,39 @@ def stream_count_matrix(
         "superblock_rows": superblock_rows,
         "n_super": n_super,
         "kernel": kernel,
+        "operand_streaming": bool(operand_streaming),
         "completed": [],
     }
     total = n_super * (n_super + 1) // 2
     done = 0
+    xi_d, xi_idx = None, -1
     for i, j in _superblock_pairs(n_super):
         path = stripe_path(out_dir, i, j)
         if resume and os.path.exists(path):
             manifest["completed"].append([i, j])
             done += 1
             continue
-        stripe = _compute_stripe(
-            xp, i, j, tiles_per_super, tile_rows, tile_words,
-            bool(interpret), kernel,
-        )
+        if operand_streaming:
+            # the i slice is uploaded lazily (a fully-resumed stripe row
+            # costs no H2D at all) and reused across its row of stripes
+            if xi_idx != i:
+                xi_d = jnp.asarray(
+                    _host_superblock(bm.packed, bm.n, superblock_rows,
+                                     w_pad, i)
+                )
+                xi_idx = i
+            xj_d = None if i == j else jnp.asarray(
+                _host_superblock(bm.packed, bm.n, superblock_rows, w_pad, j)
+            )
+            stripe = _compute_stripe_pair(
+                xi_d, xj_d, tiles_per_super, tile_rows, tile_words,
+                bool(interpret), kernel,
+            )
+        else:
+            stripe = _compute_stripe(
+                xp, i, j, tiles_per_super, tile_rows, tile_words,
+                bool(interpret), kernel,
+            )
         tmp = path + ".tmp.npz"
         # compress=False writes at disk speed — zlib at ~50 MB/s on a
         # 1-core host becomes the wall once stripes outpace compute
@@ -238,6 +355,7 @@ def _stream_clustered(
     resume: bool,
     compress: bool,
     interpret: bool,
+    operand_streaming: Optional[bool],
     progress: Optional[Callable[[int, int], None]],
 ) -> dict:
     """K5 at streaming scale: per-stripe summary-AND work lists over the
@@ -251,6 +369,10 @@ def _stream_clustered(
     (``loc_i``/``loc_j``); ``load_streamed_matrix`` scatter-assembles.
     Zero stripes write an n_vis=0 file, keeping the resume-by-file
     contract of the dense path.
+
+    ``operand_streaming`` works as in the dense walk (two superblock
+    slices device-resident; work-list tile-block ids shift to the local
+    frame), with one extra win: summary-zero stripes skip the upload too.
     """
     from stormtpu.kernels.clustered import (
         _block_occupancy,
@@ -266,7 +388,8 @@ def _stream_clustered(
         return stream_count_matrix(
             bm, out_dir, superblock_rows=superblock_rows, kernel="mxu",
             config=cfg, resume=resume, compress=compress,
-            interpret=interpret, progress=progress,
+            interpret=interpret, operand_streaming=operand_streaming,
+            progress=progress,
         )
     occ, ti, wk, n_pad, nb, ng = geo
     superblock_rows = round_up(superblock_rows, ti)
@@ -283,12 +406,17 @@ def _stream_clustered(
     variant = tuned_variant("k2", cfg.k2_variant)
     w_pad = (ng + 1) * wk  # trailing all-zero pad K-group for fillers
 
-    def build():
-        xp = np.zeros((n_sb_pad, w_pad), dtype=np.uint32)
-        xp[: bm.n, : bm.n_words] = bm.packed
-        return jnp.asarray(xp)
+    if operand_streaming is None:
+        operand_streaming = n_sb_pad * w_pad * 4 > _device_operand_budget()
+    if operand_streaming:
+        packed_d = None
+    else:
+        def build():
+            xp = np.zeros((n_sb_pad, w_pad), dtype=np.uint32)
+            xp[: bm.n, : bm.n_words] = bm.packed
+            return jnp.asarray(xp)
 
-    packed_d = bm.device_cached(("padded2dz", n_sb_pad, w_pad), build)
+        packed_d = bm.device_cached(("padded2dz", n_sb_pad, w_pad), build)
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
@@ -298,11 +426,13 @@ def _stream_clustered(
         "n_super": n_super,
         "kernel": "clustered",
         "tile_rows": ti,
+        "operand_streaming": bool(operand_streaming),
         "work_items": 0,
         "completed": [],
     }
     total = n_super * (n_super + 1) // 2
     done = 0
+    xi_d, xi_idx = None, -1
     for i, j in _superblock_pairs(n_super):
         path = stripe_path(out_dir, i, j)
         if resume and os.path.exists(path):
@@ -314,9 +444,33 @@ def _stream_clustered(
             tiles = np.zeros((0, ti, ti), dtype=np.int32)
             loc_i = loc_j = np.zeros(0, dtype=np.int32)
         else:
+            if operand_streaming:
+                # summary-zero stripes never reach this branch, so they
+                # cost no H2D either; the i slice persists across its row
+                if xi_idx != i:
+                    xi_d = jnp.asarray(
+                        _host_superblock(bm.packed, bm.n, superblock_rows,
+                                         w_pad, i)
+                    )
+                    xi_idx = i
+                if i == j:
+                    x = xi_d
+                    ibs_l = wl.ibs - i * tps
+                    jbs_l = wl.jbs - i * tps
+                else:
+                    xj_d = jnp.asarray(
+                        _host_superblock(bm.packed, bm.n, superblock_rows,
+                                         w_pad, j)
+                    )
+                    x = jnp.concatenate([xi_d, xj_d], axis=0)
+                    ibs_l = wl.ibs - i * tps
+                    jbs_l = (wl.jbs - j * tps) + tps
+            else:
+                x = packed_d
+                ibs_l, jbs_l = wl.ibs, wl.jbs
             out = count_tiles_worklist(
-                packed_d,
-                jnp.asarray(wl.ibs), jnp.asarray(wl.jbs),
+                x,
+                jnp.asarray(ibs_l), jnp.asarray(jbs_l),
                 jnp.asarray(wl.gsel), jnp.asarray(wl.slots),
                 jnp.asarray(wl.first),
                 n_slots=wl.n_slots, tile_rows=ti, tile_words=wk,

@@ -99,6 +99,85 @@ def test_stream_auto_kernel(tmp_path):
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
 
 
+def test_stream_operand_streaming_exact(tmp_path):
+    """Operand-streaming mode (HBM-as-cache: only two superblock slices
+    device-resident) must produce byte-identical stripes to the resident
+    walk — both Pallas tile kernels and the XLA block kernels."""
+    for kernel in ("mxu", "dense", "xla_int8", "xla_popcount"):
+        d = tmp_path / kernel
+        bm = random_bitmatrix(40, 600, 0.3, seed=57)
+        man = stream_count_matrix(
+            bm, str(d), superblock_rows=16, kernel=kernel,
+            config=_small_cfg(), interpret=True, operand_streaming=True,
+        )
+        assert man["operand_streaming"] is True
+        assert man["n_super"] == 3
+        got = load_streamed_matrix(str(d))
+        np.testing.assert_array_equal(
+            got, oracle_count_matrix(bm.packed), err_msg=kernel
+        )
+
+
+def test_stream_operand_streaming_auto_budget(tmp_path, monkeypatch):
+    """The auto mode flips to operand streaming when the padded matrix
+    exceeds the device budget, and the resident mode otherwise."""
+    monkeypatch.setenv("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES", "1024")
+    bm = random_bitmatrix(24, 400, 0.4, seed=58)
+    man = stream_count_matrix(
+        bm, str(tmp_path / "steam"), superblock_rows=8,
+        config=_small_cfg(), interpret=True,
+    )
+    assert man["operand_streaming"] is True
+    got = load_streamed_matrix(str(tmp_path / "steam"))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+    monkeypatch.setenv("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES", str(1 << 40))
+    man = stream_count_matrix(
+        bm, str(tmp_path / "res"), superblock_rows=8,
+        config=_small_cfg(), interpret=True,
+    )
+    assert man["operand_streaming"] is False
+
+
+def test_stream_operand_streaming_resume(tmp_path):
+    """Resume under operand streaming: only the missing stripe recomputes
+    (and a fully-resumed run uploads nothing — progress stays empty)."""
+    import os
+
+    bm = random_bitmatrix(24, 300, 0.4, seed=59)
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=8, config=_small_cfg(),
+        interpret=True, operand_streaming=True,
+    )
+    os.remove(stripe_path(str(tmp_path), 1, 2))
+    calls = []
+    stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=8, config=_small_cfg(),
+        interpret=True, operand_streaming=True,
+        progress=lambda d, t: calls.append(d),
+    )
+    assert len(calls) == 1
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_stream_clustered_operand_streaming(tmp_path):
+    """The clustered stripe walk under operand streaming: work-list ids
+    shift to the local two-superblock frame; summary-zero stripes skip
+    the upload as well as the compute. Exact vs oracle."""
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=65)
+    man = stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=32, kernel="clustered",
+        config=CFG, interpret=True, operand_streaming=True,
+    )
+    assert man["kernel"] == "clustered"
+    assert man["operand_streaming"] is True
+    assert man["work_items"] > 0
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
 def test_stream_clustered_exact(tmp_path):
     """K5 at streaming scale: block-diagonal input (every word column
     globally occupied) through the clustered stripe path — exact, and
