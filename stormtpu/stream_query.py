@@ -1,0 +1,377 @@
+"""Streaming-scale reduced queries: top-k and threshold screens for
+matrices whose operands exceed HBM.
+
+The single-chip queries (``stormtpu.query``) keep the padded packed
+matrix device-resident, so they are HBM-bounded (~100k × 1M bits on a
+16 GB chip). These twins walk the same superblock stripes as
+``stream.stream_count_matrix`` in operand-streaming form — two
+superblock slices device-resident at a time, HBM a cache over host RAM
+(the reference's single-node driver is host-RAM-bounded the same way;
+SURVEY.md §3 C11) — while the stripe counts never leave the device:
+
+- ``stream_topk_neighbors``: per stripe, both blocks' per-row top-k
+  candidates are reduced in-jit (D2H is O(superblock · k) per stripe);
+  the host merges candidates across the stripe row.
+- ``stream_pairs_above``: per stripe, the screen + triangular mask run
+  in-jit and a packed 1-bit hit bitmap is fetched (superblock²/8 bytes);
+  hit values are gathered from the still-device-resident counts, so
+  value D2H is O(hits). Similarity screens run in float32 with the same
+  under-admission slack as the single-chip screen and the host
+  re-filters hits exactly in float64 — rounding can only add
+  candidates, never lose them.
+
+Semantics match ``query.topk_neighbors`` / ``query.pairs_above``
+exactly on values; top-k tie ORDER among equal counts depends on the
+route (documented there too).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.layout import BitMatrix
+from stormtpu.stream import _auto_stream_kernel, _host_superblock
+from stormtpu.utils import pallas_interpret_default, round_up
+
+__all__ = ["stream_topk_neighbors", "stream_pairs_above"]
+
+
+def _stripe_square_counts(
+    xi: jax.Array,
+    xj: jax.Array,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+) -> jax.Array:
+    """Traced helper: int32 [SB, SB] counts of xi's rows × xj's rows.
+
+    Tile kernels run on the on-device concatenation [xi; xj] over the
+    full square local tile grid (row-major), so assembly is a
+    transpose-reshape — no scatter (TPU scatter is ~2e5 adds/s)."""
+    if kernel in ("xla_int8", "xla_popcount"):
+        from stormtpu.kernels import xla as kx
+
+        if kernel == "xla_int8":
+            return kx.count_block_int8_xla(xi, xj)
+        return kx.count_block_popcount_xla(xi, xj)
+    if kernel == "mxu":
+        from stormtpu.kernels.mxu import count_tiles_pallas_mxu as count_tiles
+    else:
+        from stormtpu.kernels.dense import count_tiles_pallas_dense as count_tiles
+
+    loc_i, loc_j = np.meshgrid(
+        np.arange(tps, dtype=np.int32),
+        np.arange(tps, dtype=np.int32),
+        indexing="ij",
+    )
+    x = jnp.concatenate([xi, xj], axis=0)
+    kwargs = {"variant": variant} if kernel in ("mxu", "dense") else {}
+    tiles = count_tiles(
+        x,
+        jnp.asarray(loc_i.ravel()),
+        jnp.asarray(loc_j.ravel() + tps),
+        tile_rows=ti,
+        tile_words=wk,
+        interpret=interpret,
+        **kwargs,
+    )
+    sb = tps * ti
+    return tiles.reshape(tps, tps, ti, ti).transpose(0, 2, 1, 3).reshape(sb, sb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tps", "ti", "wk", "interpret", "kernel", "variant"),
+)
+def _stripe_topk(
+    xi: jax.Array,
+    xj: jax.Array,
+    row0_i: jax.Array,
+    row0_j: jax.Array,
+    n: jax.Array,
+    *,
+    k: int,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+):
+    """Per-row top-k candidates of one stripe, both orientations: rows of
+    block i against block j's columns, and (for the host to use on
+    off-diagonal stripes) rows of block j against block i's. Invalid
+    cells (self pairs, padded rows/cols) rank as -1."""
+    counts = _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
+                                   variant)
+    row_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + row0_i
+    )
+    col_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + row0_j
+    )
+    valid = (row_g < n) & (col_g < n) & (row_g != col_g)
+    masked = jnp.where(valid, counts, jnp.int32(-1))
+    vals_i, idx_i = jax.lax.top_k(masked, k)
+    vals_j, idx_j = jax.lax.top_k(masked.T, k)
+    return vals_i, idx_i.astype(jnp.int32), vals_j, idx_j.astype(jnp.int32)
+
+
+def _merge_topk(
+    best_v: np.ndarray,
+    best_i: np.ndarray,
+    sl: slice,
+    cand_v: np.ndarray,
+    cand_i: np.ndarray,
+    k: int,
+) -> None:
+    """Keep the k best of (current best ∪ candidates) per row, in place."""
+    cv = np.concatenate([best_v[sl], cand_v], axis=1)
+    ci = np.concatenate([best_i[sl], cand_i], axis=1)
+    sel = np.argpartition(-cv, k - 1, axis=1)[:, :k]
+    best_v[sl] = np.take_along_axis(cv, sel, axis=1)
+    best_i[sl] = np.take_along_axis(ci, sel, axis=1)
+
+
+def stream_topk_neighbors(
+    bm: BitMatrix,
+    k: int,
+    *,
+    superblock_rows: int = 4096,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k partners by exact intersection count at streaming
+    scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
+    indices int32 [N, k]) sorted descending — same values as
+    ``query.topk_neighbors``; tie order among equal counts is
+    route-dependent there too."""
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if not 1 <= k < max(bm.n, 2):
+        raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
+    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
+    superblock_rows = round_up(superblock_rows, ti)
+    if k > superblock_rows:
+        raise ValueError(
+            f"k={k} exceeds superblock_rows={superblock_rows}: each stripe "
+            f"ranks only one superblock of partners; raise superblock_rows"
+        )
+    from stormtpu.tuning import tuned_variant
+
+    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
+                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
+    tps = superblock_rows // ti
+    w_pad = round_up(bm.n_words, wk)
+    n_pad = round_up(bm.n, superblock_rows)
+    n_super = n_pad // superblock_rows
+    sb = superblock_rows
+
+    best_v = np.full((n_pad, k), -1, dtype=np.int64)
+    best_i = np.zeros((n_pad, k), dtype=np.int32)
+    n_dev = jnp.int32(bm.n)
+    xi_d, xi_idx = None, -1
+    for i in range(n_super):
+        for j in range(i, n_super):
+            if xi_idx != i:
+                xi_d = jnp.asarray(
+                    _host_superblock(bm.packed, bm.n, sb, w_pad, i)
+                )
+                xi_idx = i
+            xj_d = xi_d if i == j else jnp.asarray(
+                _host_superblock(bm.packed, bm.n, sb, w_pad, j)
+            )
+            vi, ii, vj, ij = _stripe_topk(
+                xi_d, xj_d, jnp.int32(i * sb), jnp.int32(j * sb), n_dev,
+                k=k, tps=tps, ti=ti, wk=wk, interpret=bool(interpret),
+                kernel=kernel, variant=variant,
+            )
+            _merge_topk(best_v, best_i, slice(i * sb, (i + 1) * sb),
+                        np.asarray(vi).astype(np.int64),
+                        np.asarray(ii) + j * sb, k)
+            if i != j:
+                _merge_topk(best_v, best_i, slice(j * sb, (j + 1) * sb),
+                            np.asarray(vj).astype(np.int64),
+                            np.asarray(ij) + i * sb, k)
+    best_v = best_v[: bm.n]
+    best_i = best_i[: bm.n]
+    order = np.argsort(-best_v, axis=1, kind="stable")
+    vals = np.take_along_axis(best_v, order, axis=1)
+    idx = np.take_along_axis(best_i, order, axis=1)
+    # same post-rule as query.topk_neighbors: only real partners survive
+    valid = (vals >= 0) & (idx < bm.n)
+    return (
+        np.where(valid, vals, 0).astype(np.int32),
+        np.where(valid, idx, 0).astype(np.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("measure", "tps", "ti", "wk", "interpret", "kernel",
+                     "variant"),
+)
+def _stripe_screen(
+    xi: jax.Array,
+    xj: jax.Array,
+    nnz_i: jax.Array,
+    nnz_j: jax.Array,
+    row0_i: jax.Array,
+    row0_j: jax.Array,
+    n: jax.Array,
+    thresh: jax.Array,
+    m_f: jax.Array,
+    *,
+    measure: str,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+):
+    """One stripe's screen: packed hit bitmap [SB, SB/32] (global i < j
+    triangle only) plus the counts, which stay device-resident for the
+    hit-value gather."""
+    from stormtpu.query import _pack_bit_rows, _screen_vals
+
+    counts = _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
+                                   variant)
+    vals = _screen_vals(counts, nnz_i, nnz_j, m_f, measure)
+    row_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + row0_i
+    )
+    col_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + row0_j
+    )
+    hit = (vals >= thresh) & (col_g > row_g) & (row_g < n) & (col_g < n)
+    return _pack_bit_rows(hit), counts
+
+
+def stream_pairs_above(
+    bm: BitMatrix,
+    threshold: float,
+    *,
+    measure: str = "count",
+    superblock_rows: int = 4096,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All unordered pairs (i < j) with measure ≥ threshold, at streaming
+    scale (operands bounded by host RAM, not HBM). Same contract as
+    ``query.pairs_above``: measure "count" or a similarity; returns
+    (ii, jj, values) row-major, int32 counts / float64 similarities.
+
+    D2H per stripe is the packed hit bitmap (superblock²/8 bytes) plus
+    the hit values gathered from the device-resident stripe counts."""
+    from stormtpu.query import (
+        _expand_words,
+        _gather_hit_words,
+        _next_pow2,
+        _validate_screen,
+    )
+
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    dev_thresh = _validate_screen(measure, threshold)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
+    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
+    superblock_rows = round_up(superblock_rows, max(ti, 32))
+    from stormtpu.tuning import tuned_variant
+
+    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
+                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
+    tps = superblock_rows // ti
+    w_pad = round_up(bm.n_words, wk)
+    n_pad = round_up(bm.n, superblock_rows)
+    n_super = n_pad // superblock_rows
+    sb = superblock_rows
+
+    nnz = np.zeros(n_pad, dtype=np.int32)
+    nnz[: bm.n] = bm.row_nnz
+    n_dev = jnp.int32(bm.n)
+    m_f = jnp.float32(bm.m_bits)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    xi_d, xi_idx = None, -1
+    for i in range(n_super):
+        for j in range(i, n_super):
+            if xi_idx != i:
+                xi_d = jnp.asarray(
+                    _host_superblock(bm.packed, bm.n, sb, w_pad, i)
+                )
+                xi_idx = i
+            xj_d = xi_d if i == j else jnp.asarray(
+                _host_superblock(bm.packed, bm.n, sb, w_pad, j)
+            )
+            hits_d, counts_d = _stripe_screen(
+                xi_d, xj_d,
+                jnp.asarray(nnz[i * sb : (i + 1) * sb]),
+                jnp.asarray(nnz[j * sb : (j + 1) * sb]),
+                jnp.int32(i * sb), jnp.int32(j * sb), n_dev,
+                dev_thresh, m_f,
+                measure=measure, tps=tps, ti=ti, wk=wk,
+                interpret=bool(interpret), kernel=kernel, variant=variant,
+            )
+            li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
+            if not li.size:
+                continue
+            # gather hit values from the still-device-resident counts
+            # (fixed pow2 chunk shapes, same pattern as pair_counts)
+            p = li.size
+            chunk = int(min(max(_next_pow2(p), 4096), 1 << 16))
+            p_pad = round_up(p, chunk)
+            ri = np.zeros(p_pad, dtype=np.int32)
+            ci = np.zeros(p_pad, dtype=np.int32)
+            ri[:p] = li
+            ci[:p] = lj
+            cvals = np.concatenate([
+                np.asarray(_gather_hit_words(
+                    counts_d, jnp.asarray(ri[o : o + chunk]),
+                    jnp.asarray(ci[o : o + chunk]),
+                ))
+                for o in range(0, p_pad, chunk)
+            ])[:p]
+            out_i.append((li + i * sb).astype(np.int64))
+            out_j.append((lj + j * sb).astype(np.int64))
+            out_c.append(cvals.astype(np.int64))
+    if not out_i:
+        empty_v = (np.zeros(0, np.int32) if measure == "count"
+                   else np.zeros(0, np.float64))
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), empty_v
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    counts = np.concatenate(out_c)
+    # stripes emit (superblock pair)-major order; the contract is
+    # row-major like the single-chip screen
+    order = np.lexsort((jj, ii))
+    ii, jj, counts = ii[order], jj[order], counts[order]
+    if measure == "count":
+        return ii.astype(np.int32), jj.astype(np.int32), counts.astype(np.int32)
+    from stormtpu.setops import derive_similarity
+
+    vals = derive_similarity(counts, bm.row_nnz[ii], bm.row_nnz[jj],
+                             bm.m_bits, measure)
+    keep = vals >= threshold
+    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]

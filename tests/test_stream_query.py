@@ -1,0 +1,105 @@
+"""Streaming-scale queries: values identical to the single-chip forms
+(and the oracle) while only two superblock slices are ever on device."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.config import EngineConfig
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.stream_query import stream_pairs_above, stream_topk_neighbors
+
+
+def _small_cfg():
+    return EngineConfig(
+        k1_tile_rows=8, k1_tile_words=128, k2_tile_rows=8, k2_tile_words=8
+    )
+
+
+def _oracle_topk_vals(bm, k):
+    c = oracle_count_matrix(bm.packed).astype(np.int64)
+    np.fill_diagonal(c, -1)
+    vals = -np.sort(-c, axis=1)[:, :k]
+    return np.maximum(vals, 0)
+
+
+@pytest.mark.parametrize("kernel", ["mxu", "dense", "xla_int8"])
+def test_stream_topk_values_match_oracle(tmp_path, kernel):
+    bm = random_bitmatrix(52, 600, 0.3, seed=71)
+    vals, idx = stream_topk_neighbors(
+        bm, 5, superblock_rows=16, kernel=kernel, config=_small_cfg(),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(vals, _oracle_topk_vals(bm, 5),
+                                  err_msg=kernel)
+    # indices must actually realize the claimed counts
+    c = oracle_count_matrix(bm.packed)
+    for r in range(bm.n):
+        for t in range(5):
+            if vals[r, t] > 0:
+                assert c[r, idx[r, t]] == vals[r, t]
+                assert idx[r, t] != r
+
+
+def test_stream_topk_matches_single_chip_values():
+    from stormtpu.query import topk_neighbors
+
+    bm = random_bitmatrix(40, 512, 0.4, seed=72)
+    v_s, _ = stream_topk_neighbors(
+        bm, 3, superblock_rows=16, config=_small_cfg(), interpret=True,
+    )
+    v_1, _ = topk_neighbors(bm, 3)
+    np.testing.assert_array_equal(v_s, v_1)
+
+
+def test_stream_topk_k_bounds():
+    bm = random_bitmatrix(20, 256, 0.5, seed=73)
+    with pytest.raises(ValueError):
+        stream_topk_neighbors(bm, 0, config=_small_cfg(), interpret=True)
+    with pytest.raises(ValueError):
+        stream_topk_neighbors(bm, 20, config=_small_cfg(), interpret=True)
+    with pytest.raises(ValueError):
+        stream_topk_neighbors(bm, 10, superblock_rows=8,
+                              config=_small_cfg(), interpret=True)
+
+
+@pytest.mark.parametrize("measure,threshold", [
+    ("count", 30), ("jaccard", 0.22), ("r2", 0.05),
+])
+def test_stream_pairs_above_matches_single_chip(measure, threshold):
+    from stormtpu.query import pairs_above
+
+    bm = random_bitmatrix(52, 600, 0.3, seed=74)
+    ii_s, jj_s, v_s = stream_pairs_above(
+        bm, threshold, measure=measure, superblock_rows=16,
+        config=_small_cfg(), interpret=True,
+    )
+    ii_1, jj_1, v_1 = pairs_above(bm, threshold, measure=measure)
+    np.testing.assert_array_equal(ii_s, ii_1, err_msg=measure)
+    np.testing.assert_array_equal(jj_s, jj_1, err_msg=measure)
+    if measure == "count":
+        np.testing.assert_array_equal(v_s, v_1)
+    else:
+        np.testing.assert_allclose(v_s, v_1, rtol=0, atol=0)
+    assert np.all(ii_s < jj_s)
+
+
+def test_stream_pairs_above_no_hits():
+    bm = random_bitmatrix(24, 300, 0.1, seed=75)
+    ii, jj, v = stream_pairs_above(
+        bm, 299, superblock_rows=8, config=_small_cfg(), interpret=True,
+    )
+    assert ii.size == jj.size == v.size == 0
+
+
+def test_stream_pairs_above_oracle_cross_check():
+    bm = random_bitmatrix(44, 480, 0.45, seed=76)
+    c = oracle_count_matrix(bm.packed)
+    thr = int(np.percentile(c[np.triu_indices(bm.n, 1)], 90))
+    ii, jj, v = stream_pairs_above(
+        bm, thr, superblock_rows=16, config=_small_cfg(), interpret=True,
+    )
+    want_i, want_j = np.nonzero(np.triu(c, 1) >= thr)
+    np.testing.assert_array_equal(ii, want_i)
+    np.testing.assert_array_equal(jj, want_j)
+    np.testing.assert_array_equal(v, c[want_i, want_j])
