@@ -273,3 +273,47 @@ def test_clustered_stream_on_device(tpu_backend, tmp_path):
     assert man["n_super"] == 2
     got = load_streamed_matrix(str(tmp_path))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+def test_operand_streaming_and_stream_queries_on_device(tpu_backend, tmp_path):
+    """Operand-streaming stripe walk + streaming queries on the real
+    device at one shared shape (one compile family): stripes exact vs
+    oracle with only two superblock slices resident; top-k values and a
+    count screen identical to the oracle."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stream import load_streamed_matrix, stream_count_matrix
+    from stormtpu.stream_query import stream_pairs_above, stream_topk_neighbors
+
+    rng = np.random.default_rng(23)
+    n, m = 700, 65536
+    dense = (rng.random((n, m)) < 0.3).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    c = oracle_count_matrix(bm.packed).astype(np.int64)
+
+    man = stream_count_matrix(
+        bm, str(tmp_path), superblock_rows=256, kernel="mxu",
+        interpret=False, operand_streaming=True,
+    )
+    assert man["operand_streaming"] is True and man["n_super"] == 3
+    got = load_streamed_matrix(str(tmp_path))
+    np.testing.assert_array_equal(got, c)
+
+    vals, idx = stream_topk_neighbors(
+        bm, 5, superblock_rows=256, kernel="mxu", interpret=False,
+    )
+    cm = c.copy()
+    np.fill_diagonal(cm, -1)
+    want = np.maximum(-np.sort(-cm, axis=1)[:, :5], 0)
+    np.testing.assert_array_equal(vals, want)
+    for r in range(0, n, 131):
+        assert c[r, idx[r, 0]] == vals[r, 0] and idx[r, 0] != r
+
+    thr = int(np.percentile(cm[np.triu_indices(n, 1)], 99))
+    ii, jj, v = stream_pairs_above(
+        bm, thr, superblock_rows=256, kernel="mxu", interpret=False,
+    )
+    wi, wj = np.nonzero(np.triu(c, 1) >= thr)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_array_equal(v, c[wi, wj])
