@@ -42,6 +42,20 @@ from stormtpu.utils import pallas_interpret_default, round_up
 __all__ = ["stream_topk_neighbors", "stream_pairs_above"]
 
 
+def _superblock_occupancy(bm: BitMatrix, n_pad: int, sb: int) -> Optional[np.ndarray]:
+    """Per-superblock K-group occupancy bool [n_super, G] (the C8 summary
+    OR-reduced per superblock, wk=128-word groups — same statistic as the
+    clustered streaming driver). None for degenerate shapes."""
+    if not (bm.n and bm.n_words):
+        return None
+    occ_rows = bm.block_summary(block_bits=128 * 32).astype(bool)
+    if occ_rows.shape[1] < 2:
+        return None
+    occ = np.zeros((n_pad, occ_rows.shape[1]), dtype=bool)
+    occ[: bm.n] = occ_rows
+    return occ.reshape(n_pad // sb, sb, -1).any(axis=1)
+
+
 def _stripe_square_counts(
     xi: jax.Array,
     xj: jax.Array,
@@ -155,7 +169,9 @@ def stream_topk_neighbors(
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
     indices int32 [N, k]) sorted descending — same values as
     ``query.topk_neighbors``; tie order among equal counts is
-    route-dependent there too."""
+    route-dependent there too, and zero-count entries may carry the
+    (0, 0) "no partner" convention where the summary skip proved a whole
+    stripe zero."""
     cfg = config or default_config()
     cfg.validate(bm.m_bits)
     if not 1 <= k < max(bm.n, 2):
@@ -185,9 +201,16 @@ def stream_topk_neighbors(
     best_v = np.full((n_pad, k), -1, dtype=np.int64)
     best_i = np.zeros((n_pad, k), dtype=np.int32)
     n_dev = jnp.int32(bm.n)
+    occ_sb = _superblock_occupancy(bm, n_pad, sb)
     xi_d, xi_idx = None, -1
     for i in range(n_super):
         for j in range(i, n_super):
+            if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                # C8 summary skip: every count in this stripe is exactly
+                # zero — zero-count partners can only surface as the
+                # (0, 0) "no partner" convention, which the final mask
+                # emits anyway, so the stripe never touches the device
+                continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
                     _host_superblock(bm.packed, bm.n, sb, w_pad, i)
@@ -314,9 +337,17 @@ def stream_pairs_above(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
+    # C8 summary skip: a summary-zero stripe has all-zero counts, which
+    # cannot pass a count screen (threshold >= 1) or a positive
+    # jaccard/dice/cosine/overlap threshold. phi/r2 DO score
+    # zero-intersection (anti-correlated) pairs, so they walk everything.
+    occ_sb = (None if measure in ("phi", "r2")
+              else _superblock_occupancy(bm, n_pad, sb))
     xi_d, xi_idx = None, -1
     for i in range(n_super):
         for j in range(i, n_super):
+            if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
                     _host_superblock(bm.packed, bm.n, sb, w_pad, i)

@@ -92,6 +92,33 @@ def test_stream_pairs_above_no_hits():
     assert ii.size == jj.size == v.size == 0
 
 
+def test_stream_queries_clustered_summary_skip():
+    """Block-diagonal input: summary-zero stripes are skipped (count and
+    jaccard screens; top-k) without changing any value; r2 — which
+    scores zero-intersection pairs — must NOT skip and must match the
+    single-chip screen exactly."""
+    from stormtpu.query import pairs_above, topk_neighbors
+    from test_clustered import block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(64, 12800, 4, 0.35, seed=77)
+    cfg = _small_cfg()
+
+    v_s, _ = stream_topk_neighbors(bm, 4, superblock_rows=16, config=cfg,
+                                   interpret=True)
+    v_1, _ = topk_neighbors(bm, 4)
+    np.testing.assert_array_equal(v_s, v_1)
+
+    for measure, thr in (("count", 20), ("jaccard", 0.2), ("r2", 0.3)):
+        ii_s, jj_s, w_s = stream_pairs_above(
+            bm, thr, measure=measure, superblock_rows=16, config=cfg,
+            interpret=True,
+        )
+        ii_1, jj_1, w_1 = pairs_above(bm, thr, measure=measure)
+        np.testing.assert_array_equal(ii_s, ii_1, err_msg=measure)
+        np.testing.assert_array_equal(jj_s, jj_1, err_msg=measure)
+        np.testing.assert_allclose(w_s, w_1, rtol=0, atol=0, err_msg=measure)
+
+
 def test_stream_pairs_above_oracle_cross_check():
     bm = random_bitmatrix(44, 480, 0.45, seed=76)
     c = oracle_count_matrix(bm.packed)
