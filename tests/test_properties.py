@@ -174,3 +174,33 @@ def test_topk_property_across_tile_boundaries(dense, k):
     w = want.copy()
     np.fill_diagonal(w, -1)
     np.testing.assert_array_equal(vals, np.sort(w, axis=1)[:, ::-1][:, :k])
+
+
+@given(boundary_matrices(), st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=60))
+@settings(max_examples=4, deadline=None)
+def test_stream_queries_property(dense, k, threshold):
+    """Streaming queries equal the oracle for arbitrary matrices whose
+    stripe walk crosses superblock AND tile boundaries (ragged tails on
+    rows, words, and superblocks)."""
+    from stormtpu.stream_query import stream_pairs_above, stream_topk_neighbors
+
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed).astype(np.int64)
+    w = want.copy()
+    np.fill_diagonal(w, -1)
+
+    vals, _ = stream_topk_neighbors(
+        bm, k, superblock_rows=32, config=_TILE_CFG, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        vals, np.maximum(np.sort(w, axis=1)[:, ::-1][:, :k], 0)
+    )
+
+    ii, jj, vv = stream_pairs_above(
+        bm, threshold, superblock_rows=32, config=_TILE_CFG, interpret=True,
+    )
+    wi, wj = np.nonzero(np.triu(want, 1) >= threshold)
+    np.testing.assert_array_equal(ii, wi.astype(np.int32))
+    np.testing.assert_array_equal(jj, wj.astype(np.int32))
+    np.testing.assert_array_equal(vv, want[wi, wj])
