@@ -90,6 +90,20 @@ def intersect_count_matrix(
 
         return count_matrix_clustered(bm, config=cfg)
 
+    if strategy in ("popcount", "mxu", "pallas_dense", "pallas_mxu"):
+        # the device strategies allocate the N² int32 output (plus the
+        # packed operand) in HBM; past the budget that's an opaque
+        # mid-call OOM — refuse with the streaming route instead
+        from stormtpu.stream import _device_operand_budget
+
+        need = 4 * bm.n * bm.n + 4 * bm.n * bm.n_words
+        if bm.n > 2 and need > _device_operand_budget():
+            raise ValueError(
+                f"N={bm.n}: the N² count matrix plus operand "
+                f"(~{need >> 30} GiB) exceeds the device budget; use "
+                f"stormtpu.stream.stream_count_matrix (resumable stripes) "
+                f"or the stormtpu.stream_query reduced queries"
+            )
     packed_np = bm.packed
     if strategy not in ("sparse", "sparse_outer") and bm.n > 1:
         # Clustered-sparsity compaction (reference C8 block-skip, done the

@@ -136,23 +136,56 @@ def cmd_count(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_topk(args: argparse.Namespace) -> int:
-    from stormtpu import topk_neighbors
+def cmd_stream(args: argparse.Namespace) -> int:
+    from stormtpu.stream import stream_count_matrix
 
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
-    vals, idx = topk_neighbors(bm, args.k)
+    man = stream_count_matrix(
+        bm, args.out_dir, superblock_rows=args.superblock,
+        kernel=args.kernel, compress=not args.no_compress,
+        operand_streaming={"auto": None, "on": True, "off": False}[
+            args.operand_streaming],
+        progress=lambda d, t: _log(f"stripe {d}/{t}"),
+    )
+    _log(f"wrote {len(man['completed'])} stripes to {args.out_dir} "
+         f"(kernel={man['kernel']}, "
+         f"operand_streaming={man.get('operand_streaming')})")
+    return 0
+
+
+def cmd_topk(args: argparse.Namespace) -> int:
+    bm = _load_matrix(args.infile)
+    _log(f"loaded {bm}")
+    if args.stream:
+        from stormtpu.stream_query import stream_topk_neighbors
+
+        vals, idx = stream_topk_neighbors(
+            bm, args.k, superblock_rows=args.superblock
+        )
+    else:
+        from stormtpu import topk_neighbors
+
+        vals, idx = topk_neighbors(bm, args.k)
     np.savez(args.out, counts=vals, indices=idx)
     _log(f"wrote {args.out}: counts/indices int32 [{bm.n}, {args.k}]")
     return 0
 
 
 def cmd_screen(args: argparse.Namespace) -> int:
-    from stormtpu import pairs_above
-
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
-    ii, jj, vals = pairs_above(bm, args.threshold, measure=args.measure)
+    if args.stream:
+        from stormtpu.stream_query import stream_pairs_above
+
+        ii, jj, vals = stream_pairs_above(
+            bm, args.threshold, measure=args.measure,
+            superblock_rows=args.superblock,
+        )
+    else:
+        from stormtpu import pairs_above
+
+        ii, jj, vals = pairs_above(bm, args.threshold, measure=args.measure)
     np.savez(args.out, ii=ii, jj=jj, values=vals)
     _log(f"wrote {args.out}: {ii.size} pairs with {args.measure} >= "
          f"{args.threshold}")
@@ -217,11 +250,33 @@ def main(argv=None) -> int:
     sp.add_argument("--strategy", default="auto")
     sp.set_defaults(fn=cmd_count)
 
+    sp = sub.add_parser(
+        "stream",
+        help="stream count-matrix stripes to a directory (resumable; "
+        "for N where the N² result or the operands exceed memory)",
+    )
+    sp.add_argument("--in", dest="infile", required=True,
+                    help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--kernel", default="auto",
+                    choices=("auto", "mxu", "dense", "xla_int8",
+                             "xla_popcount", "clustered"))
+    sp.add_argument("--no-compress", action="store_true",
+                    help="write stripes uncompressed (disk-speed writes)")
+    sp.add_argument("--operand-streaming", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="keep only two superblock slices on device")
+    sp.set_defaults(fn=cmd_stream)
+
     sp = sub.add_parser("topk", help="per-row top-k partners by intersection count")
     sp.add_argument("--in", dest="infile", required=True,
                     help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
     sp.add_argument("--out", required=True, help="output .npz (counts, indices)")
     sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--stream", action="store_true",
+                    help="operand-streaming stripe walk (N beyond HBM)")
+    sp.add_argument("--superblock", type=int, default=4096)
     sp.set_defaults(fn=cmd_topk)
 
     sp = sub.add_parser(
@@ -237,6 +292,9 @@ def main(argv=None) -> int:
                              "overlap", "phi", "r2"))
     sp.add_argument("--print-pairs", type=int, default=0, metavar="K",
                     help="also print the first K hits to stdout")
+    sp.add_argument("--stream", action="store_true",
+                    help="operand-streaming stripe walk (N beyond HBM)")
+    sp.add_argument("--superblock", type=int, default=4096)
     sp.set_defaults(fn=cmd_screen)
 
     args = p.parse_args(argv)

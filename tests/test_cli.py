@@ -85,3 +85,43 @@ def test_cli_topk_and_screen(tmp_path):
     out2 = tmp_path / "hits2.npz"
     assert main(["screen", "--in", str(npy), "--out", str(out2),
                  "--threshold", "0.3", "--measure", "jaccard"]) == 0
+
+
+def test_cli_stream_and_streaming_queries(tmp_path, rng):
+    """stream subcommand writes resumable stripes; topk/screen --stream
+    ride the operand-streaming stripe walk — all exact."""
+    from stormtpu.stream import load_streamed_matrix
+
+    n, m = 70, 2048
+    dense = (rng.random((n, m)) < 0.3).astype(np.uint8)
+    infile = tmp_path / "in.npy"
+    np.save(infile, dense)
+    want = dense.astype(np.int64) @ dense.T
+
+    out_dir = tmp_path / "stripes"
+    rc = main(["stream", "--in", str(infile), "--out-dir", str(out_dir),
+               "--superblock", "32", "--operand-streaming", "on"])
+    assert rc == 0
+    np.testing.assert_array_equal(load_streamed_matrix(str(out_dir)), want)
+
+    topk_out = tmp_path / "topk.npz"
+    rc = main(["topk", "--in", str(infile), "--out", str(topk_out),
+               "--k", "4", "--stream", "--superblock", "32"])
+    assert rc == 0
+    with np.load(topk_out) as z:
+        w = want.copy()
+        np.fill_diagonal(w, -1)
+        np.testing.assert_array_equal(
+            z["counts"], np.maximum(np.sort(w, axis=1)[:, ::-1][:, :4], 0)
+        )
+
+    scr_out = tmp_path / "scr.npz"
+    thr = int(np.percentile(want[np.triu_indices(n, 1)], 90))
+    rc = main(["screen", "--in", str(infile), "--out", str(scr_out),
+               "--threshold", str(thr), "--stream", "--superblock", "32"])
+    assert rc == 0
+    with np.load(scr_out) as z:
+        wi, wj = np.nonzero(np.triu(want, 1) >= thr)
+        np.testing.assert_array_equal(z["ii"], wi)
+        np.testing.assert_array_equal(z["jj"], wj)
+        np.testing.assert_array_equal(z["values"], want[wi, wj])

@@ -130,3 +130,28 @@ def test_stream_pairs_above_oracle_cross_check():
     np.testing.assert_array_equal(ii, want_i)
     np.testing.assert_array_equal(jj, want_j)
     np.testing.assert_array_equal(v, c[want_i, want_j])
+
+
+def test_over_budget_routes_to_streaming(monkeypatch):
+    """Past the device budget the resident-form APIs refuse with a
+    pointer to the streaming surface — while the streaming forms keep
+    working (flipping to operand streaming under the same budget)."""
+    from stormtpu import intersect_count_matrix, pairs_above, topk_neighbors
+    from stormtpu.stream import stream_count_matrix
+
+    monkeypatch.setenv("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES", "1000")
+    bm = random_bitmatrix(40, 512, 0.4, seed=79)
+    with pytest.raises(ValueError, match="stream_count_matrix"):
+        intersect_count_matrix(bm, strategy="pallas_mxu")
+    with pytest.raises(ValueError, match="stream_topk_neighbors"):
+        topk_neighbors(bm, 3)
+    with pytest.raises(ValueError, match="stream_pairs_above"):
+        pairs_above(bm, 10)
+    vals, idx = stream_topk_neighbors(
+        bm, 3, superblock_rows=16, config=_small_cfg(), interpret=True,
+    )
+    c = oracle_count_matrix(bm.packed).astype(np.int64)
+    np.fill_diagonal(c, -1)
+    np.testing.assert_array_equal(
+        vals, np.maximum(-np.sort(-c, axis=1)[:, :3], 0)
+    )
