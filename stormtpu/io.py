@@ -1,9 +1,13 @@
-"""BitMatrix serialization.
+"""BitMatrix serialization and domain ingest.
 
 The reference ingests positions programmatically and (in its harness)
 from generated data; real pipelines need durable artifacts. Format: one
 ``.npz`` holding the packed words + metadata — portable, mmap-friendly
 via NumPy, exact by construction.
+
+``load_plink_bed`` covers the motivating domain (genotype panels,
+SURVEY.md §1): PLINK1 binary genotype files decode straight into the
+bitmaps the all-pairs engine consumes.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ import numpy as np
 
 from stormtpu.layout import BitMatrix
 
-__all__ = ["save_bitmatrix", "load_bitmatrix"]
+__all__ = ["save_bitmatrix", "load_bitmatrix", "load_plink_bed"]
 
 _FORMAT_VERSION = 1
 
@@ -31,6 +35,81 @@ def save_bitmatrix(bm: BitMatrix, path: str) -> None:
         m_bits=bm.m_bits,
         **extra,
     )
+
+
+# PLINK1 .bed 2-bit genotype codes (SNP-major; sample j of a variant
+# occupies bits [2(j%4), 2(j%4)+1) of byte j//4, LSB-first):
+#   0b00 homozygous A1   0b01 missing   0b10 heterozygous   0b11 homozygous A2
+_PLINK_MAGIC = b"\x6c\x1b\x01"
+_PLINK_ENCODINGS = {
+    # predicate over the 2-bit code → set bit
+    "carrier": lambda c: c >= 2,     # carries ≥1 A2 allele (het or hom-A2)
+    "hom_a2": lambda c: c == 3,
+    "het": lambda c: c == 2,
+    "hom_a1": lambda c: c == 0,
+    "missing": lambda c: c == 1,
+}
+
+
+def load_plink_bed(
+    path: str,
+    n_samples: int,
+    n_variants: int | None = None,
+    *,
+    encode: str = "carrier",
+    rows: str = "variants",
+) -> BitMatrix:
+    """Decode a PLINK1 binary genotype file (``.bed``, SNP-major) into a
+    BitMatrix — the motivating ingest of the reference's domain (genotype
+    indicator bitmaps; SURVEY.md §1).
+
+    ``encode`` picks the indicator per genotype code: "carrier" (≥1 A2
+    allele — the LD-screen default), "hom_a2", "het", "hom_a1", or
+    "missing". ``rows``: "variants" (bitmap per variant over samples —
+    all-pairs = variant×variant LD counts) or "samples" (transpose).
+    ``n_variants`` is inferred from the file size when omitted. Missing
+    genotypes set no bit except under ``encode="missing"`` (screen or
+    mask them explicitly via a second matrix when needed).
+    """
+    if encode not in _PLINK_ENCODINGS:
+        raise ValueError(
+            f"unknown encode {encode!r}; want one of {sorted(_PLINK_ENCODINGS)}"
+        )
+    if rows not in ("variants", "samples"):
+        raise ValueError(f"rows must be 'variants' or 'samples', got {rows!r}")
+    if n_samples < 1:
+        raise ValueError("n_samples must be >= 1")
+    with open(path, "rb") as f:
+        head = f.read(3)
+        if head[:2] != _PLINK_MAGIC[:2]:
+            raise ValueError(f"{path}: not a PLINK .bed file (bad magic)")
+        if head[2:3] != _PLINK_MAGIC[2:3]:
+            raise ValueError(
+                f"{path}: individual-major .bed (mode 0) is the obsolete "
+                f"PLINK<1.0 layout; re-export SNP-major"
+            )
+        body = np.frombuffer(f.read(), dtype=np.uint8)
+    bpv = (n_samples + 3) // 4
+    if n_variants is None:
+        if bpv == 0 or body.size % bpv:
+            raise ValueError(
+                f"{path}: {body.size} genotype bytes is not a multiple of "
+                f"{bpv} bytes/variant for n_samples={n_samples}"
+            )
+        n_variants = body.size // bpv
+    elif body.size != n_variants * bpv:
+        raise ValueError(
+            f"{path}: expected {n_variants * bpv} genotype bytes for "
+            f"{n_variants} variants × {bpv} bytes, found {body.size}"
+        )
+    codes = (
+        body.reshape(n_variants, bpv, 1) >> np.array([0, 2, 4, 6], np.uint8)
+    ) & np.uint8(3)
+    codes = codes.reshape(n_variants, bpv * 4)[:, :n_samples]
+    dense = _PLINK_ENCODINGS[encode](codes).astype(np.uint8)
+    if rows == "samples":
+        dense = np.ascontiguousarray(dense.T)
+    return BitMatrix.from_dense(dense)
 
 
 def load_bitmatrix(path: str) -> BitMatrix:

@@ -1,0 +1,113 @@
+"""Serialization + PLINK .bed ingest (hand-built binary fixtures; the
+decode is validated against an independent per-bit Python loop)."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.io import load_bitmatrix, load_plink_bed, save_bitmatrix
+
+
+def _write_bed(path, codes):
+    """Independent scalar PLINK1 encoder: codes uint8 [V, N] in {0,1,2,3}
+    (00 hom-A1, 01 missing, 10 het, 11 hom-A2), SNP-major, LSB-first."""
+    v, n = codes.shape
+    bpv = (n + 3) // 4
+    out = bytearray(b"\x6c\x1b\x01")
+    for vi in range(v):
+        row = bytearray(bpv)
+        for si in range(n):
+            row[si // 4] |= int(codes[vi, si]) << (2 * (si % 4))
+        out += row
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_bitmatrix_roundtrip(tmp_path):
+    bm = random_bitmatrix(20, 300, 0.3, seed=81)
+    p = str(tmp_path / "bm.npz")
+    save_bitmatrix(bm, p)
+    got = load_bitmatrix(p)
+    np.testing.assert_array_equal(got.packed, bm.packed)
+    assert got.m_bits == bm.m_bits
+
+
+def test_plink_bed_decode_all_encodings(tmp_path):
+    rng = np.random.default_rng(82)
+    v, n = 9, 13  # n % 4 != 0: pad bits in the last byte must be ignored
+    codes = rng.integers(0, 4, size=(v, n)).astype(np.uint8)
+    p = str(tmp_path / "g.bed")
+    _write_bed(p, codes)
+    for encode, pred in (
+        ("carrier", lambda c: c >= 2),
+        ("hom_a2", lambda c: c == 3),
+        ("het", lambda c: c == 2),
+        ("hom_a1", lambda c: c == 0),
+        ("missing", lambda c: c == 1),
+    ):
+        bm = load_plink_bed(p, n, encode=encode)
+        assert (bm.n, bm.m_bits) == (v, n)
+        from stormtpu.layout import unpack_bits
+
+        np.testing.assert_array_equal(
+            unpack_bits(bm.packed, n), pred(codes).astype(np.uint8),
+            err_msg=encode,
+        )
+
+
+def test_plink_bed_infers_variants_and_transposes(tmp_path):
+    rng = np.random.default_rng(83)
+    v, n = 6, 8
+    codes = rng.integers(0, 4, size=(v, n)).astype(np.uint8)
+    p = str(tmp_path / "g.bed")
+    _write_bed(p, codes)
+    bm = load_plink_bed(p, n)  # n_variants inferred
+    assert bm.n == v
+    bs = load_plink_bed(p, n, n_variants=v, rows="samples")
+    assert (bs.n, bs.m_bits) == (n, v)
+    from stormtpu.layout import unpack_bits
+
+    np.testing.assert_array_equal(
+        unpack_bits(bs.packed, v), (codes >= 2).astype(np.uint8).T
+    )
+
+
+def test_plink_bed_drives_the_engine(tmp_path):
+    """End-to-end domain flow: .bed → carrier bitmaps → exact LD-style
+    counts and an r² screen."""
+    from stormtpu import intersect_count_matrix, pairs_above
+    from stormtpu.oracle import oracle_count_matrix
+
+    rng = np.random.default_rng(84)
+    v, n = 40, 200
+    codes = (rng.random((v, n)) < 0.3).astype(np.uint8) * 2  # het carriers
+    codes += ((rng.random((v, n)) < 0.3) & (codes == 2)).astype(np.uint8)
+    p = str(tmp_path / "g.bed")
+    _write_bed(p, codes)
+    bm = load_plink_bed(p, n)
+    want = oracle_count_matrix(bm.packed)
+    np.testing.assert_array_equal(intersect_count_matrix(bm), want)
+    ii, jj, r2 = pairs_above(bm, 0.5, measure="r2")
+    assert np.all(ii < jj)
+
+
+def test_plink_bed_errors(tmp_path):
+    p = str(tmp_path / "bad.bed")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="magic"):
+        load_plink_bed(p, 4)
+    with open(p, "wb") as f:
+        f.write(b"\x6c\x1b\x00" + b"\x00")  # individual-major mode byte
+    with pytest.raises(ValueError, match="individual-major"):
+        load_plink_bed(p, 4)
+    codes = np.zeros((3, 5), dtype=np.uint8)
+    _write_bed(p, codes)
+    with pytest.raises(ValueError, match="not a multiple"):
+        load_plink_bed(p, 13)  # 6 genotype bytes, 4 bytes/variant
+    with pytest.raises(ValueError, match="expected"):
+        load_plink_bed(p, 5, n_variants=4)
+    with pytest.raises(ValueError, match="encode"):
+        load_plink_bed(p, 5, encode="bogus")
+    with pytest.raises(ValueError, match="rows"):
+        load_plink_bed(p, 5, rows="bogus")
