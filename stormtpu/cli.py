@@ -106,6 +106,10 @@ def _load_matrix(infile: str):
 
     from stormtpu import BitMatrix
 
+    if infile.endswith(".bed"):  # PLINK1 trio (dims from .fam/.bim)
+        from stormtpu.io import load_plink_bed
+
+        return load_plink_bed(infile)
     if infile.endswith(".npz"):
         # probe the member list without decompressing anything
         with zipfile.ZipFile(infile) as zf:

@@ -51,9 +51,17 @@ _PLINK_ENCODINGS = {
 }
 
 
+def _count_lines(path: str) -> int:
+    n = 0
+    with open(path, "rb") as f:
+        for line in f:
+            n += line.strip() != b""
+    return n
+
+
 def load_plink_bed(
     path: str,
-    n_samples: int,
+    n_samples: int | None = None,
     n_variants: int | None = None,
     *,
     encode: str = "carrier",
@@ -67,9 +75,11 @@ def load_plink_bed(
     allele — the LD-screen default), "hom_a2", "het", "hom_a1", or
     "missing". ``rows``: "variants" (bitmap per variant over samples —
     all-pairs = variant×variant LD counts) or "samples" (transpose).
-    ``n_variants`` is inferred from the file size when omitted. Missing
-    genotypes set no bit except under ``encode="missing"`` (screen or
-    mask them explicitly via a second matrix when needed).
+    ``n_samples`` defaults to the line count of the trio's ``.fam``
+    sidecar and ``n_variants`` to the ``.bim``'s (else inferred from the
+    file size). Missing genotypes set no bit except under
+    ``encode="missing"`` (screen or mask them explicitly via a second
+    matrix when needed).
     """
     if encode not in _PLINK_ENCODINGS:
         raise ValueError(
@@ -77,6 +87,22 @@ def load_plink_bed(
         )
     if rows not in ("variants", "samples"):
         raise ValueError(f"rows must be 'variants' or 'samples', got {rows!r}")
+    stem = path[:-4] if path.endswith(".bed") else path
+    if n_samples is None:
+        import os
+
+        fam = stem + ".fam"
+        if not os.path.exists(fam):
+            raise ValueError(
+                f"n_samples not given and no sidecar {fam} to count"
+            )
+        n_samples = _count_lines(fam)
+    if n_variants is None:
+        import os
+
+        bim = stem + ".bim"
+        if os.path.exists(bim):
+            n_variants = _count_lines(bim)
     if n_samples < 1:
         raise ValueError("n_samples must be >= 1")
     with open(path, "rb") as f:

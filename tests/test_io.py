@@ -111,3 +111,31 @@ def test_plink_bed_errors(tmp_path):
         load_plink_bed(p, 5, encode="bogus")
     with pytest.raises(ValueError, match="rows"):
         load_plink_bed(p, 5, rows="bogus")
+
+
+def test_plink_trio_sidecars_and_cli(tmp_path):
+    """Dims come from the .fam/.bim sidecars; the CLI loads a .bed
+    directly (the PLINK trio convention)."""
+    from stormtpu.cli import main
+    from stormtpu.oracle import oracle_count_matrix
+
+    rng = np.random.default_rng(85)
+    v, n = 7, 11
+    codes = rng.integers(0, 4, size=(v, n)).astype(np.uint8)
+    p = tmp_path / "panel.bed"
+    _write_bed(str(p), codes)
+    (tmp_path / "panel.fam").write_text(
+        "\n".join(f"F{i} I{i} 0 0 0 -9" for i in range(n)) + "\n"
+    )
+    (tmp_path / "panel.bim").write_text(
+        "\n".join(f"1 rs{i} 0 {i} A C" for i in range(v)) + "\n"
+    )
+    bm = load_plink_bed(str(p))
+    assert (bm.n, bm.m_bits) == (v, n)
+
+    out = tmp_path / "c.npy"
+    assert main(["count", "--in", str(p), "--out", str(out)]) == 0
+    np.testing.assert_array_equal(np.load(out), oracle_count_matrix(bm.packed))
+
+    with pytest.raises(ValueError, match="sidecar"):
+        load_plink_bed(str(tmp_path / "panel2.bed").replace("panel2", "panel3"))
