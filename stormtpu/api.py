@@ -82,27 +82,56 @@ def intersect_count_matrix(
         strategy = choose_strategy(bm.n, bm.m_bits, bm.density, cfg, bm=bm)
     if strategy not in STRATEGIES:
         raise ValueError(f"unknown strategy {strategy!r}; want one of {STRATEGIES}")
+    _STREAM_HINT = (
+        "use stormtpu.stream.stream_count_matrix (resumable stripes; "
+        "kernel='auto' keeps the clustered skip) or the "
+        "stormtpu.stream_query reduced queries"
+    )
     if strategy == "clustered":
         # K5 builds its own padded+cached device operand and work list
         # (empty K-groups are skipped per tile pair, which subsumes the
-        # global empty-column compaction below)
-        from stormtpu.kernels.clustered import count_matrix_clustered
+        # global empty-column compaction below). Its device footprint is
+        # the padded operand plus the visited count tiles — exact from
+        # the plan, so guard with that rather than the dense N² formula
+        # (which would refuse workable low-work-fraction inputs).
+        from stormtpu.kernels.clustered import (
+            build_clustered_plan,
+            count_matrix_clustered,
+        )
+        from stormtpu.stream import require_device_budget
 
-        return count_matrix_clustered(bm, config=cfg)
+        plan = build_clustered_plan(bm, cfg)
+        if bm.n > 2:
+            if plan is not None:
+                need = (4 * plan.n_pad * plan.w_pad
+                        + 4 * plan.slot_ibs.size * plan.ti * plan.ti)
+                require_device_budget(
+                    need,
+                    f"N={bm.n}: the K5 operand plus work-list count tiles",
+                    _STREAM_HINT,
+                )
+            elif bm.nnz:
+                # degenerate plan falls back to the full K2 walk, which
+                # allocates the N² output like the dense strategies below
+                need = 4 * bm.n * bm.n + 4 * bm.n * bm.n_words
+                require_device_budget(
+                    need,
+                    f"N={bm.n}: the N² count matrix plus operand",
+                    _STREAM_HINT,
+                )
+        return count_matrix_clustered(bm, config=cfg, plan=plan)
 
     if strategy in ("popcount", "mxu", "pallas_dense", "pallas_mxu"):
         # the device strategies allocate the N² int32 output (plus the
         # packed operand) in HBM; past the budget that's an opaque
         # mid-call OOM — refuse with the streaming route instead
-        from stormtpu.stream import _device_operand_budget
+        from stormtpu.stream import require_device_budget
 
-        need = 4 * bm.n * bm.n + 4 * bm.n * bm.n_words
-        if bm.n > 2 and need > _device_operand_budget():
-            raise ValueError(
-                f"N={bm.n}: the N² count matrix plus operand "
-                f"(~{need >> 30} GiB) exceeds the device budget; use "
-                f"stormtpu.stream.stream_count_matrix (resumable stripes) "
-                f"or the stormtpu.stream_query reduced queries"
+        if bm.n > 2:
+            require_device_budget(
+                4 * bm.n * bm.n + 4 * bm.n * bm.n_words,
+                f"N={bm.n}: the N² count matrix plus operand",
+                _STREAM_HINT,
             )
     packed_np = bm.packed
     if strategy not in ("sparse", "sparse_outer") and bm.n > 1:

@@ -66,6 +66,7 @@ def load_plink_bed(
     *,
     encode: str = "carrier",
     rows: str = "variants",
+    chunk_variants: int | None = None,
 ) -> BitMatrix:
     """Decode a PLINK1 binary genotype file (``.bed``, SNP-major) into a
     BitMatrix — the motivating ingest of the reference's domain (genotype
@@ -77,7 +78,9 @@ def load_plink_bed(
     all-pairs = variant×variant LD counts) or "samples" (transpose).
     ``n_samples`` defaults to the line count of the trio's ``.fam``
     sidecar and ``n_variants`` to the ``.bim``'s (else inferred from the
-    file size). Missing genotypes set no bit except under
+    file size). Decode runs in variant chunks bounded at ~256 MB of
+    transients (``chunk_variants`` — a multiple of 32 — overrides the
+    chunk size; the default is right outside tests). Missing genotypes set no bit except under
     ``encode="missing"`` (screen or mask them explicitly via a second
     matrix when needed).
     """
@@ -128,14 +131,48 @@ def load_plink_bed(
             f"{path}: expected {n_variants * bpv} genotype bytes for "
             f"{n_variants} variants × {bpv} bytes, found {body.size}"
         )
-    codes = (
-        body.reshape(n_variants, bpv, 1) >> np.array([0, 2, 4, 6], np.uint8)
-    ) & np.uint8(3)
-    codes = codes.reshape(n_variants, bpv * 4)[:, :n_samples]
-    dense = _PLINK_ENCODINGS[encode](codes).astype(np.uint8)
-    if rows == "samples":
-        dense = np.ascontiguousarray(dense.T)
-    return BitMatrix.from_dense(dense)
+    # Decode in variant chunks packed straight into uint32 words: a
+    # single-shot decode materializes codes [V, 4·bpv] + dense [V, N]
+    # (~2.25× the .bed body — ~200 GB of transients at the spec-scale
+    # 100k × 1M panel, vs a 12.5 GB packed result), so transients here
+    # are bounded at ~2·chunk·N bytes regardless of V.
+    from stormtpu.layout import pack_bits, words_for_bits
+
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    pred = _PLINK_ENCODINGS[encode]
+    # ~256 MB of decode transients per chunk; multiple of 32 so the
+    # "samples" orientation packs whole output words per chunk
+    if chunk_variants is None:
+        cv = max(32, ((1 << 27) // max(n_samples, 1)) & ~31)
+    else:
+        if chunk_variants < 32 or chunk_variants % 32:
+            raise ValueError("chunk_variants must be a positive multiple of 32")
+        cv = chunk_variants
+    if rows == "variants":
+        w = words_for_bits(n_samples)
+        packed = np.empty((n_variants, w), dtype=np.uint32)
+        for v0 in range(0, n_variants, cv):
+            v1 = min(v0 + cv, n_variants)
+            codes = (
+                body[v0 * bpv : v1 * bpv].reshape(v1 - v0, bpv, 1) >> shifts
+            ) & np.uint8(3)
+            codes = codes.reshape(v1 - v0, bpv * 4)[:, :n_samples]
+            packed[v0:v1] = pack_bits(pred(codes).astype(np.uint8))
+        return BitMatrix.from_packed(packed, m_bits=n_samples)
+    w = words_for_bits(n_variants)
+    packed = np.zeros((n_samples, w), dtype=np.uint32)
+    for v0 in range(0, n_variants, cv):
+        v1 = min(v0 + cv, n_variants)
+        codes = (
+            body[v0 * bpv : v1 * bpv].reshape(v1 - v0, bpv, 1) >> shifts
+        ) & np.uint8(3)
+        codes = codes.reshape(v1 - v0, bpv * 4)[:, :n_samples]
+        dense_t = np.ascontiguousarray(pred(codes).astype(np.uint8).T)
+        # v0 is a multiple of 32, so this chunk fills whole words
+        packed[:, v0 // 32 : (v0 + dense_t.shape[1] + 31) // 32] = pack_bits(
+            dense_t
+        )
+    return BitMatrix.from_packed(packed, m_bits=n_variants)
 
 
 def load_bitmatrix(path: str) -> BitMatrix:

@@ -167,13 +167,16 @@ def topk_neighbors(
     bm = _as_bitmatrix(x)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
-    from stormtpu.stream import _device_operand_budget
+    from stormtpu.stream import require_device_budget
 
-    if bm.n > 2 and 4 * bm.n * bm.n_words > _device_operand_budget():
-        raise ValueError(
-            f"N={bm.n}: the packed operand (~{4 * bm.n * bm.n_words >> 30} "
-            f"GiB) exceeds the device budget; use "
-            f"stormtpu.stream_query.stream_topk_neighbors (host-RAM-bounded)"
+    if bm.n > 2:
+        # every top-k route (tile walk, block form, and the clustered
+        # host route's count matrix) uploads the packed operand
+        require_device_budget(
+            4 * bm.n * bm.n_words,
+            f"N={bm.n}: the packed operand",
+            "use stormtpu.stream_query.stream_topk_neighbors "
+            "(host-RAM-bounded)",
         )
     from stormtpu.dispatch import choose_strategy
 
@@ -672,17 +675,6 @@ def pairs_above(
     del config
     bm = _as_bitmatrix(x)
     dev_thresh = _validate_screen(measure, threshold)
-    from stormtpu.stream import _device_operand_budget
-
-    need = 4 * bm.n * bm.n_words + bm.n * bm.n // 8
-    if bm.n > 2 and need > _device_operand_budget():
-        # operand + device hit bitmap no longer fit HBM — refuse with
-        # the stripe-walking route instead of an opaque mid-call OOM
-        raise ValueError(
-            f"N={bm.n}: screen operands (~{need >> 30} GiB) exceed the "
-            f"device budget; use stormtpu.stream_query.stream_pairs_above "
-            f"(host-RAM-bounded)"
-        )
     # Screens follow the same density-adaptive dispatch as counts (D1):
     # when the host sparse paths win (extreme sparsity — K4's work is
     # ∝ nnz², not N²·M), compute exact counts there and filter directly;
@@ -734,6 +726,21 @@ def pairs_above(
         ii = np.concatenate([p[0] for p in parts])
         jj = np.concatenate([p[1] for p in parts])
         return ii, jj, np.concatenate([p[2] for p in parts])
+    # device screen: operand + device hit bitmap must fit HBM — refuse
+    # with the stripe-walking route instead of an opaque mid-call OOM.
+    # Placed AFTER dispatch: the host sparse routes above allocate no
+    # device memory (the clustered route guards inside
+    # intersect_count_matrix), and the ceiling admits the measured
+    # 100k×1M screen shape (BASELINE.md).
+    from stormtpu.stream import require_device_budget
+
+    if bm.n > 2:
+        require_device_budget(
+            4 * bm.n * bm.n_words + bm.n * bm.n // 8,
+            f"N={bm.n}: the screen operand plus device hit bitmap",
+            "use stormtpu.stream_query.stream_pairs_above "
+            "(host-RAM-bounded)",
+        )
     if strategy == "pallas_mxu":
         # triangular K2 tile screen: same tuned MXU walk as the count
         # matrix — half the FLOPs of the square block screen

@@ -50,6 +50,35 @@ def _device_operand_budget() -> int:
     return 12 << 30
 
 
+def _device_refuse_budget() -> int:
+    """Hard HBM ceiling for the refusal guards on single-shot device
+    routes (``require_device_budget``) — distinct from the softer
+    ``_device_operand_budget``, which flips the streaming driver into
+    operand-streaming mode instead of refusing. Anchor: the measured
+    100k × 1M-bit screen (operand 12.5 GB + hit bitmap 1.25 GB =
+    12.8 GiB) runs on a 16 GB v5e (BASELINE.md), so refusal must start
+    above that; 13.5 GiB leaves ~1.5 GB for unpack buffers and XLA
+    scratch. Override via STORMTPU_DEVICE_REFUSE_BUDGET_BYTES."""
+    env = os.environ.get("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES")
+    if env:
+        return int(env)
+    return 27 << 29
+
+
+def require_device_budget(need_bytes: int, what: str, hint: str) -> None:
+    """Refuse a device route whose HBM footprint cannot fit, pointing at
+    the streaming alternative — the single home for this policy (three
+    hand-rolled copies diverged in round 2: one strategy branch bypassed
+    its guard entirely and another over-refused a measured-working
+    shape)."""
+    if need_bytes > _device_refuse_budget():
+        raise ValueError(
+            f"{what} (~{need_bytes / (1 << 30):.1f} GiB) exceeds the "
+            f"device budget ({_device_refuse_budget() / (1 << 30):.1f} "
+            f"GiB); {hint}"
+        )
+
+
 def _host_superblock(
     packed: np.ndarray, n: int, superblock_rows: int, w_pad: int, i: int
 ) -> np.ndarray:

@@ -28,6 +28,7 @@ route (documented there too).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -40,6 +41,20 @@ from stormtpu.stream import _auto_stream_kernel, _host_superblock
 from stormtpu.utils import pallas_interpret_default, round_up
 
 __all__ = ["stream_topk_neighbors", "stream_pairs_above"]
+
+# stripe kernels these queries accept (resolved from "auto" by
+# stream._auto_stream_kernel); anything else must be rejected — an
+# unknown string would otherwise silently fall through the dispatch
+# chain onto the dense-kernel branch with k1 tiles
+_STRIPE_KERNELS = ("mxu", "dense", "xla_int8", "xla_popcount")
+
+
+def _check_stripe_kernel(kernel: str) -> None:
+    if kernel not in _STRIPE_KERNELS:
+        raise ValueError(
+            f"unknown kernel {kernel!r}; want 'auto' or one of "
+            f"{_STRIPE_KERNELS}"
+        )
 
 
 def _superblock_occupancy(bm: BitMatrix, n_pad: int, sb: int) -> Optional[np.ndarray]:
@@ -102,9 +117,66 @@ def _stripe_square_counts(
     return tiles.reshape(tps, tps, ti, ti).transpose(0, 2, 1, 3).reshape(sb, sb)
 
 
+@functools.lru_cache(maxsize=None)
+def _diag_tile_maps(tps: int):
+    """Static maps for assembling a diagonal stripe's [tps, tps] tile
+    grid from its triangular tile list: upper-triangle pair ids, a
+    square-cell → triangular-index gather map, and the upper mask (lower
+    cells take the transposed tile)."""
+    from stormtpu.utils import triangular_tile_ids
+
+    loc_i, loc_j = triangular_tile_ids(tps)
+    tri_map = np.zeros((tps, tps), dtype=np.int32)
+    t = np.arange(loc_i.size, dtype=np.int32)
+    tri_map[loc_i, loc_j] = t
+    tri_map[loc_j, loc_i] = t
+    upper = np.arange(tps)[:, None] <= np.arange(tps)[None, :]
+    return loc_i, loc_j, tri_map.ravel(), upper.ravel()
+
+
+def _stripe_diag_counts(
+    xi: jax.Array,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+) -> jax.Array:
+    """Traced helper: int32 [SB, SB] counts of a DIAGONAL stripe from
+    triangular tiles plus an in-jit gather-mirror — half the square
+    grid's MXU work, no [xi; xi] concat (stream.py's host-assembled twin
+    is _assemble_stripe). The XLA whole-stripe forms have no per-tile
+    saving to take."""
+    if kernel in ("xla_int8", "xla_popcount"):
+        return _stripe_square_counts(
+            xi, xi, tps, ti, wk, interpret, kernel, variant
+        )
+    if kernel == "mxu":
+        from stormtpu.kernels.mxu import count_tiles_pallas_mxu as count_tiles
+    else:
+        from stormtpu.kernels.dense import count_tiles_pallas_dense as count_tiles
+
+    loc_i, loc_j, tri_map, upper = _diag_tile_maps(tps)
+    tiles = count_tiles(
+        xi,
+        jnp.asarray(loc_i),
+        jnp.asarray(loc_j),
+        tile_rows=ti,
+        tile_words=wk,
+        interpret=interpret,
+        variant=variant,
+    )
+    g = tiles[jnp.asarray(tri_map)]
+    g = jnp.where(jnp.asarray(upper)[:, None, None], g, jnp.swapaxes(g, 1, 2))
+    sb = tps * ti
+    return g.reshape(tps, tps, ti, ti).transpose(0, 2, 1, 3).reshape(sb, sb)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tps", "ti", "wk", "interpret", "kernel", "variant"),
+    static_argnames=("k", "tps", "ti", "wk", "interpret", "kernel", "variant",
+                     "diagonal"),
 )
 def _stripe_topk(
     xi: jax.Array,
@@ -120,13 +192,20 @@ def _stripe_topk(
     interpret: bool,
     kernel: str,
     variant: str,
+    diagonal: bool,
 ):
     """Per-row top-k candidates of one stripe, both orientations: rows of
     block i against block j's columns, and (for the host to use on
     off-diagonal stripes) rows of block j against block i's. Invalid
-    cells (self pairs, padded rows/cols) rank as -1."""
-    counts = _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
+    cells (self pairs, padded rows/cols) rank as -1. Diagonal stripes
+    (static flag) run triangular tiles and skip the transposed top-k —
+    its candidates would duplicate the forward ones."""
+    counts = (
+        _stripe_diag_counts(xi, tps, ti, wk, interpret, kernel, variant)
+        if diagonal
+        else _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
                                    variant)
+    )
     row_g = (
         jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + row0_i
     )
@@ -136,6 +215,8 @@ def _stripe_topk(
     valid = (row_g < n) & (col_g < n) & (row_g != col_g)
     masked = jnp.where(valid, counts, jnp.int32(-1))
     vals_i, idx_i = jax.lax.top_k(masked, k)
+    if diagonal:
+        return vals_i, idx_i.astype(jnp.int32), None, None
     vals_j, idx_j = jax.lax.top_k(masked.T, k)
     return vals_i, idx_i.astype(jnp.int32), vals_j, idx_j.astype(jnp.int32)
 
@@ -180,6 +261,7 @@ def stream_topk_neighbors(
         interpret = pallas_interpret_default()
     if kernel == "auto":
         kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    _check_stripe_kernel(kernel)
     ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
     wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
     superblock_rows = round_up(superblock_rows, ti)
@@ -222,7 +304,7 @@ def stream_topk_neighbors(
             vi, ii, vj, ij = _stripe_topk(
                 xi_d, xj_d, jnp.int32(i * sb), jnp.int32(j * sb), n_dev,
                 k=k, tps=tps, ti=ti, wk=wk, interpret=bool(interpret),
-                kernel=kernel, variant=variant,
+                kernel=kernel, variant=variant, diagonal=i == j,
             )
             _merge_topk(best_v, best_i, slice(i * sb, (i + 1) * sb),
                         np.asarray(vi).astype(np.int64),
@@ -247,7 +329,7 @@ def stream_topk_neighbors(
 @functools.partial(
     jax.jit,
     static_argnames=("measure", "tps", "ti", "wk", "interpret", "kernel",
-                     "variant"),
+                     "variant", "diagonal"),
 )
 def _stripe_screen(
     xi: jax.Array,
@@ -267,14 +349,20 @@ def _stripe_screen(
     interpret: bool,
     kernel: str,
     variant: str,
+    diagonal: bool,
 ):
     """One stripe's screen: packed hit bitmap [SB, SB/32] (global i < j
     triangle only) plus the counts, which stay device-resident for the
-    hit-value gather."""
+    hit-value gather. Diagonal stripes (static flag) run triangular
+    tiles — the hit mask only reads the upper triangle anyway."""
     from stormtpu.query import _pack_bit_rows, _screen_vals
 
-    counts = _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
+    counts = (
+        _stripe_diag_counts(xi, tps, ti, wk, interpret, kernel, variant)
+        if diagonal
+        else _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
                                    variant)
+    )
     vals = _screen_vals(counts, nnz_i, nnz_j, m_f, measure)
     row_g = (
         jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + row0_i
@@ -317,9 +405,14 @@ def stream_pairs_above(
         interpret = pallas_interpret_default()
     if kernel == "auto":
         kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    _check_stripe_kernel(kernel)
     ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
     wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
-    superblock_rows = round_up(superblock_rows, max(ti, 32))
+    # the hit bitmap packs 32 columns per word AND the tile grid needs
+    # ti | SB, so round to a common multiple (max(ti, 32) satisfies
+    # neither when ti is not a multiple/divisor of 32 — e.g. ti=24
+    # crashed the tile walk, ti=48 the bit pack)
+    superblock_rows = round_up(superblock_rows, math.lcm(ti, 32))
     from stormtpu.tuning import tuned_variant
 
     variant = tuned_variant("k2" if kernel == "mxu" else "k1",
@@ -364,6 +457,7 @@ def stream_pairs_above(
                 dev_thresh, m_f,
                 measure=measure, tps=tps, ti=ti, wk=wk,
                 interpret=bool(interpret), kernel=kernel, variant=variant,
+                diagonal=i == j,
             )
             li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
             if not li.size:

@@ -139,3 +139,20 @@ def test_plink_trio_sidecars_and_cli(tmp_path):
 
     with pytest.raises(ValueError, match="sidecar"):
         load_plink_bed(str(tmp_path / "panel2.bed").replace("panel2", "panel3"))
+
+
+def test_plink_bed_chunked_decode_matches_single_shot(tmp_path):
+    """The chunked decode (transients bounded at ~2·chunk·N, not
+    ~2.25× the whole .bed body) is exact across chunk boundaries in
+    both orientations, including a partial tail chunk."""
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, size=(100, 13), dtype=np.uint8)
+    p = str(tmp_path / "chunky.bed")
+    _write_bed(p, codes)
+    for rows in ("variants", "samples"):
+        whole = load_plink_bed(p, 13, 100, rows=rows)
+        chunked = load_plink_bed(p, 13, 100, rows=rows, chunk_variants=32)
+        np.testing.assert_array_equal(chunked.packed, whole.packed)
+        assert chunked.m_bits == whole.m_bits
+    with pytest.raises(ValueError, match="multiple of 32"):
+        load_plink_bed(p, 13, 100, chunk_variants=17)

@@ -139,7 +139,10 @@ def test_over_budget_routes_to_streaming(monkeypatch):
     from stormtpu import intersect_count_matrix, pairs_above, topk_neighbors
     from stormtpu.stream import stream_count_matrix
 
+    # operand budget flips the streaming driver; the refusal ceiling is
+    # its own (higher) knob on the single-shot device routes
     monkeypatch.setenv("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES", "1000")
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", "1000")
     bm = random_bitmatrix(40, 512, 0.4, seed=79)
     with pytest.raises(ValueError, match="stream_count_matrix"):
         intersect_count_matrix(bm, strategy="pallas_mxu")
@@ -155,3 +158,65 @@ def test_over_budget_routes_to_streaming(monkeypatch):
     np.testing.assert_array_equal(
         vals, np.maximum(-np.sort(-c, axis=1)[:, :3], 0)
     )
+
+
+def test_stream_queries_reject_unknown_kernel():
+    bm = random_bitmatrix(20, 256, 0.3, seed=5)
+    with pytest.raises(ValueError, match="unknown kernel"):
+        stream_topk_neighbors(bm, 3, kernel="clustered")
+    with pytest.raises(ValueError, match="unknown kernel"):
+        stream_pairs_above(bm, 5, kernel="mxU")
+
+
+def test_stream_pairs_above_odd_tile_rows():
+    """superblock rounding must satisfy both ti | SB and 32 | SB
+    (regression: ti=24 rounded to max(ti, 32)=32 crashed the tile walk;
+    ti=48 crashed the hit-bitmap pack)."""
+    from stormtpu.query import pairs_above
+
+    bm = random_bitmatrix(70, 500, 0.3, seed=41)
+    want = pairs_above(bm, 12)
+    for ti in (24, 48):
+        cfg = EngineConfig(
+            k1_tile_rows=ti, k1_tile_words=128,
+            k2_tile_rows=8, k2_tile_words=8,
+        )
+        ii, jj, vv = stream_pairs_above(
+            bm, 12, superblock_rows=40, kernel="dense", config=cfg,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(ii, want[0], err_msg=f"ti={ti}")
+        np.testing.assert_array_equal(jj, want[1], err_msg=f"ti={ti}")
+        np.testing.assert_array_equal(vv, want[2], err_msg=f"ti={ti}")
+
+
+def test_budget_guard_covers_clustered_and_spares_host_routes(monkeypatch):
+    """The refusal guard must fire on the clustered strategy too (its
+    early-return bypassed the r2 guard), must size it by the K5 plan's
+    actual footprint (operand + visited tiles), and must NOT fire on the
+    host sparse routes, which allocate no device memory."""
+    from test_clustered import block_diagonal_bitmatrix
+
+    from stormtpu import intersect_count_matrix, pairs_above
+    from stormtpu.oracle import oracle_count_matrix
+
+    bm = block_diagonal_bitmatrix(64, 12800, 4, 0.35, seed=13)
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", "1000")
+    with pytest.raises(ValueError, match="stream_count_matrix"):
+        intersect_count_matrix(bm, strategy="clustered")
+    # the K5 plan's footprint, not the dense N² formula: a budget that
+    # admits operand + visited tiles but not the dense form must pass
+    ok = 4 * 128 * bm.n_words * 4 + 4 * 64 * 64 * 16  # generous plan bound
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", str(ok))
+    out = intersect_count_matrix(bm, strategy="clustered")
+    np.testing.assert_array_equal(out, oracle_count_matrix(bm.packed))
+
+    # host sparse screen: unaffected by a tiny device budget
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", "1000")
+    sparse = random_bitmatrix(40, 65536, 0.0005, seed=29)
+    ii, jj, vv = pairs_above(sparse, 1, measure="count")
+    c = oracle_count_matrix(sparse.packed)
+    wi, wj = np.nonzero(np.triu(c, 1) >= 1)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_array_equal(vv, c[wi, wj])
