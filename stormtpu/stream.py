@@ -298,6 +298,12 @@ def stream_count_matrix(
         wf = clustered_work_fraction(bm, cfg)
         if wf is not None and wf < cfg.clustered_work_fraction_threshold:
             kernel = "clustered"
+    if kernel not in ("mxu", "dense", "xla_int8", "xla_popcount", "clustered"):
+        # an unknown string would silently run the k1-dense branch below
+        raise ValueError(
+            f"unknown kernel {kernel!r}; want 'auto' or one of "
+            f"('mxu', 'dense', 'xla_int8', 'xla_popcount', 'clustered')"
+        )
     if kernel == "clustered":
         return _stream_clustered(
             bm, out_dir, superblock_rows=superblock_rows, config=cfg,

@@ -348,3 +348,14 @@ def test_stream_checksums_mode(tmp_path):
             tile = c_pad[a * ti:(a + 1) * ti, b * ti:(b + 1) * ti]
             chk += int((tile % 251).sum())
         assert rec["checksum"] == np.int32(chk), (i, j)
+
+
+def test_stream_count_matrix_rejects_unknown_kernel(tmp_path):
+    import pytest
+
+    from conftest import random_bitmatrix
+    from stormtpu.stream import stream_count_matrix
+
+    bm = random_bitmatrix(16, 256, 0.3, seed=3)
+    with pytest.raises(ValueError, match="unknown kernel"):
+        stream_count_matrix(bm, str(tmp_path / "s"), kernel="mxU")

@@ -188,6 +188,12 @@ def test_stream_pairs_above_odd_tile_rows():
         np.testing.assert_array_equal(ii, want[0], err_msg=f"ti={ti}")
         np.testing.assert_array_equal(jj, want[1], err_msg=f"ti={ti}")
         np.testing.assert_array_equal(vv, want[2], err_msg=f"ti={ti}")
+        vals, _ = stream_topk_neighbors(
+            bm, 4, superblock_rows=40, kernel="dense", config=cfg,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(vals, _oracle_topk_vals(bm, 4),
+                                      err_msg=f"ti={ti}")
 
 
 def test_budget_guard_covers_clustered_and_spares_host_routes(monkeypatch):
