@@ -102,7 +102,7 @@ def config2_allpairs_dense(full: bool, log) -> dict:
     from stormtpu.utils import (
         pallas_interpret_default,
         round_up,
-        timeit_sustained,
+        timeit_sustained_auto,
         triangular_tile_ids,
     )
 
@@ -119,12 +119,16 @@ def config2_allpairs_dense(full: bool, log) -> dict:
     ibs, jbs = map(jnp.asarray, triangular_tile_ids(n_pad // ti))
     interp = bool(pallas_interpret_default())
     var = tuned_variant("k1", cfg.k1_variant)
-    dt_s = timeit_sustained(
+    # chain length sized from a one-dispatch probe: the K1 walk's
+    # per-step cost at 1k×64k is sub-ms, so a fixed short chain leaves
+    # the marginal inside relay jitter and "sustained" would just be
+    # dispatch-floor arithmetic (the very artifact this field de-noises)
+    dt_s = timeit_sustained_auto(
         lambda x: count_tiles_pallas_dense(
             x, ibs, jbs, tile_rows=ti, tile_words=wk, interpret=interp,
             variant=var,
         ),
-        xds, c1=2, c2=10,
+        xds,
     )
     tri = n * (n + 1) / 2
     log(f"[config2] {n}×{m//1024}Kbit all-pairs exact (full check); "

@@ -104,7 +104,7 @@ def intersect_count_matrix(
         if bm.n > 2:
             if plan is not None:
                 need = (4 * plan.n_pad * plan.w_pad
-                        + 4 * plan.slot_ibs.size * plan.ti * plan.ti)
+                        + 4 * plan.n_slots * plan.ti * plan.ti)
                 require_device_budget(
                     need,
                     f"N={bm.n}: the K5 operand plus work-list count tiles",

@@ -197,12 +197,18 @@ class ClusteredPlan:
     gsel_w: np.ndarray      # int32 [T_pad] work-item K-group
     slots_w: np.ndarray     # int32 [T_pad] output slot
     first_w: np.ndarray     # int32 [T_pad] 1 = first item of its slot
-    n_work: int             # real items (before pow2 padding)
+    n_slots: int            # bucket-padded kernel output slots (≥ P; the
+                            # pad slots are zero-written by filler items —
+                            # an unbucketed slot count was a fresh 20-60 s
+                            # remote compile per co-occupancy pattern)
+    n_work: int             # real items (before bucket padding)
     work_fraction: float    # n_work / (T_tri · ng): the dispatch statistic
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(3, (max(x, 1) - 1).bit_length())
+# compile-shape quantizer for work lists and slot counts: padded K5
+# items cost real MXU work and padded slots real D2H, so the 1/8-octave
+# buckets (≤12.5% waste) beat pow2 (≤2×) — shared home in utils.tiling
+from stormtpu.utils import quantize_bucket as _quantize  # noqa: E402
 
 
 def _block_occupancy(bm, cfg: EngineConfig):
@@ -282,26 +288,36 @@ def build_clustered_plan(
     first[0] = 1
     first[1:] = (slot_of_item[1:] != slot_of_item[:-1]).astype(np.int32)
 
-    # pad to a pow2 bucket (bounded compile count); padding items add an
-    # all-zero K-group (index ng — the trailing pad group) into the last
-    # visited slot with first=0: exact no-ops
-    t_pad = _next_pow2(n_work)
-    ibs_w = np.full(t_pad, slot_ibs[-1], dtype=np.int32)
-    jbs_w = np.full(t_pad, slot_jbs[-1], dtype=np.int32)
+    # bucket both the slot count and the item count (bounded compile
+    # count, ≤12.5% padding): pad slots are zero-written by one filler
+    # item each (first=1, zero pad K-group), then tail items are exact
+    # no-ops (first=0, zero group) into the last pad slot
+    p = visited.size
+    n_slots = _quantize(p)
+    n_fill = n_slots - p
+    t_pad = _quantize(n_work + n_fill)
+    ibs_w = np.zeros(t_pad, dtype=np.int32)
+    jbs_w = np.zeros(t_pad, dtype=np.int32)
     gsel_w = np.full(t_pad, ng, dtype=np.int32)
-    slots_w = np.full(t_pad, visited.size - 1, dtype=np.int32)
+    slots_w = np.full(t_pad, n_slots - 1, dtype=np.int32)
     first_w = np.zeros(t_pad, dtype=np.int32)
     ibs_w[:n_work] = ibs_t[pair_idx]
     jbs_w[:n_work] = jbs_t[pair_idx]
     gsel_w[:n_work] = group_idx
     slots_w[:n_work] = slot_of_item
     first_w[:n_work] = first
+    if n_fill:
+        slots_w[n_work : n_work + n_fill] = np.arange(
+            p, n_slots, dtype=np.int32
+        )
+        first_w[n_work : n_work + n_fill] = 1
 
     return ClusteredPlan(
         ti=ti, wk=wk, n_pad=n_pad, w_pad=(ng + 1) * wk, nb=nb, ng=ng,
         slot_ibs=slot_ibs, slot_jbs=slot_jbs,
         ibs_w=ibs_w, jbs_w=jbs_w, gsel_w=gsel_w, slots_w=slots_w,
-        first_w=first_w, n_work=n_work, work_fraction=work_fraction,
+        first_w=first_w, n_slots=n_slots, n_work=n_work,
+        work_fraction=work_fraction,
     )
 
 
@@ -312,12 +328,13 @@ class StripeWorklist:
     N×N result cannot materialize and the single-matrix ``ClusteredPlan``
     (host-assembled full C) does not apply.
 
-    Both the slot count and the item count are padded to pow2 buckets so
-    the jitted kernel compiles a bounded number of executables across a
-    whole streaming run (every distinct static shape is a fresh 20-60 s
-    compile through the remote-compile service). Padding slots are
-    zero-written by one filler item each (``first=1``, zero pad K-group);
-    tail items are exact no-ops into the last slot."""
+    Both the slot count and the item count are padded to 1/8-octave
+    buckets so the jitted kernel compiles a bounded number of executables
+    across a whole streaming run (every distinct static shape is a fresh
+    20-60 s compile through the remote-compile service) while padding
+    waste stays ≤12.5%. Padding slots are zero-written by one filler item
+    each (``first=1``, zero pad K-group); tail items are exact no-ops
+    into the last slot."""
 
     ibs: np.ndarray        # int32 [T_pad] GLOBAL row-block ids
     jbs: np.ndarray        # int32 [T_pad]
@@ -365,9 +382,9 @@ def build_stripe_worklist(
     first[0] = 1
     first[1:] = (slot_of_item[1:] != slot_of_item[:-1]).astype(np.int32)
 
-    n_slots = _next_pow2(n_vis)
+    n_slots = _quantize(n_vis)
     n_fill = n_slots - n_vis
-    t_pad = _next_pow2(n_work + n_fill)
+    t_pad = _quantize(n_work + n_fill)
     ibs = np.full(t_pad, gi[visited[-1]], dtype=np.int32)
     jbs = np.full(t_pad, gj[visited[-1]], dtype=np.int32)
     gsel = np.full(t_pad, ng, dtype=np.int32)
@@ -411,8 +428,9 @@ class ShardedClusteredPlan:
     nb: int
     gpd: int                # real K-groups per device
     r: int                  # devices
-    slot_ibs: np.ndarray    # int32 [P]
+    slot_ibs: np.ndarray    # int32 [P] (real visited pairs)
     slot_jbs: np.ndarray    # int32 [P]
+    n_slots: int            # bucket-padded kernel output slots (≥ P)
     ibs_w: np.ndarray       # int32 [R, T_pad]
     jbs_w: np.ndarray      # int32 [R, T_pad]
     gsel_w: np.ndarray      # int32 [R, T_pad] LOCAL group ids
@@ -453,8 +471,18 @@ def build_sharded_clustered_plan(
     work_fraction = pair_idx.size / float(ibs_t.size * ng)
     visited, slot_global = np.unique(pair_idx, return_inverse=True)
     p = visited.size
+    # bucket the shared slot count (static output shape): pad slots are
+    # zero-written on EVERY device (they land in each device's "missing"
+    # filler set below), so the psum'd partials stay exact
+    n_slots = _quantize(p)
     slot_ibs = ibs_t[visited].astype(np.int32)
     slot_jbs = jbs_t[visited].astype(np.int32)
+    lut_ibs = np.concatenate(
+        [slot_ibs, np.zeros(n_slots - p, dtype=np.int32)]
+    )
+    lut_jbs = np.concatenate(
+        [slot_jbs, np.zeros(n_slots - p, dtype=np.int32)]
+    )
 
     dev_of_item = group_idx // gpd
     lists = []
@@ -462,9 +490,9 @@ def build_sharded_clustered_plan(
         sel = dev_of_item == d
         sl = slot_global[sel]
         gl = (group_idx[sel] - d * gpd).astype(np.int64)
-        # fillers: slots this slice never touches → local zero group
-        # (index gpd), first=1 zero-writes the slot exactly
-        missing = np.setdiff1d(np.arange(p), sl, assume_unique=False)
+        # fillers: slots this slice never touches (incl. the bucket pad
+        # slots) → local zero group (index gpd), first=1 zero-writes
+        missing = np.setdiff1d(np.arange(n_slots), sl, assume_unique=False)
         sl = np.concatenate([sl, missing])
         gl = np.concatenate([gl, np.full(missing.size, gpd, dtype=np.int64)])
         order = np.argsort(sl, kind="stable")
@@ -474,7 +502,7 @@ def build_sharded_clustered_plan(
         first[1:] = (sl[1:] != sl[:-1]).astype(np.int32)
         lists.append((sl, gl, first))
 
-    t_pad = _next_pow2(max(sl.size for sl, _, _ in lists))
+    t_pad = _quantize(max(sl.size for sl, _, _ in lists))
     ibs_w = np.empty((r, t_pad), dtype=np.int32)
     jbs_w = np.empty((r, t_pad), dtype=np.int32)
     gsel_w = np.empty((r, t_pad), dtype=np.int32)
@@ -482,20 +510,21 @@ def build_sharded_clustered_plan(
     first_w = np.zeros((r, t_pad), dtype=np.int32)
     for d, (sl, gl, first) in enumerate(lists):
         k = sl.size
-        ibs_w[d, :k] = slot_ibs[sl]
-        jbs_w[d, :k] = slot_jbs[sl]
+        ibs_w[d, :k] = lut_ibs[sl]
+        jbs_w[d, :k] = lut_jbs[sl]
         gsel_w[d, :k] = gl
         slots_w[d, :k] = sl
         first_w[d, :k] = first
         # tail padding: no-op items into the last slot via the zero group
-        ibs_w[d, k:] = slot_ibs[sl[-1]]
-        jbs_w[d, k:] = slot_jbs[sl[-1]]
+        ibs_w[d, k:] = lut_ibs[sl[-1]]
+        jbs_w[d, k:] = lut_jbs[sl[-1]]
         gsel_w[d, k:] = gpd
         slots_w[d, k:] = sl[-1]
 
     return ShardedClusteredPlan(
         ti=ti, wk=wk, n_pad=n_pad, w_pad=r * (gpd + 1) * wk, nb=nb,
         gpd=gpd, r=r, slot_ibs=slot_ibs, slot_jbs=slot_jbs,
+        n_slots=n_slots,
         ibs_w=ibs_w, jbs_w=jbs_w, gsel_w=gsel_w, slots_w=slots_w,
         first_w=first_w, work_fraction=work_fraction,
     )
@@ -560,10 +589,12 @@ def count_matrix_clustered(
         jnp.asarray(plan.ibs_w), jnp.asarray(plan.jbs_w),
         jnp.asarray(plan.gsel_w), jnp.asarray(plan.slots_w),
         jnp.asarray(plan.first_w),
-        n_slots=int(plan.slot_ibs.size),
+        n_slots=int(plan.n_slots),
         tile_rows=plan.ti, tile_words=plan.wk,
         interpret=bool(interpret), variant=variant,
     )
+    # pad slots (zero-written fillers) are sliced off on host
     return assemble_triangular(
-        np.asarray(tiles), plan.slot_ibs, plan.slot_jbs, plan.nb, bm.n
+        np.asarray(tiles)[: plan.slot_ibs.size],
+        plan.slot_ibs, plan.slot_jbs, plan.nb, bm.n,
     )

@@ -20,6 +20,7 @@ XLA int8 path for small W, the Pallas MXU kernel for large W.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -199,6 +200,26 @@ def kshard_count_tiles_clustered(
     )
 
 
+# jax.jit(shard_map(...)) built fresh per call recompiles every call
+# (20-60 s through the remote-compile service) — cache the compiled fns
+# per (mesh, static knobs); jax Meshes hash/compare by value.
+@functools.lru_cache(maxsize=64)
+def _jit_kshard_tiles_clustered(mesh, axis, ti, wk, n_slots, interpret,
+                                variant):
+    return jax.jit(kshard_count_tiles_clustered(
+        mesh, axis, tile_rows=ti, tile_words=wk, n_slots=n_slots,
+        interpret=interpret, variant=variant,
+    ))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_kshard_tiles(mesh, axis, ti, wk, interpret, variant):
+    return jax.jit(kshard_count_tiles(
+        mesh, axis, tile_rows=ti, tile_words=wk,
+        interpret=interpret, variant=variant,
+    ))
+
+
 def distributed_count_matrix(
     packed: np.ndarray,
     *,
@@ -270,14 +291,10 @@ def distributed_count_matrix(
             and splan.work_fraction < cfg.clustered_work_fraction_threshold
         ):
             xp = pack_sharded_clustered_operand(bm, splan)
-            fn = jax.jit(
-                kshard_count_tiles_clustered(
-                    mesh, axis,
-                    tile_rows=splan.ti, tile_words=splan.wk,
-                    n_slots=int(splan.slot_ibs.size),
-                    interpret=bool(pallas_interpret_default()),
-                    variant=tuned_variant("k2", cfg.k2_variant),
-                )
+            fn = _jit_kshard_tiles_clustered(
+                mesh, axis, splan.ti, splan.wk, int(splan.n_slots),
+                bool(pallas_interpret_default()),
+                tuned_variant("k2", cfg.k2_variant),
             )
             sh = NamedSharding(mesh, P(axis, None))
             tiles = np.asarray(fn(
@@ -288,8 +305,11 @@ def distributed_count_matrix(
                 jax.device_put(splan.slots_w, sh),
                 jax.device_put(splan.first_w, sh),
             ))
+            # pad slots (zero on every device, so exact under psum) are
+            # sliced off before assembly
             return assemble_triangular(
-                tiles, splan.slot_ibs, splan.slot_jbs, splan.nb, n
+                tiles[: splan.slot_ibs.size],
+                splan.slot_ibs, splan.slot_jbs, splan.nb, n,
             )
         # default: triangular K2 tiles per word-slice, psum of exact
         # partials, host mirror — half the FLOPs of the square form
@@ -301,13 +321,10 @@ def distributed_count_matrix(
         xp[:n, :w] = packed
         nb = n_pad // ti
         ibs, jbs = triangular_tile_ids(nb)
-        fn = jax.jit(
-            kshard_count_tiles(
-                mesh, axis,
-                tile_rows=ti, tile_words=wk,
-                interpret=bool(pallas_interpret_default()),
-                variant=tuned_variant("k2", cfg.k2_variant),
-            )
+        fn = _jit_kshard_tiles(
+            mesh, axis, ti, wk,
+            bool(pallas_interpret_default()),
+            tuned_variant("k2", cfg.k2_variant),
         )
         x_sharded = jax.device_put(xp, NamedSharding(mesh, P(None, axis)))
         rep = NamedSharding(mesh, P(None))

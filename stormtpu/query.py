@@ -38,10 +38,9 @@ __all__ = ["pair_counts", "topk_neighbors", "pairs_above"]
 _PAIR_GATHER_MAX_WORDS = 1 << 26
 
 
-def _next_pow2(x: int) -> int:
-    """Smallest power of two ≥ max(x, 8) — the gather-chunk quantizer
-    (bounds the number of distinct compiled shapes to log₂ buckets)."""
-    return 1 << max(3, (max(x, 1) - 1).bit_length())
+# gather-chunk quantizer (bounds distinct compiled shapes to log₂
+# buckets; shared home in utils.tiling — one copy, by review)
+from stormtpu.utils import next_pow2 as _next_pow2  # noqa: E402
 
 
 def _default_block_rows(m_bits: int, n_cols: int = 0) -> int:

@@ -567,7 +567,13 @@ def stream_count_checksums(
     cfg.validate(m_bits)
     if interpret is None:
         interpret = pallas_interpret_default()
-    tile_rows, tile_words = cfg.k2_tile_rows, cfg.k2_tile_words
+    # same tile-rows rule as the clustered sink's _block_occupancy
+    # (k2_tile_shape): per-stripe checksums are sums over the LISTED
+    # tiles, so cross-sink comparability needs identical tile geometry —
+    # at n < k2_tile_rows a fixed 256 here double-counted diagonal-tile
+    # lower triangles the clustered walk lists once
+    tile_rows = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
+    tile_words = cfg.k2_tile_words
     superblock_rows = round_up(superblock_rows, tile_rows)
     tiles_per_super = superblock_rows // tile_rows
     n_pad, w_pad = xd.shape

@@ -131,20 +131,36 @@ def k4_cost_model() -> Optional[dict]:
     return t.get("k4_cost_model")
 
 
-def _timeit(f, xs, c1: int = 2, c2: int = 20) -> float:
+def _auto_c2(t1: float) -> int:
+    """Chain length whose marginal time clears relay jitter, from a
+    one-dispatch probe ``t1`` (fixed per-candidate chain lengths made
+    small-bucket rates artifacts of the chosen c2: every probe path's
+    per-step cost sat inside the ±5 ms jitter and the jitter-floor
+    fallback t2/c2 ranked candidates by their c2 divisor, not speed)."""
+    step_est = max(t1 - 0.025, 1e-6)
+    return int(min(1024, max(8, -(-0.05 // step_est) + 2)))
+
+
+def _timeit(f, xs, t1: float) -> float:
     """Sustained per-invocation device time (shared slope-timing
-    implementation: stormtpu.utils.profiling.timeit_sustained)."""
+    implementation, chain length adapted from the probe ``t1``)."""
     from stormtpu.utils.profiling import timeit_sustained
 
-    return timeit_sustained(f, xs, c1=c1, c2=c2)
+    c2 = _auto_c2(t1)
+    return timeit_sustained(f, xs, c1=max(1, c2 // 8), c2=c2)
 
 
 def _tune_shape(
     n: int, m_bits: int, reps: int, slow_path_budget_s: float, log,
-    probe_variants: bool = True,
+    k1_variant: Optional[str] = None,
+    k2_variant: Optional[str] = None,
 ) -> dict:
-    """Measure all eligible dense paths (and Pallas kernel variants) at
-    one shape; verify each against the oracle; return the bucket dict."""
+    """Measure all eligible dense paths at one shape; verify each against
+    the oracle; return the bucket dict. ``k1_variant``/``k2_variant``
+    None sweeps every Pallas kernel variant (the anchor bucket); a value
+    probes only that variant — the one production will run, passed from
+    the anchor's sweep (reading the PREVIOUS cache here recorded rates
+    for a variant this tune was about to retire)."""
     import jax.numpy as jnp
 
     from stormtpu.config import default_config
@@ -186,9 +202,9 @@ def _tune_shape(
         if not np.array_equal(np.asarray(c_np)[:nc, :nc], want):
             raise AssertionError(f"tuning candidate {name} is INEXACT")
 
-    def measure(name, f, c2=20):
-        # one-dispatch roundtrip probe bounds the budget before the
-        # (chain-length) slope run
+    def measure(name, f):
+        # one-dispatch roundtrip probe bounds the budget AND sizes the
+        # slope-run chain length (see _auto_c2)
         t1 = timeit_chain(f, xds[:2], 1)
         if t1 > slow_path_budget_s:
             rates[name] = tri / t1
@@ -196,21 +212,20 @@ def _tune_shape(
             log(f"  {name}: {rates[name]:,.0f} pairs/s "
                 f"(latency-inclusive bound; {t1:.1f} s/dispatch)")
             return
-        rates[name] = tri / _timeit(f, xds, c2=c2)
+        rates[name] = tri / _timeit(f, xds, t1)
         log(f"  {name}: {rates[name]:,.0f} pairs/s")
 
     check_block(kx.count_block_popcount_xla(xd, xd, tile_rows=8), "popcount",
                 min(n, 128))
-    measure("popcount", lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8),
-            c2=6)
+    measure("popcount", lambda x: kx.count_block_popcount_xla(x, x, tile_rows=8))
 
     if m_bits <= MXU_XLA_MAX_BITS:
         check_block(kx.count_block_int8_xla(xd, xd), "mxu", min(n, 128))
-        measure("mxu", lambda x: kx.count_block_int8_xla(x, x), c2=8)
+        measure("mxu", lambda x: kx.count_block_int8_xla(x, x))
     else:
         log("  mxu: skipped (8× unpacked operand beyond memory budget)")
 
-    def pallas_candidate(count_tiles, ti_cap, wk_cap, variant, c2):
+    def pallas_candidate(count_tiles, ti_cap, wk_cap, variant):
         ti = min(ti_cap, round_up(max(n, 8), 8))
         wk = round_up(max(w, 128), 128) if w <= wk_cap else round_up(wk_cap, 128)
         n_pad, w_pad = round_up(n, ti), round_up(w, wk)
@@ -227,19 +242,22 @@ def _tune_shape(
             interpret=interpret, variant=variant,
         )
         check_block(f(xps[0])[0], variant, min(ti, n))
-        return tri / _timeit(f, xps, c2=c2)
+        t1 = timeit_chain(f, xps[:2], 1)
+        if t1 > slow_path_budget_s:
+            latency_bound.append(variant)
+            return tri / t1
+        return tri / _timeit(f, xps, t1)
 
     # probe at the SHIPPED tile defaults so cached rates describe the
     # kernels production dispatch actually runs. Variant sweeps
     # (rows/chunk, concat/planes) are compile-heavy and shape-stable, so
-    # grid runs probe them at ONE anchor shape (probe_variants) and
-    # elsewhere measure only the current best variant.
-    k1_vars = ("rows", "chunk") if probe_variants else (
-        tuned_variant("k1", cfg.k1_variant),)
+    # grid runs sweep them at ONE anchor shape and the caller passes the
+    # anchor's winners here for every other bucket.
+    k1_vars = ("rows", "chunk") if k1_variant is None else (k1_variant,)
     for variant in k1_vars:
         variants[f"pallas_dense/{variant}"] = pallas_candidate(
             count_tiles_pallas_dense, cfg.k1_tile_rows, cfg.k1_tile_words,
-            variant, c2=8,
+            variant,
         )
         log(f"  pallas_dense/{variant}: "
             f"{variants[f'pallas_dense/{variant}']:,.0f} pairs/s")
@@ -247,12 +265,11 @@ def _tune_shape(
         v for k, v in variants.items() if k.startswith("pallas_dense")
     )
 
-    k2_vars = ("concat", "planes") if probe_variants else (
-        tuned_variant("k2", cfg.k2_variant),)
+    k2_vars = ("concat", "planes") if k2_variant is None else (k2_variant,)
     for variant in k2_vars:
         variants[f"pallas_mxu/{variant}"] = pallas_candidate(
             count_tiles_pallas_mxu, cfg.k2_tile_rows, cfg.k2_tile_words,
-            variant, c2=12,
+            variant,
         )
         log(f"  pallas_mxu/{variant}: "
             f"{variants[f'pallas_mxu/{variant}']:,.0f} pairs/s")
@@ -348,25 +365,36 @@ def tune(
         grid = list(DEFAULT_GRID)
 
     # variant sweep only at the anchor (largest-work) shape — variant
-    # deltas are shape-stable and each extra variant is 2 more compiles
+    # deltas are shape-stable and each extra variant is 2 more compiles.
+    # The anchor runs FIRST so the other buckets probe the variant this
+    # tune is about to ship, not the previous cache's.
     anchor = max(grid, key=lambda g: g[0] * g[0] * g[1])
     buckets: dict[str, dict] = {}
+    log(f"[tune] shape {anchor[0]} x {anchor[1]} bits (anchor)")
+    buckets[_bucket_key(*anchor)] = _tune_shape(
+        anchor[0], anchor[1], reps, slow_path_budget_s, log,
+    )
+
+    def best_variant(prefix: str) -> str:
+        # variant choice rides the anchor bucket (largest work, where the
+        # delta matters most — and the only bucket that swept both)
+        agg = {
+            k: v
+            for k, v in buckets[_bucket_key(*anchor)]
+            ["variant_pairs_per_s"].items()
+            if k.startswith(prefix)
+        }
+        return max(agg, key=agg.get).split("/")[1]
+
+    k1_best, k2_best = best_variant("pallas_dense"), best_variant("pallas_mxu")
     for gn, gm in grid:
+        if (gn, gm) == anchor:
+            continue
         log(f"[tune] shape {gn} x {gm} bits")
         buckets[_bucket_key(gn, gm)] = _tune_shape(
             gn, gm, reps, slow_path_budget_s, log,
-            probe_variants=(gn, gm) == anchor or len(grid) == 1,
+            k1_variant=k1_best, k2_variant=k2_best,
         )
-
-    # global best variants (variant deltas are shape-stable; the variant
-    # choice rides the largest-work bucket where it matters most)
-    def best_variant(prefix: str) -> str:
-        agg: dict[str, float] = {}
-        for b in buckets.values():
-            for k, v in b["variant_pairs_per_s"].items():
-                if k.startswith(prefix):
-                    agg[k] = max(agg.get(k, 0.0), v)
-        return max(agg, key=agg.get).split("/")[1]
 
     # device TOPS for the K4-vs-K2 crossover: best measured MXU rate at
     # the longest-K bucket (2·m_bits int8 MACs per unique pair)
@@ -390,8 +418,8 @@ def tune(
         "device": str(jax.devices()[0]),
         "grid": [list(g) for g in grid],
         "buckets": buckets,
-        "best_k1_variant": best_variant("pallas_dense"),
-        "best_k2_variant": best_variant("pallas_mxu"),
+        "best_k1_variant": k1_best,
+        "best_k2_variant": k2_best,
         "dispatch_floor_s": floor_s,
     }
     if len(buckets) == 1:

@@ -1,5 +1,7 @@
 from stormtpu.utils.tiling import (
     assemble_triangular,
+    next_pow2,
+    quantize_bucket,
     round_up,
     triangular_tile_ids,
 )
@@ -12,6 +14,7 @@ from stormtpu.utils.profiling import (
     timeit_chain,
     timeit_chain_salted,
     timeit_sustained,
+    timeit_sustained_auto,
     timeit_sustained_salted,
     trace,
 )
@@ -19,6 +22,8 @@ from stormtpu.utils.profiling import (
 __all__ = [
     "V5E_INT8_PEAK_OPS",
     "assemble_triangular",
+    "next_pow2",
+    "quantize_bucket",
     "round_up",
     "triangular_tile_ids",
     "is_tpu_backend",
@@ -26,6 +31,7 @@ __all__ = [
     "timeit_chain",
     "timeit_chain_salted",
     "timeit_sustained",
+    "timeit_sustained_auto",
     "timeit_sustained_salted",
     "trace",
 ]

@@ -30,6 +30,7 @@ __all__ = [
     "trace",
     "timeit_chain",
     "timeit_sustained",
+    "timeit_sustained_auto",
     "timeit_chain_salted",
     "timeit_sustained_salted",
 ]
@@ -90,6 +91,31 @@ def timeit_sustained(fn, xs, c1: int = 2, c2: int = 10) -> float:
     if slope < _JITTER_FLOOR_FRAC * t2 / c2:
         return t2 / c2
     return slope
+
+
+def timeit_sustained_auto(
+    fn,
+    xs,
+    *,
+    target_marginal_s: float = 0.05,
+    c2_min: int = 8,
+    c2_max: int = 1024,
+    dispatch_floor_s: float = 0.025,
+) -> float:
+    """Slope timing with the chain length chosen from a one-dispatch
+    probe so the MARGINAL chain time clears relay jitter (≥ ~50 ms —
+    fixed short chains left sub-ms step costs inside the ±5 ms jitter
+    and recorded rates that were artifacts of the chosen c2; BASELINE.md
+    r2 streaming notes). The probe's ~25 ms relay floor is subtracted
+    before estimating the per-step cost; when even ``c2_max`` steps
+    cannot clear the jitter, the ``timeit_sustained`` fallback returns
+    the latency-inclusive upper bound t(c2)/c2 (conservative, and less
+    wrong the longer the chain)."""
+    t1 = timeit_chain(fn, xs, 1)
+    step_est = max(t1 - dispatch_floor_s, 1e-6)
+    c2 = int(min(c2_max, max(c2_min, -(-target_marginal_s // step_est) + 2)))
+    c1 = max(1, c2 // 8)
+    return timeit_sustained(fn, xs, c1=c1, c2=c2)
 
 
 def _chained_salted(fn_salt, chain: int):

@@ -12,11 +12,34 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["round_up", "triangular_tile_ids", "assemble_triangular"]
+__all__ = [
+    "round_up",
+    "next_pow2",
+    "quantize_bucket",
+    "triangular_tile_ids",
+    "assemble_triangular",
+]
 
 
 def round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+def next_pow2(x: int) -> int:
+    """Smallest power of two ≥ max(x, 8) — the coarse compile-shape
+    quantizer (log₂ distinct compiled shapes; up to 2× padding). Right
+    for cheap padded work (gather chunks: pure D2H)."""
+    return 1 << max(3, (max(x, 1) - 1).bit_length())
+
+
+def quantize_bucket(x: int, min_val: int = 8) -> int:
+    """Smallest value ≥ max(x, min_val) of the form m·2^e with m ∈ [8, 16)
+    (1/8-octave buckets): still a bounded compile-shape count (~8 per
+    octave) but caps padding waste at 12.5% — use where padded items cost
+    real compute or D2H (K5 work lists and output slots), not pow2's 2×."""
+    x = max(x, min_val, 1)
+    e = max(0, x.bit_length() - 4)
+    return (-(-x >> e)) << e
 
 
 def triangular_tile_ids(nb: int) -> tuple[np.ndarray, np.ndarray]:

@@ -359,3 +359,39 @@ def test_stream_count_matrix_rejects_unknown_kernel(tmp_path):
     bm = random_bitmatrix(16, 256, 0.3, seed=3)
     with pytest.raises(ValueError, match="unknown kernel"):
         stream_count_matrix(bm, str(tmp_path / "s"), kernel="mxU")
+
+
+def test_checksum_sinks_agree_below_tile_rows():
+    """n < k2_tile_rows shrinks the tile geometry (k2_tile_shape); both
+    sinks must list the SAME tiles or diagonal-stripe checksums diverge
+    (regression: the dense sink pinned ti=256 and double-counted
+    diagonal-tile lower triangles the clustered walk lists once)."""
+    import jax.numpy as jnp
+
+    from stormtpu.config import default_config
+    from stormtpu.stream import (
+        stream_count_checksums,
+        stream_count_checksums_clustered,
+    )
+    from stormtpu.utils import round_up
+    from test_clustered import block_diagonal_bitmatrix
+
+    bm = block_diagonal_bitmatrix(128, 16384, 2, 0.3, seed=21)
+    cfg = default_config()
+    man_c = stream_count_checksums_clustered(
+        bm, superblock_rows=128, samples_per_stripe=6, config=cfg,
+    )
+    n_pad = round_up(bm.n, 128)
+    w_pad = round_up(bm.n_words, cfg.k2_tile_words)
+    xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+    xp[: bm.n, : bm.n_words] = bm.packed
+    man_d = stream_count_checksums(
+        jnp.asarray(xp), bm.n, bm.m_bits, superblock_rows=128, config=cfg,
+    )
+    chk_c = {(r["i"], r["j"]): r["checksum"] for r in man_c["stripes"]}
+    chk_d = {(r["i"], r["j"]): r["checksum"] for r in man_d["stripes"]}
+    assert chk_c == chk_d
+    want = oracle_count_matrix(bm.packed)
+    for gi, gj, v in zip(man_d["sample_ii"], man_d["sample_jj"],
+                         man_d["sample_vals"]):
+        assert int(v) == int(want[gi, gj])
