@@ -40,6 +40,7 @@ from stormtpu.api import (
 )
 from stormtpu.setops import column_counts, pairwise_cardinality, similarity_matrix
 from stormtpu.query import pair_counts, pairs_above, topk_neighbors
+from stormtpu.cross import cross_pairs_above, cross_topk_neighbors
 
 __version__ = "0.1.0"
 
@@ -60,5 +61,7 @@ __all__ = [
     "pair_counts",
     "pairs_above",
     "topk_neighbors",
+    "cross_pairs_above",
+    "cross_topk_neighbors",
     "__version__",
 ]

@@ -1,0 +1,223 @@
+"""Cross-set queries: one bitmap set against another.
+
+The reference's all-pairs surface is single-set (SURVEY.md §3 C11:
+N×N over one STORM set); its domain routinely needs the RECTANGULAR
+form — a query panel screened against a reference panel (LD lookup of
+new variants against a population panel, sample-vs-cohort matching.)
+The counts primitive exists (:func:`stormtpu.api.count_block`); these
+are its reduced-query twins, fetch-minimizing like the single-set forms
+in ``stormtpu.query``:
+
+- :func:`cross_topk_neighbors`: per row of A, the top-k rows of B by
+  exact intersection count — D2H is O(Na·k), counts never leave the
+  device.
+- :func:`cross_pairs_above`: every (i, j) with measure(A_i, B_j) ≥
+  threshold — the device fetches a packed 1-bit hit bitmap plus the hit
+  values gathered from device-resident counts (D2H ∝ hits). Similarity
+  screens run in float32 with under-admission slack and the host
+  re-filters exactly in float64 (same contract as ``query.pairs_above``).
+
+Unlike the single-set queries there is no self-pair or triangle rule:
+the full Na×Nb rectangle is scored (passing the same matrix twice scores
+the diagonal too — use ``query.topk_neighbors`` / ``query.pairs_above``
+for within-set semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stormtpu.config import EngineConfig, default_config
+from stormtpu.layout import BitMatrix
+from stormtpu.utils import next_pow2, round_up
+
+__all__ = ["cross_topk_neighbors", "cross_pairs_above"]
+
+# A-rows per device block: counts block [bl, Nb_pad] stays ≤ ~256 MB at
+# Nb = 16384; the block list pads to one fixed shape (one compile).
+_BLOCK_ROWS = 4096
+
+
+def _operands(a, b):
+    from stormtpu.api import _as_bitmatrix
+
+    bm_a = _as_bitmatrix(a)
+    bm_b = _as_bitmatrix(b)
+    if bm_a.m_bits != bm_b.m_bits:
+        raise ValueError(
+            f"bit-universe mismatch: {bm_a.m_bits} vs {bm_b.m_bits}"
+        )
+    if bm_a.n == 0 or bm_b.n == 0:
+        raise ValueError("cross queries need non-empty matrices")
+    return bm_a, bm_b
+
+
+def _block_plan(na: int) -> tuple[int, int]:
+    """(block_rows, n_pad) for walking A: one compiled shape per pow2
+    bucket, blocks ≤ _BLOCK_ROWS."""
+    bl = min(_BLOCK_ROWS, next_pow2(na))
+    return bl, round_up(na, bl)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bl"))
+def _cross_topk_block(a_pad, b_pad, r0, nb_valid, *, k: int, bl: int):
+    from stormtpu.kernels import count_block_auto
+
+    a_blk = jax.lax.dynamic_slice_in_dim(a_pad, r0, bl)
+    c = count_block_auto(a_blk, b_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    masked = jnp.where(col < nb_valid, c, jnp.int32(-1))
+    vals, idx = jax.lax.top_k(masked, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def cross_topk_neighbors(
+    a, b, k: int, *, config: Optional[EngineConfig] = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per row of A, the top-k rows of B by exact intersection count.
+
+    Returns (counts int32 [Na, k], indices int32 [Na, k]) sorted
+    descending; ties break toward lower B index (full-row
+    ``lax.top_k``). A and B may be BitMatrices or {0,1} dense arrays
+    over the same bit universe.
+    """
+    bm_a, bm_b = _operands(a, b)
+    cfg = config or default_config()
+    cfg.validate(bm_a.m_bits)
+    if not 1 <= k <= bm_b.n:
+        raise ValueError(f"k must be in [1, Nb], got k={k}, Nb={bm_b.n}")
+    from stormtpu.stream import require_device_budget
+
+    nb_pad = round_up(bm_b.n, 32)
+    w = bm_a.n_words
+    bl, na_pad = _block_plan(bm_a.n)
+    require_device_budget(
+        4 * (nb_pad * w + bl * w + bl * nb_pad),
+        f"Na={bm_a.n}, Nb={bm_b.n}: the B operand plus one A block and "
+        f"its counts",
+        "shard B (several cross_topk_neighbors calls, merge top-k on "
+        "host) or reduce the bit universe",
+    )
+    b_pad = bm_b.device_padded(nb_pad)
+    nb_dev = jnp.int32(bm_b.n)
+    vals = np.empty((na_pad, k), dtype=np.int32)
+    idx = np.empty((na_pad, k), dtype=np.int32)
+    a_dev = bm_a.device_padded(na_pad)
+    for r0 in range(0, na_pad, bl):
+        v, i = _cross_topk_block(
+            a_dev, b_pad, jnp.int32(r0), nb_dev, k=k, bl=bl
+        )
+        vals[r0 : r0 + bl] = np.asarray(v)
+        idx[r0 : r0 + bl] = np.asarray(i)
+    return vals[: bm_a.n], idx[: bm_a.n]
+
+
+@functools.partial(jax.jit, static_argnames=("measure", "bl"))
+def _cross_screen_block(a_pad, b_pad, nnz_a_pad, nnz_b, r0, nb_valid,
+                        thresh, m_f, *, measure: str, bl: int):
+    from stormtpu.kernels import count_block_auto
+    from stormtpu.query import _pack_bit_rows, _screen_vals
+
+    a_blk = jax.lax.dynamic_slice_in_dim(a_pad, r0, bl)
+    nnz_a = jax.lax.dynamic_slice_in_dim(nnz_a_pad, r0, bl)
+    c = count_block_auto(a_blk, b_pad)
+    vals = _screen_vals(c, nnz_a, nnz_b, m_f, measure)
+    col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    hit = (vals >= thresh) & (col < nb_valid)
+    return _pack_bit_rows(hit), c
+
+
+def cross_pairs_above(
+    a,
+    b,
+    threshold: float,
+    *,
+    measure: str = "count",
+    config: Optional[EngineConfig] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (i, j) with measure(A_i, B_j) ≥ threshold over the FULL
+    Na×Nb rectangle (no triangle/self rule — see module docstring).
+
+    measure: "count" (exact int32 counts) or one of the similarity
+    measures ("jaccard", "dice", "cosine", "overlap", "phi", "r2" —
+    float64, exact host re-filter). Returns (ii, jj, values) row-major.
+    """
+    from stormtpu.query import (
+        _expand_words,
+        _gather_hit_words,
+        _validate_screen,
+    )
+    from stormtpu.setops import derive_similarity
+    from stormtpu.stream import require_device_budget
+
+    bm_a, bm_b = _operands(a, b)
+    cfg = config or default_config()
+    cfg.validate(bm_a.m_bits)
+    dev_thresh = _validate_screen(measure, threshold)
+    nb_pad = round_up(bm_b.n, 32)
+    w = bm_a.n_words
+    bl, na_pad = _block_plan(bm_a.n)
+    require_device_budget(
+        4 * (nb_pad * w + bl * w + bl * nb_pad) + bl * nb_pad // 8,
+        f"Na={bm_a.n}, Nb={bm_b.n}: the B operand plus one A block, its "
+        f"counts and hit bitmap",
+        "shard B (several cross_pairs_above calls, concatenate) or "
+        "reduce the bit universe",
+    )
+    b_pad = bm_b.device_padded(nb_pad)
+    nnz_b = bm_b.device_nnz(nb_pad)
+    nb_dev = jnp.int32(bm_b.n)
+    m_f = jnp.float32(bm_a.m_bits)
+    a_dev = bm_a.device_padded(na_pad)
+    nnz_a_dev = bm_a.device_nnz(na_pad)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for r0 in range(0, na_pad, bl):
+        hits_d, counts_d = _cross_screen_block(
+            a_dev, b_pad, nnz_a_dev, nnz_b, jnp.int32(r0), nb_dev,
+            dev_thresh, m_f, measure=measure, bl=bl,
+        )
+        li, lj = _expand_words(np.asarray(hits_d), np.int32(bm_b.n))
+        if not li.size:
+            continue
+        # gather hit values from the device-resident counts block
+        # (fixed pow2 chunk shapes — every new length is a compile)
+        p = li.size
+        chunk = int(min(max(next_pow2(p), 4096), 1 << 16))
+        p_pad = round_up(p, chunk)
+        ri = np.zeros(p_pad, dtype=np.int32)
+        ci = np.zeros(p_pad, dtype=np.int32)
+        ri[:p] = li
+        ci[:p] = lj
+        cvals = np.concatenate([
+            np.asarray(_gather_hit_words(
+                counts_d, jnp.asarray(ri[o : o + chunk]),
+                jnp.asarray(ci[o : o + chunk]),
+            ))
+            for o in range(0, p_pad, chunk)
+        ])[:p]
+        out_i.append((li + r0).astype(np.int64))
+        out_j.append(lj.astype(np.int64))
+        out_c.append(cvals.astype(np.int64))
+    if not out_i:
+        empty_v = (np.zeros(0, np.int32) if measure == "count"
+                   else np.zeros(0, np.float64))
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), empty_v
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    counts = np.concatenate(out_c)
+    keep = ii < bm_a.n  # padded A rows are all-zero but drop them anyway
+    ii, jj, counts = ii[keep], jj[keep], counts[keep]
+    if measure == "count":
+        return (ii.astype(np.int32), jj.astype(np.int32),
+                counts.astype(np.int32))
+    vals = derive_similarity(counts, bm_a.row_nnz[ii], bm_b.row_nnz[jj],
+                             bm_a.m_bits, measure)
+    keep = vals >= threshold
+    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]

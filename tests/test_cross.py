@@ -1,0 +1,90 @@
+"""Cross-set queries (A against B): exact vs the NumPy oracle over the
+full rectangle, both kernel routes (small-M XLA int8, large-M Pallas)."""
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu import cross_pairs_above, cross_topk_neighbors
+from stormtpu.oracle import oracle_count_block
+from stormtpu.setops import derive_similarity
+
+
+def _pair(m_bits, seed):
+    a = random_bitmatrix(30, m_bits, 0.35, seed=seed)
+    b = random_bitmatrix(44, m_bits, 0.3, seed=seed + 1)
+    return a, b
+
+
+@pytest.mark.parametrize("m_bits", [512, 40_000])
+def test_cross_topk_matches_oracle(m_bits):
+    a, b = _pair(m_bits, 7)
+    c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+    vals, idx = cross_topk_neighbors(a, b, 5)
+    want = -np.sort(-c, axis=1)[:, :5]
+    np.testing.assert_array_equal(vals, want)
+    # indices realize the claimed counts
+    for r in range(a.n):
+        for t in range(5):
+            assert c[r, idx[r, t]] == vals[r, t]
+    # ties break toward lower B index
+    for r in range(a.n):
+        seen = set()
+        for t in range(5):
+            assert idx[r, t] not in seen
+            seen.add(idx[r, t])
+
+
+def test_cross_topk_k_bounds_and_mismatch():
+    a, b = _pair(512, 9)
+    with pytest.raises(ValueError):
+        cross_topk_neighbors(a, b, 0)
+    with pytest.raises(ValueError):
+        cross_topk_neighbors(a, b, b.n + 1)
+    c = random_bitmatrix(10, 1024, 0.3, seed=3)
+    with pytest.raises(ValueError, match="mismatch"):
+        cross_topk_neighbors(a, c, 2)
+
+
+@pytest.mark.parametrize("m_bits", [512, 40_000])
+@pytest.mark.parametrize("measure,threshold", [
+    ("count", 40), ("jaccard", 0.2), ("r2", 0.05),
+])
+def test_cross_pairs_above_matches_oracle(m_bits, measure, threshold):
+    a, b = _pair(m_bits, 11)
+    c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+    if measure == "count":
+        want = c
+    else:
+        want = derive_similarity(
+            c, a.row_nnz[:, None], b.row_nnz[None, :], a.m_bits, measure
+        )
+    wi, wj = np.nonzero(want >= threshold)
+    ii, jj, vv = cross_pairs_above(a, b, threshold, measure=measure)
+    np.testing.assert_array_equal(ii, wi, err_msg=f"{measure}@{m_bits}")
+    np.testing.assert_array_equal(jj, wj, err_msg=f"{measure}@{m_bits}")
+    if measure == "count":
+        np.testing.assert_array_equal(vv, c[wi, wj])
+    else:
+        np.testing.assert_allclose(vv, want[wi, wj], rtol=0, atol=0)
+
+
+def test_cross_pairs_above_no_hits_and_full_rectangle():
+    a, b = _pair(512, 13)
+    ii, jj, vv = cross_pairs_above(a, b, 513)
+    assert ii.size == jj.size == vv.size == 0
+    # threshold 1: same-matrix cross scores the diagonal too (documented)
+    ii, jj, vv = cross_pairs_above(a, a, int(a.row_nnz.min()) or 1)
+    c = oracle_count_block(a.packed, a.packed)
+    assert set(zip(ii.tolist(), jj.tolist())) >= {
+        (r, r) for r in range(a.n) if c[r, r] >= max(int(a.row_nnz.min()), 1)
+    }
+
+
+def test_cross_budget_guard(monkeypatch):
+    a, b = _pair(512, 17)
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", "1000")
+    with pytest.raises(ValueError, match="shard B"):
+        cross_topk_neighbors(a, b, 3)
+    with pytest.raises(ValueError, match="shard B"):
+        cross_pairs_above(a, b, 10)
