@@ -38,7 +38,12 @@ from stormtpu.api import (
     intersect_count_matrix,
     pair_count,
 )
-from stormtpu.setops import column_counts, pairwise_cardinality, similarity_matrix
+from stormtpu.setops import (
+    column_counts,
+    pairwise_cardinality,
+    similarity_matrix,
+    similarity_matrix_complete,
+)
 from stormtpu.query import pair_counts, pairs_above, topk_neighbors
 from stormtpu.cross import cross_pairs_above, cross_topk_neighbors
 
@@ -58,6 +63,7 @@ __all__ = [
     "column_counts",
     "pairwise_cardinality",
     "similarity_matrix",
+    "similarity_matrix_complete",
     "pair_counts",
     "pairs_above",
     "topk_neighbors",

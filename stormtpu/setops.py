@@ -30,6 +30,7 @@ from stormtpu.config import EngineConfig
 __all__ = [
     "pairwise_cardinality",
     "similarity_matrix",
+    "similarity_matrix_complete",
     "column_counts",
     "CARD_OPS",
     "SIM_OPS",
@@ -106,11 +107,58 @@ def similarity_matrix(
                              bm.m_bits, measure)
 
 
-def derive_similarity(inter, ca, cb, m_bits: int, measure: str):
+def similarity_matrix_complete(
+    data: MatrixLike,
+    mask: MatrixLike,
+    measure: str = "r2",
+    *,
+    strategy: str = "auto",
+    config: Optional[EngineConfig] = None,
+) -> np.ndarray:
+    """N×N float64 similarity over PAIRWISE-COMPLETE observations — the
+    missing-data form every real genotype panel needs (no reference
+    analog; the reference's bitmaps assume a fully observed universe).
+
+    ``data``: indicator bitmaps with missing positions CLEARED (the
+    ``load_plink_bed`` encodings do this). ``mask``: bit set where the
+    position is OBSERVED (``encode="missing"`` inverted). For each pair
+    the statistic is computed over the co-observed universe only:
+    m_ij = |mask_i ∩ mask_j|, ca_ij = |data_i ∩ mask_j|,
+    cb_ij = |mask_i ∩ data_j|, ∩_ij = |data_i ∩ data_j| — exact, from
+    three integer count matrices on the same kernels as
+    :func:`similarity_matrix` (which this equals when masks are full).
+    Requires data ⊆ mask rowwise (a set bit at an unobserved position is
+    a contradiction) — validated cheaply on host.
+    """
+    if measure not in SIM_OPS:
+        raise ValueError(f"unknown measure {measure!r}; want one of {SIM_OPS}")
+    bm_d = _as_bitmatrix(data)
+    bm_m = _as_bitmatrix(mask)
+    if bm_d.n != bm_m.n or bm_d.m_bits != bm_m.m_bits:
+        raise ValueError(
+            f"data and mask must have identical shape; got "
+            f"{bm_d.n}×{bm_d.m_bits} vs {bm_m.n}×{bm_m.m_bits}"
+        )
+    if np.any(bm_d.packed & ~bm_m.packed):
+        raise ValueError(
+            "data has set bits at unobserved (mask=0) positions; clear "
+            "missing positions in data or fix the mask"
+        )
+    from stormtpu.api import count_block
+
+    inter = intersect_count_matrix(bm_d, strategy=strategy, config=config)
+    m_pair = intersect_count_matrix(bm_m, strategy=strategy, config=config)
+    dm = count_block(bm_d, bm_m, config=config)  # ca_ij = |data_i ∩ mask_j|
+    return derive_similarity(inter, dm, dm.T, m_pair, measure)
+
+
+def derive_similarity(inter, ca, cb, m_bits, measure: str):
     """float64 similarity from exact integer counts (broadcastable
     arrays) — the single home of the similarity formulas, shared by
     ``similarity_matrix``, the query refine (query.py), and the
-    distributed forms (parallel/setops.py). Zero denominators yield 0."""
+    distributed forms (parallel/setops.py). Zero denominators yield 0.
+    ``m_bits`` may be a scalar or a broadcastable array (the per-pair
+    co-observed universe of :func:`similarity_matrix_complete`)."""
     inter = np.asarray(inter).astype(np.float64)
     ca = np.asarray(ca).astype(np.float64)
     cb = np.asarray(cb).astype(np.float64)
@@ -122,7 +170,7 @@ def derive_similarity(inter, ca, cb, m_bits: int, measure: str):
     elif measure == "cosine":
         denom = np.sqrt(ca * cb)
     elif measure in ("phi", "r2"):
-        m = float(m_bits)
+        m = np.asarray(m_bits).astype(np.float64)
         inter = m * inter - ca * cb
         denom = np.sqrt(ca * cb * (m - ca) * (m - cb))
         if measure == "r2":

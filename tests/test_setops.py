@@ -104,3 +104,64 @@ def test_column_counts_empty_and_full():
     np.testing.assert_array_equal(column_counts(z), np.zeros(100, np.int32))
     f = BitMatrix.from_dense(np.ones((4, 100), dtype=np.uint8))
     np.testing.assert_array_equal(column_counts(f), np.full(100, 4, np.int32))
+
+
+def test_similarity_matrix_complete_matches_independent_pearson():
+    """Pairwise-complete phi/r2 equal the Pearson correlation computed
+    over each pair's co-observed columns only (fully independent
+    formulation); jaccard restricts to the co-observed universe too."""
+    from stormtpu import similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+
+    rng = np.random.default_rng(37)
+    n, m = 24, 700
+    observed = rng.random((n, m)) > 0.15
+    values = (rng.random((n, m)) < 0.4) & observed
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+
+    got_phi = similarity_matrix_complete(bm_d, bm_m, "phi")
+    got_r2 = similarity_matrix_complete(bm_d, bm_m, "r2")
+    got_jac = similarity_matrix_complete(bm_d, bm_m, "jaccard")
+    for i in range(n):
+        for j in range(n):
+            co = observed[i] & observed[j]
+            a = values[i, co].astype(np.float64)
+            b = values[j, co].astype(np.float64)
+            if a.std() == 0 or b.std() == 0:
+                want_phi = 0.0
+            else:
+                want_phi = float(np.corrcoef(a, b)[0, 1])
+            assert abs(got_phi[i, j] - want_phi) < 1e-9, (i, j)
+            assert abs(got_r2[i, j] - want_phi**2) < 1e-9, (i, j)
+            union = np.logical_or(a, b).sum()
+            want_jac = (a * b).sum() / union if union else 0.0
+            assert abs(got_jac[i, j] - want_jac) < 1e-12, (i, j)
+
+
+def test_similarity_matrix_complete_full_mask_equals_plain():
+    from stormtpu import similarity_matrix, similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+
+    bm = random_bitmatrix(20, 512, 0.35, seed=41)
+    full = BitMatrix.from_dense(np.ones((20, 512), dtype=np.uint8))
+    for measure in ("jaccard", "cosine", "phi", "r2"):
+        np.testing.assert_allclose(
+            similarity_matrix_complete(bm, full, measure),
+            similarity_matrix(bm, measure),
+            rtol=0, atol=0, err_msg=measure,
+        )
+
+
+def test_similarity_matrix_complete_validation():
+    import pytest
+
+    from stormtpu import similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+
+    d = random_bitmatrix(10, 256, 0.4, seed=5)
+    with pytest.raises(ValueError, match="identical shape"):
+        similarity_matrix_complete(d, random_bitmatrix(11, 256, 0.4, seed=6))
+    empty_mask = BitMatrix.from_dense(np.zeros((10, 256), dtype=np.uint8))
+    with pytest.raises(ValueError, match="unobserved"):
+        similarity_matrix_complete(d, empty_mask)
