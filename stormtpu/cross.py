@@ -20,7 +20,9 @@ in ``stormtpu.query``:
 Unlike the single-set queries there is no self-pair or triangle rule:
 the full Na×Nb rectangle is scored (passing the same matrix twice scores
 the diagonal too — use ``query.topk_neighbors`` / ``query.pairs_above``
-for within-set semantics).
+for within-set semantics). A reference panel beyond the device budget is
+walked in resident chunks and merged on host — the cross queries are
+host-RAM-bounded like the streaming forms, not HBM-bounded.
 """
 
 from __future__ import annotations
@@ -64,6 +66,33 @@ def _block_plan(na: int) -> tuple[int, int]:
     return bl, round_up(na, bl)
 
 
+def _b_chunk_rows(nb: int, w: int, bl: int, bitmap: bool) -> int:
+    """Rows of B resident per device chunk: the whole (padded) B when it
+    fits the refusal budget next to one A block and its counts, else the
+    largest power-of-two-floored 32-multiple that does — the cross
+    queries are host-RAM-bounded like the streaming forms, not
+    HBM-bounded. Raises (via the shared guard) only when even a 32-row
+    chunk cannot fit, i.e. the bit universe itself is the problem."""
+    from stormtpu.stream import _device_refuse_budget, require_device_budget
+
+    budget = _device_refuse_budget()
+    per_b_row = 4 * (w + bl) + (bl // 8 if bitmap else 0)
+    fixed = 4 * bl * w
+    require_device_budget(
+        fixed + 32 * per_b_row,
+        f"Nb chunking floor: one A block (bl={bl}) plus a 32-row B chunk",
+        "reduce the bit universe or the A block size",
+    )
+    nb_pad = round_up(nb, 32)
+    cb = (budget - fixed) // per_b_row
+    if cb >= nb_pad:
+        return nb_pad  # single resident chunk (device-cached operand)
+    # floor to a 1/8-octave 32-multiple: bounded compile count across
+    # budgets, ≤12.5% headroom loss
+    e = max(5, cb.bit_length() - 4)
+    return (cb >> e) << e
+
+
 @functools.partial(jax.jit, static_argnames=("k", "bl"))
 def _cross_topk_block(a_pad, b_pad, r0, nb_valid, *, k: int, bl: int):
     from stormtpu.kernels import count_block_auto
@@ -82,39 +111,56 @@ def cross_topk_neighbors(
     """Per row of A, the top-k rows of B by exact intersection count.
 
     Returns (counts int32 [Na, k], indices int32 [Na, k]) sorted
-    descending; ties break toward lower B index (full-row
-    ``lax.top_k``). A and B may be BitMatrices or {0,1} dense arrays
-    over the same bit universe.
+    descending; counts are uniquely determined, tie ORDER among equal
+    counts is route-dependent (chunk-merge order). A and B may be
+    BitMatrices or {0,1} dense arrays over the same bit universe. B
+    beyond the device budget is walked in resident chunks and merged on
+    host (host-RAM-bounded, like the streaming queries).
     """
     bm_a, bm_b = _operands(a, b)
     cfg = config or default_config()
     cfg.validate(bm_a.m_bits)
     if not 1 <= k <= bm_b.n:
         raise ValueError(f"k must be in [1, Nb], got k={k}, Nb={bm_b.n}")
-    from stormtpu.stream import require_device_budget
+    from stormtpu.stream import _host_superblock
 
-    nb_pad = round_up(bm_b.n, 32)
     w = bm_a.n_words
     bl, na_pad = _block_plan(bm_a.n)
-    require_device_budget(
-        4 * (nb_pad * w + bl * w + bl * nb_pad),
-        f"Na={bm_a.n}, Nb={bm_b.n}: the B operand plus one A block and "
-        f"its counts",
-        "shard B (several cross_topk_neighbors calls, merge top-k on "
-        "host) or reduce the bit universe",
-    )
-    b_pad = bm_b.device_padded(nb_pad)
-    nb_dev = jnp.int32(bm_b.n)
-    vals = np.empty((na_pad, k), dtype=np.int32)
-    idx = np.empty((na_pad, k), dtype=np.int32)
-    a_dev = bm_a.device_padded(na_pad)
-    for r0 in range(0, na_pad, bl):
-        v, i = _cross_topk_block(
-            a_dev, b_pad, jnp.int32(r0), nb_dev, k=k, bl=bl
+    cb = _b_chunk_rows(bm_b.n, w, bl, bitmap=False)
+    if k > cb:
+        raise ValueError(
+            f"k={k} exceeds the {cb}-row B chunk the device budget "
+            f"allows: each chunk ranks only its own rows; reduce k or "
+            f"raise STORMTPU_DEVICE_REFUSE_BUDGET_BYTES"
         )
-        vals[r0 : r0 + bl] = np.asarray(v)
-        idx[r0 : r0 + bl] = np.asarray(i)
-    return vals[: bm_a.n], idx[: bm_a.n]
+    nb_walk = round_up(bm_b.n, cb)
+    single = nb_walk == cb
+    a_dev = bm_a.device_padded(na_pad)
+    best_v = np.full((na_pad, k), -1, dtype=np.int64)
+    best_i = np.zeros((na_pad, k), dtype=np.int32)
+    from stormtpu.stream_query import _merge_topk
+
+    for b0 in range(0, nb_walk, cb):
+        if single:
+            b_dev = bm_b.device_padded(cb)
+        else:
+            b_dev = jnp.asarray(_host_superblock(bm_b.packed, bm_b.n, cb,
+                                                 w, b0 // cb))
+        nb_valid = jnp.int32(min(bm_b.n - b0, cb))
+        for r0 in range(0, na_pad, bl):
+            v, i = _cross_topk_block(
+                a_dev, b_dev, jnp.int32(r0), nb_valid, k=k, bl=bl
+            )
+            _merge_topk(best_v, best_i, slice(r0, r0 + bl),
+                        np.asarray(v).astype(np.int64),
+                        np.asarray(i) + b0, k)
+    best_v = best_v[: bm_a.n]
+    best_i = best_i[: bm_a.n]
+    order = np.argsort(-best_v, axis=1, kind="stable")
+    vals = np.take_along_axis(best_v, order, axis=1)
+    idx = np.take_along_axis(best_i, order, axis=1)
+    # nb >= k real columns exist, so every kept entry is a real count
+    return vals.astype(np.int32), idx.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "bl"))
@@ -153,58 +199,63 @@ def cross_pairs_above(
         _validate_screen,
     )
     from stormtpu.setops import derive_similarity
-    from stormtpu.stream import require_device_budget
 
     bm_a, bm_b = _operands(a, b)
     cfg = config or default_config()
     cfg.validate(bm_a.m_bits)
     dev_thresh = _validate_screen(measure, threshold)
-    nb_pad = round_up(bm_b.n, 32)
+    from stormtpu.stream import _host_superblock
+
     w = bm_a.n_words
     bl, na_pad = _block_plan(bm_a.n)
-    require_device_budget(
-        4 * (nb_pad * w + bl * w + bl * nb_pad) + bl * nb_pad // 8,
-        f"Na={bm_a.n}, Nb={bm_b.n}: the B operand plus one A block, its "
-        f"counts and hit bitmap",
-        "shard B (several cross_pairs_above calls, concatenate) or "
-        "reduce the bit universe",
-    )
-    b_pad = bm_b.device_padded(nb_pad)
-    nnz_b = bm_b.device_nnz(nb_pad)
-    nb_dev = jnp.int32(bm_b.n)
+    cb = _b_chunk_rows(bm_b.n, w, bl, bitmap=True)
+    nb_walk = round_up(bm_b.n, cb)
+    single = nb_walk == cb
     m_f = jnp.float32(bm_a.m_bits)
     a_dev = bm_a.device_padded(na_pad)
     nnz_a_dev = bm_a.device_nnz(na_pad)
+    nnz_b_pad = np.zeros(nb_walk, dtype=np.int32)
+    nnz_b_pad[: bm_b.n] = bm_b.row_nnz.astype(np.int32)
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
-    for r0 in range(0, na_pad, bl):
-        hits_d, counts_d = _cross_screen_block(
-            a_dev, b_pad, nnz_a_dev, nnz_b, jnp.int32(r0), nb_dev,
-            dev_thresh, m_f, measure=measure, bl=bl,
-        )
-        li, lj = _expand_words(np.asarray(hits_d), np.int32(bm_b.n))
-        if not li.size:
-            continue
-        # gather hit values from the device-resident counts block
-        # (fixed pow2 chunk shapes — every new length is a compile)
-        p = li.size
-        chunk = int(min(max(next_pow2(p), 4096), 1 << 16))
-        p_pad = round_up(p, chunk)
-        ri = np.zeros(p_pad, dtype=np.int32)
-        ci = np.zeros(p_pad, dtype=np.int32)
-        ri[:p] = li
-        ci[:p] = lj
-        cvals = np.concatenate([
-            np.asarray(_gather_hit_words(
-                counts_d, jnp.asarray(ri[o : o + chunk]),
-                jnp.asarray(ci[o : o + chunk]),
-            ))
-            for o in range(0, p_pad, chunk)
-        ])[:p]
-        out_i.append((li + r0).astype(np.int64))
-        out_j.append(lj.astype(np.int64))
-        out_c.append(cvals.astype(np.int64))
+    for b0 in range(0, nb_walk, cb):
+        if single:
+            b_dev = bm_b.device_padded(cb)
+            nnz_b = bm_b.device_nnz(cb)
+        else:
+            b_dev = jnp.asarray(_host_superblock(bm_b.packed, bm_b.n, cb,
+                                                 w, b0 // cb))
+            nnz_b = jnp.asarray(nnz_b_pad[b0 : b0 + cb])
+        nb_valid = jnp.int32(min(bm_b.n - b0, cb))
+        for r0 in range(0, na_pad, bl):
+            hits_d, counts_d = _cross_screen_block(
+                a_dev, b_dev, nnz_a_dev, nnz_b, jnp.int32(r0), nb_valid,
+                dev_thresh, m_f, measure=measure, bl=bl,
+            )
+            li, lj = _expand_words(np.asarray(hits_d),
+                                   np.int32(min(bm_b.n - b0, cb)))
+            if not li.size:
+                continue
+            # gather hit values from the device-resident counts block
+            # (fixed pow2 chunk shapes — every new length is a compile)
+            p = li.size
+            chunk = int(min(max(next_pow2(p), 4096), 1 << 16))
+            p_pad = round_up(p, chunk)
+            ri = np.zeros(p_pad, dtype=np.int32)
+            ci = np.zeros(p_pad, dtype=np.int32)
+            ri[:p] = li
+            ci[:p] = lj
+            cvals = np.concatenate([
+                np.asarray(_gather_hit_words(
+                    counts_d, jnp.asarray(ri[o : o + chunk]),
+                    jnp.asarray(ci[o : o + chunk]),
+                ))
+                for o in range(0, p_pad, chunk)
+            ])[:p]
+            out_i.append((li + r0).astype(np.int64))
+            out_j.append((lj + b0).astype(np.int64))
+            out_c.append(cvals.astype(np.int64))
     if not out_i:
         empty_v = (np.zeros(0, np.int32) if measure == "count"
                    else np.zeros(0, np.float64))
@@ -214,6 +265,9 @@ def cross_pairs_above(
     counts = np.concatenate(out_c)
     keep = ii < bm_a.n  # padded A rows are all-zero but drop them anyway
     ii, jj, counts = ii[keep], jj[keep], counts[keep]
+    # chunked walks emit (B-chunk)-major order; the contract is row-major
+    order = np.lexsort((jj, ii))
+    ii, jj, counts = ii[order], jj[order], counts[order]
     if measure == "count":
         return (ii.astype(np.int32), jj.astype(np.int32),
                 counts.astype(np.int32))

@@ -82,9 +82,46 @@ def test_cross_pairs_above_no_hits_and_full_rectangle():
 
 
 def test_cross_budget_guard(monkeypatch):
+    """A budget too small for even a 32-row B chunk refuses; one that
+    fits a sub-B chunk silently walks B in chunks instead."""
     a, b = _pair(512, 17)
     monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", "1000")
-    with pytest.raises(ValueError, match="shard B"):
+    with pytest.raises(ValueError, match="B chunk"):
         cross_topk_neighbors(a, b, 3)
-    with pytest.raises(ValueError, match="shard B"):
+    with pytest.raises(ValueError, match="B chunk"):
         cross_pairs_above(a, b, 10)
+
+
+def test_cross_chunked_walk_matches_single_chunk(monkeypatch):
+    """Force a multi-chunk B walk via a small budget: values must equal
+    the unchunked route exactly (top-k merged on host, screen row-major
+    after the chunk-major emit)."""
+    from stormtpu.cross import _b_chunk_rows
+
+    a = random_bitmatrix(30, 512, 0.35, seed=19)
+    b = random_bitmatrix(150, 512, 0.3, seed=20)
+    c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+    want_vals = -np.sort(-c, axis=1)[:, :5]
+    want_hits = np.nonzero(c >= 45)
+
+    # budget sized so ~64 B rows fit next to the 32-row A block
+    bl, w = 32, a.n_words
+    budget = 4 * bl * w + 70 * (4 * (w + bl) + bl // 8)
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", str(budget))
+    cb = _b_chunk_rows(b.n, w, bl, bitmap=True)
+    assert cb < b.n, "budget did not force chunking"
+
+    vals, idx = cross_topk_neighbors(a, b, 5)
+    np.testing.assert_array_equal(vals, want_vals)
+    for r in range(a.n):
+        for t in range(5):
+            assert c[r, idx[r, t]] == vals[r, t]
+
+    ii, jj, vv = cross_pairs_above(a, b, 45)
+    np.testing.assert_array_equal(ii, want_hits[0])
+    np.testing.assert_array_equal(jj, want_hits[1])
+    np.testing.assert_array_equal(vv, c[want_hits])
+
+    # k larger than the chunk window must refuse with guidance
+    with pytest.raises(ValueError, match="exceeds the"):
+        cross_topk_neighbors(a, b, cb + 1)
