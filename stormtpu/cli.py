@@ -161,7 +161,13 @@ def cmd_stream(args: argparse.Namespace) -> int:
 def cmd_topk(args: argparse.Namespace) -> int:
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
-    if args.stream:
+    if args.against:
+        from stormtpu import cross_topk_neighbors
+
+        panel = _load_matrix(args.against)
+        _log(f"against panel {panel}")
+        vals, idx = cross_topk_neighbors(bm, panel, args.k)
+    elif args.stream:
         from stormtpu.stream_query import stream_topk_neighbors
 
         vals, idx = stream_topk_neighbors(
@@ -179,7 +185,15 @@ def cmd_topk(args: argparse.Namespace) -> int:
 def cmd_screen(args: argparse.Namespace) -> int:
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
-    if args.stream:
+    if args.against:
+        from stormtpu import cross_pairs_above
+
+        panel = _load_matrix(args.against)
+        _log(f"against panel {panel}")
+        ii, jj, vals = cross_pairs_above(
+            bm, panel, args.threshold, measure=args.measure
+        )
+    elif args.stream:
         from stormtpu.stream_query import stream_pairs_above
 
         ii, jj, vals = stream_pairs_above(
@@ -278,6 +292,9 @@ def main(argv=None) -> int:
                     help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
     sp.add_argument("--out", required=True, help="output .npz (counts, indices)")
     sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--against", default="",
+                    help="reference panel file: rank each input row "
+                    "against THIS matrix's rows (cross-set form)")
     sp.add_argument("--stream", action="store_true",
                     help="operand-streaming stripe walk (N beyond HBM)")
     sp.add_argument("--superblock", type=int, default=4096)
@@ -296,6 +313,9 @@ def main(argv=None) -> int:
                              "overlap", "phi", "r2"))
     sp.add_argument("--print-pairs", type=int, default=0, metavar="K",
                     help="also print the first K hits to stdout")
+    sp.add_argument("--against", default="",
+                    help="reference panel file: screen each input row "
+                    "against THIS matrix's rows (cross-set form)")
     sp.add_argument("--stream", action="store_true",
                     help="operand-streaming stripe walk (N beyond HBM)")
     sp.add_argument("--superblock", type=int, default=4096)

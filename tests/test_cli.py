@@ -125,3 +125,36 @@ def test_cli_stream_and_streaming_queries(tmp_path, rng):
         np.testing.assert_array_equal(z["ii"], wi)
         np.testing.assert_array_equal(z["jj"], wj)
         np.testing.assert_array_equal(z["values"], want[wi, wj])
+
+
+def test_cli_cross_against(tmp_path):
+    import numpy as np
+
+    from stormtpu import BitMatrix, cross_pairs_above, cross_topk_neighbors
+    from stormtpu.cli import main
+    from stormtpu.io import save_bitmatrix
+
+    rng = np.random.default_rng(5)
+    q = BitMatrix.from_dense((rng.random((12, 512)) < 0.3).astype(np.uint8))
+    panel = BitMatrix.from_dense(
+        (rng.random((40, 512)) < 0.35).astype(np.uint8)
+    )
+    qf, pf = tmp_path / "q.npz", tmp_path / "p.npz"
+    save_bitmatrix(q, str(qf))
+    save_bitmatrix(panel, str(pf))
+
+    out = tmp_path / "xk.npz"
+    assert main(["topk", "--in", str(qf), "--out", str(out),
+                 "--k", "3", "--against", str(pf)]) == 0
+    with np.load(out) as z:
+        v, _ = cross_topk_neighbors(q, panel, 3)
+        np.testing.assert_array_equal(z["counts"], v)
+
+    out = tmp_path / "xs.npz"
+    assert main(["screen", "--in", str(qf), "--out", str(out),
+                 "--threshold", "40", "--against", str(pf)]) == 0
+    with np.load(out) as z:
+        ii, jj, vv = cross_pairs_above(q, panel, 40)
+        np.testing.assert_array_equal(z["ii"], ii)
+        np.testing.assert_array_equal(z["jj"], jj)
+        np.testing.assert_array_equal(z["values"], vv)
