@@ -16,6 +16,10 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 from stormtpu.parallel.mesh import make_row_mesh
 from stormtpu.parallel.allpairs import distributed_count_matrix
 from stormtpu.parallel.columns import distributed_column_counts
+from stormtpu.parallel.cross import (
+    distributed_cross_pairs_above,
+    distributed_cross_topk_neighbors,
+)
 from stormtpu.parallel.multihost import (
     distributed_stream_count_matrix,
     initialize_multihost,
@@ -34,6 +38,8 @@ __all__ = [
     "make_row_mesh",
     "distributed_count_matrix",
     "distributed_column_counts",
+    "distributed_cross_pairs_above",
+    "distributed_cross_topk_neighbors",
     "distributed_stream_count_matrix",
     "distributed_pairs_above",
     "distributed_pairwise_cardinality",

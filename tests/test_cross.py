@@ -125,3 +125,40 @@ def test_cross_chunked_walk_matches_single_chunk(monkeypatch):
     # k larger than the chunk window must refuse with guidance
     with pytest.raises(ValueError, match="exceeds the"):
         cross_topk_neighbors(a, b, cb + 1)
+
+
+def test_distributed_cross_matches_single_chip():
+    """A replicated, B row-sharded over the 8-device mesh: values equal
+    the single-chip cross forms (and the oracle) exactly."""
+    from stormtpu.parallel import (
+        distributed_cross_pairs_above,
+        distributed_cross_topk_neighbors,
+        make_row_mesh,
+    )
+
+    mesh = make_row_mesh(8)
+    a = random_bitmatrix(22, 600, 0.35, seed=31)
+    b = random_bitmatrix(100, 600, 0.3, seed=32)  # ragged: 100 % 8 != 0
+    c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+
+    vals, idx = distributed_cross_topk_neighbors(a, b, 5, mesh=mesh)
+    np.testing.assert_array_equal(vals, -np.sort(-c, axis=1)[:, :5])
+    for r in range(a.n):
+        for t in range(5):
+            assert c[r, idx[r, t]] == vals[r, t]
+
+    for measure, thr in (("count", 55), ("jaccard", 0.25), ("r2", 0.05)):
+        ii, jj, vv = distributed_cross_pairs_above(
+            a, b, thr, measure=measure, mesh=mesh
+        )
+        ii1, jj1, vv1 = cross_pairs_above(a, b, thr, measure=measure)
+        np.testing.assert_array_equal(ii, ii1, err_msg=measure)
+        np.testing.assert_array_equal(jj, jj1, err_msg=measure)
+        np.testing.assert_allclose(vv, vv1, rtol=0, atol=0, err_msg=measure)
+
+    import pytest
+
+    # n_loc = round_up(100, 8*32)/8 = 32 rows per shard; k above it must
+    # refuse (each device ranks only its own shard)
+    with pytest.raises(ValueError, match="B shard"):
+        distributed_cross_topk_neighbors(a, b, 33, mesh=mesh)
