@@ -159,6 +159,11 @@ def cmd_stream(args: argparse.Namespace) -> int:
 
 
 def cmd_topk(args: argparse.Namespace) -> int:
+    if args.against and args.stream:
+        raise SystemExit(
+            "--against and --stream are mutually exclusive: the cross "
+            "form walks the panel in device-sized chunks itself"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -183,6 +188,11 @@ def cmd_topk(args: argparse.Namespace) -> int:
 
 
 def cmd_screen(args: argparse.Namespace) -> int:
+    if args.against and args.stream:
+        raise SystemExit(
+            "--against and --stream are mutually exclusive: the cross "
+            "form walks the panel in device-sized chunks itself"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:

@@ -66,22 +66,27 @@ def _block_plan(na: int) -> tuple[int, int]:
     return bl, round_up(na, bl)
 
 
-def _b_chunk_rows(nb: int, w: int, bl: int, bitmap: bool) -> int:
+def _b_chunk_rows(nb: int, w: int, bl: int, na_pad: int, bitmap: bool) -> int:
     """Rows of B resident per device chunk: the whole (padded) B when it
-    fits the refusal budget next to one A block and its counts, else the
-    largest power-of-two-floored 32-multiple that does — the cross
-    queries are host-RAM-bounded like the streaming forms, not
-    HBM-bounded. Raises (via the shared guard) only when even a 32-row
-    chunk cannot fit, i.e. the bit universe itself is the problem."""
+    fits the refusal budget next to the RESIDENT A operand (all of A
+    stays device-cached — it is walked by slice, not re-uploaded) and
+    one A block's counts, else the largest power-of-two-floored
+    32-multiple that does — the cross queries are host-RAM-bounded like
+    the streaming forms, not HBM-bounded. Raises (via the shared guard)
+    only when A itself plus a 32-row chunk cannot fit, i.e. the query
+    panel or the bit universe is the problem."""
     from stormtpu.stream import _device_refuse_budget, require_device_budget
 
     budget = _device_refuse_budget()
     per_b_row = 4 * (w + bl) + (bl // 8 if bitmap else 0)
-    fixed = 4 * bl * w
+    # the whole A operand is device-resident, plus the sliced A block
+    # XLA materializes inside the jit
+    fixed = 4 * (na_pad * w + bl * w)
     require_device_budget(
         fixed + 32 * per_b_row,
-        f"Nb chunking floor: one A block (bl={bl}) plus a 32-row B chunk",
-        "reduce the bit universe or the A block size",
+        f"Na={na_pad} (padded): the resident A operand plus a 32-row "
+        f"B chunk",
+        "reduce the query panel or the bit universe",
     )
     nb_pad = round_up(nb, 32)
     cb = (budget - fixed) // per_b_row
@@ -126,7 +131,7 @@ def cross_topk_neighbors(
 
     w = bm_a.n_words
     bl, na_pad = _block_plan(bm_a.n)
-    cb = _b_chunk_rows(bm_b.n, w, bl, bitmap=False)
+    cb = _b_chunk_rows(bm_b.n, w, bl, na_pad, bitmap=False)
     if k > cb:
         raise ValueError(
             f"k={k} exceeds the {cb}-row B chunk the device budget "
@@ -208,7 +213,7 @@ def cross_pairs_above(
 
     w = bm_a.n_words
     bl, na_pad = _block_plan(bm_a.n)
-    cb = _b_chunk_rows(bm_b.n, w, bl, bitmap=True)
+    cb = _b_chunk_rows(bm_b.n, w, bl, na_pad, bitmap=True)
     nb_walk = round_up(bm_b.n, cb)
     single = nb_walk == cb
     m_f = jnp.float32(bm_a.m_bits)

@@ -30,7 +30,6 @@ try:  # jax >= 0.7 stable location
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from stormtpu.api import _as_bitmatrix
 from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.utils import round_up
 
@@ -41,14 +40,9 @@ __all__ = [
 
 
 def _cross_operands(a, b, mesh):
-    bm_a = _as_bitmatrix(a)
-    bm_b = _as_bitmatrix(b)
-    if bm_a.m_bits != bm_b.m_bits:
-        raise ValueError(
-            f"bit-universe mismatch: {bm_a.m_bits} vs {bm_b.m_bits}"
-        )
-    if bm_a.n == 0 or bm_b.n == 0:
-        raise ValueError("cross queries need non-empty matrices")
+    from stormtpu.cross import _operands  # one validation home
+
+    bm_a, bm_b = _operands(a, b)
     if mesh is None:
         mesh = make_row_mesh()
     axis = mesh.axis_names[0]
@@ -56,12 +50,22 @@ def _cross_operands(a, b, mesh):
 
 
 def _put_sharded(bm_a, bm_b, mesh, axis, r):
-    """(a replicated [na, W], b row-sharded [nb_pad, W], n_loc)."""
+    """(a replicated [na, W], b row-sharded [nb_pad, W], n_loc) —
+    device-cached on the BitMatrices (repeated lookups against the same
+    reference panel are the workload; re-uploading the panel per call
+    cost ~8 s/138 MB through this relay)."""
     nb_pad = round_up(max(bm_b.n, r), r * 32)
-    xb = np.zeros((nb_pad, bm_b.n_words), dtype=np.uint32)
-    xb[: bm_b.n] = bm_b.packed
-    b_sharded = jax.device_put(xb, NamedSharding(mesh, P(axis, None)))
-    a_rep = jax.device_put(bm_a.packed, NamedSharding(mesh, P()))
+
+    def build_b():
+        xb = np.zeros((nb_pad, bm_b.n_words), dtype=np.uint32)
+        xb[: bm_b.n] = bm_b.packed
+        return jax.device_put(xb, NamedSharding(mesh, P(axis, None)))
+
+    b_sharded = bm_b.device_cached(("cross_rowshard", nb_pad, mesh), build_b)
+    a_rep = bm_a.device_cached(
+        ("cross_replicated", mesh),
+        lambda: jax.device_put(bm_a.packed, NamedSharding(mesh, P())),
+    )
     return a_rep, b_sharded, nb_pad // r
 
 
@@ -196,9 +200,7 @@ def distributed_cross_pairs_above(
     for o in range(0, ii.size, blk):
         s = slice(o, o + blk)
         both = pa[ii[s]] & pb[jj[s]]
-        counts[s] = np.unpackbits(
-            both.view(np.uint8), axis=1
-        ).sum(axis=1, dtype=np.int64)
+        counts[s] = np.bitwise_count(both).sum(axis=1, dtype=np.int64)
     if measure == "count":
         return (ii.astype(np.int32), jj.astype(np.int32),
                 counts.astype(np.int32))

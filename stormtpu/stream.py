@@ -575,10 +575,20 @@ def stream_count_checksums(
     tile_rows = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
     tile_words = cfg.k2_tile_words
     superblock_rows = round_up(superblock_rows, tile_rows)
-    tiles_per_super = superblock_rows // tile_rows
     n_pad, w_pad = xd.shape
-    if n_pad % superblock_rows or w_pad % tile_words:
-        raise ValueError("xd must be padded to superblock/tile multiples")
+    if w_pad % tile_words:
+        raise ValueError("xd must be word-padded to a tile_words multiple")
+    if n_pad % superblock_rows:
+        # the tile-rows rule above can shrink below k2_tile_rows at
+        # n < 256, making the rounded superblock indivisible by the
+        # caller's padding — re-pad internally (zero rows are exact)
+        # rather than leaking the tile-geometry rule into the contract
+        grow = round_up(n_pad, superblock_rows) - n_pad
+        xd = jnp.concatenate(
+            [xd, jnp.zeros((grow, w_pad), dtype=xd.dtype)], axis=0
+        )
+        n_pad += grow
+    tiles_per_super = superblock_rows // tile_rows
     n_super = n_pad // superblock_rows
     variant = tuned_variant("k2", cfg.k2_variant)
 

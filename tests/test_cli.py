@@ -158,3 +158,22 @@ def test_cli_cross_against(tmp_path):
         np.testing.assert_array_equal(z["ii"], ii)
         np.testing.assert_array_equal(z["jj"], jj)
         np.testing.assert_array_equal(z["values"], vv)
+
+
+def test_cli_against_rejects_stream(tmp_path):
+    import numpy as np
+    import pytest
+
+    from stormtpu import BitMatrix
+    from stormtpu.cli import main
+    from stormtpu.io import save_bitmatrix
+
+    bm = BitMatrix.from_dense(np.eye(8, 64, dtype=np.uint8))
+    f = tmp_path / "m.npz"
+    save_bitmatrix(bm, str(f))
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["topk", "--in", str(f), "--out", str(tmp_path / "o.npz"),
+              "--k", "2", "--against", str(f), "--stream"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["screen", "--in", str(f), "--out", str(tmp_path / "o.npz"),
+              "--threshold", "1", "--against", str(f), "--stream"])

@@ -106,9 +106,9 @@ def test_cross_chunked_walk_matches_single_chunk(monkeypatch):
 
     # budget sized so ~64 B rows fit next to the 32-row A block
     bl, w = 32, a.n_words
-    budget = 4 * bl * w + 70 * (4 * (w + bl) + bl // 8)
+    budget = 4 * (32 * w + bl * w) + 70 * (4 * (w + bl) + bl // 8)
     monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", str(budget))
-    cb = _b_chunk_rows(b.n, w, bl, bitmap=True)
+    cb = _b_chunk_rows(b.n, w, bl, 32, bitmap=True)
     assert cb < b.n, "budget did not force chunking"
 
     vals, idx = cross_topk_neighbors(a, b, 5)

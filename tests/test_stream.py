@@ -395,3 +395,31 @@ def test_checksum_sinks_agree_below_tile_rows():
     for gi, gj, v in zip(man_d["sample_ii"], man_d["sample_jj"],
                          man_d["sample_vals"]):
         assert int(v) == int(want[gi, gj])
+
+
+def test_checksum_sink_repads_small_n(tmp_path):
+    """n < k2_tile_rows shrinks the tile geometry; a caller who padded
+    xd per the old 'multiple of superblock_rows' contract must still get
+    exact results (regression: the tile-rounded superblock stopped
+    dividing the caller's padding and raised)."""
+    import jax.numpy as jnp
+
+    from stormtpu.config import default_config
+    from stormtpu.stream import stream_count_checksums
+    from stormtpu.utils import round_up
+
+    bm = random_bitmatrix(70, 16384, 0.3, seed=23)
+    cfg = default_config()
+    n_pad = round_up(bm.n, 4096)  # old contract: superblock multiple
+    w_pad = round_up(bm.n_words, cfg.k2_tile_words)
+    xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+    xp[: bm.n, : bm.n_words] = bm.packed
+    man = stream_count_checksums(
+        jnp.asarray(xp), bm.n, bm.m_bits, superblock_rows=4096, config=cfg,
+    )
+    want = oracle_count_matrix(bm.packed)
+    pad = np.zeros((man["n_super"] * man["superblock_rows"],) * 2, np.int64)
+    pad[: bm.n, : bm.n] = want
+    for gi, gj, v in zip(man["sample_ii"], man["sample_jj"],
+                         man["sample_vals"]):
+        assert int(v) == int(pad[gi, gj])
