@@ -317,3 +317,32 @@ def test_operand_streaming_and_stream_queries_on_device(tpu_backend, tmp_path):
     np.testing.assert_array_equal(ii, wi)
     np.testing.assert_array_equal(jj, wj)
     np.testing.assert_array_equal(v, c[wi, wj])
+
+
+def test_cross_queries_on_device(tpu_backend):
+    """Cross-set queries on the real device: the XLA int8 rectangle at
+    small M and the Pallas MXU rectangle at large M, top-k and count
+    screen both exact vs the oracle."""
+    from stormtpu.cross import cross_pairs_above, cross_topk_neighbors
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_block
+
+    rng = np.random.default_rng(29)
+    for m in (4096, 262144):
+        da = (rng.random((40, m)) < 0.3).astype(np.uint8)
+        db = (rng.random((96, m)) < 0.3).astype(np.uint8)
+        a, b = BitMatrix.from_dense(da), BitMatrix.from_dense(db)
+        c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+
+        vals, idx = cross_topk_neighbors(a, b, 4)
+        np.testing.assert_array_equal(
+            vals, -np.sort(-c, axis=1)[:, :4], err_msg=f"m={m}"
+        )
+        for r in range(a.n):
+            assert c[r, idx[r, 0]] == vals[r, 0]
+
+        thr = int(np.percentile(c.ravel(), 98))
+        ii, jj, vv = cross_pairs_above(a, b, max(thr, 1))
+        wi, wj = np.nonzero(c >= max(thr, 1))
+        np.testing.assert_array_equal(ii, wi, err_msg=f"m={m}")
+        np.testing.assert_array_equal(vv, c[wi, wj], err_msg=f"m={m}")
