@@ -40,6 +40,7 @@ from stormtpu.api import (
 )
 from stormtpu.setops import (
     column_counts,
+    pairs_above_complete,
     pairwise_cardinality,
     similarity_matrix,
     similarity_matrix_complete,
@@ -64,6 +65,7 @@ __all__ = [
     "pairwise_cardinality",
     "similarity_matrix",
     "similarity_matrix_complete",
+    "pairs_above_complete",
     "pair_counts",
     "pairs_above",
     "topk_neighbors",

@@ -251,9 +251,26 @@ def _screen_vals(
     """
     if measure == "count":
         return counts.astype(jnp.float32)
+    return _screen_vals_core(
+        counts,
+        nnz_rows[:, None].astype(jnp.float32),
+        nnz_cols[None, :].astype(jnp.float32),
+        m_f,
+        measure,
+    )
+
+
+def _screen_vals_core(
+    counts: jax.Array,
+    ca: jax.Array,
+    cb: jax.Array,
+    m_f: jax.Array,
+    measure: str,
+) -> jax.Array:
+    """Similarity screen formulas over broadcastable float32 operands —
+    ``ca``/``cb``/``m_f`` may be per-pair arrays (the pairwise-complete
+    missing-data screen feeds per-pair co-observed universes here)."""
     inter = counts.astype(jnp.float32)
-    ca = nnz_rows[:, None].astype(jnp.float32)
-    cb = nnz_cols[None, :].astype(jnp.float32)
     if measure == "jaccard":
         denom = ca + cb - inter
     elif measure == "dice":
@@ -282,6 +299,28 @@ def _screen_vals(
     else:  # overlap
         denom = jnp.minimum(ca, cb)
     return jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("measure", "bl"))
+def _complete_screen_block(d_pad, m_pad, r0, n_valid, thresh, *,
+                           measure: str, bl: int):
+    """One row block of the pairwise-complete screen
+    (setops.pairs_above_complete): four rectangle counts — data·dataᵀ,
+    data·maskᵀ, mask·dataᵀ, mask·maskᵀ — feed the per-pair-universe
+    screen formulas; upper-triangle hit bitmap out."""
+    from stormtpu.kernels import count_block_auto
+
+    d_blk = jax.lax.dynamic_slice_in_dim(d_pad, r0, bl)
+    m_blk = jax.lax.dynamic_slice_in_dim(m_pad, r0, bl)
+    inter = count_block_auto(d_blk, d_pad)
+    ca = count_block_auto(d_blk, m_pad).astype(jnp.float32)
+    cb = count_block_auto(m_blk, d_pad).astype(jnp.float32)
+    m_pair = count_block_auto(m_blk, m_pad).astype(jnp.float32)
+    vals = _screen_vals_core(inter, ca, cb, m_pair, measure)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) + r0
+    col_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    hit = (vals >= thresh) & (col_g > row_g) & (col_g < n_valid)
+    return _pack_bit_rows(hit)
 
 
 def _pack_bit_rows(mask: jax.Array) -> jax.Array:

@@ -31,6 +31,7 @@ __all__ = [
     "pairwise_cardinality",
     "similarity_matrix",
     "similarity_matrix_complete",
+    "pairs_above_complete",
     "column_counts",
     "CARD_OPS",
     "SIM_OPS",
@@ -150,6 +151,110 @@ def similarity_matrix_complete(
     m_pair = intersect_count_matrix(bm_m, strategy=strategy, config=config)
     dm = count_block(bm_d, bm_m, config=config)  # ca_ij = |data_i ∩ mask_j|
     return derive_similarity(inter, dm, dm.T, m_pair, measure)
+
+
+def pairs_above_complete(
+    data: MatrixLike,
+    mask: MatrixLike,
+    threshold: float,
+    *,
+    measure: str = "r2",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All unordered pairs (i < j) with the PAIRWISE-COMPLETE measure ≥
+    threshold — the missing-data LD screen at scale (the matrix form is
+    :func:`similarity_matrix_complete`, which materializes N²·float64 on
+    host; this screens on device and fetches only hit bitmaps).
+
+    Per pair the statistic runs over the co-observed universe
+    (m_ij = |mask_i ∩ mask_j|, ca_ij = |data_i ∩ mask_j|, …): four count
+    blocks per row block instead of one, screened in float32 with the
+    same over-admission slack as ``query.pairs_above``; hits are
+    re-derived exactly on host (float64) from the packed rows, so
+    rounding can only add candidates, never drop true hits. ``measure``
+    is a similarity ("jaccard", "dice", "cosine", "overlap", "phi",
+    "r2") — "count" does not depend on the mask, use ``pairs_above``.
+    """
+    import jax.numpy as jnp
+
+    from stormtpu.query import (
+        _complete_screen_block,
+        _expand_words,
+        _validate_screen,
+    )
+    from stormtpu.stream import require_device_budget
+    from stormtpu.utils import next_pow2, round_up
+
+    if measure not in SIM_OPS:
+        raise ValueError(
+            f"unknown measure {measure!r}; want one of {SIM_OPS} "
+            f"('count' does not depend on the mask — use pairs_above)"
+        )
+    dev_thresh = _validate_screen(measure, threshold)
+    bm_d = _as_bitmatrix(data)
+    bm_m = _as_bitmatrix(mask)
+    if bm_d.n != bm_m.n or bm_d.m_bits != bm_m.m_bits:
+        raise ValueError(
+            f"data and mask must have identical shape; got "
+            f"{bm_d.n}×{bm_d.m_bits} vs {bm_m.n}×{bm_m.m_bits}"
+        )
+    if np.any(bm_d.packed & ~bm_m.packed):
+        raise ValueError(
+            "data has set bits at unobserved (mask=0) positions; clear "
+            "missing positions in data or fix the mask"
+        )
+    n, w = bm_d.n, bm_d.n_words
+    if n < 2:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64))
+    bl = min(4096, next_pow2(n))
+    n_pad = round_up(max(n, 32), max(bl, 32))
+    require_device_budget(
+        8 * n_pad * w + bl * n_pad * (4 * 4 + 1) // 1,
+        f"N={n}: two resident operands (data+mask) plus four count "
+        f"blocks and the hit bitmap",
+        "reduce the bit universe or screen via similarity_matrix_complete "
+        "in row chunks",
+    )
+
+    d_dev = bm_d.device_padded(n_pad)
+    m_dev = bm_m.device_padded(n_pad)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for r0 in range(0, n_pad, bl):
+        if r0 >= n:  # padded tail blocks have no real rows
+            break
+        hits = _complete_screen_block(
+            d_dev, m_dev, jnp.int32(r0), jnp.int32(n), dev_thresh,
+            measure=measure, bl=bl,
+        )
+        li, lj = _expand_words(np.asarray(hits), np.int32(n))
+        keep = (li + r0) < n
+        out_i.append((li[keep] + r0).astype(np.int64))
+        out_j.append(lj[keep].astype(np.int64))
+    ii = np.concatenate(out_i) if out_i else np.zeros(0, np.int64)
+    jj = np.concatenate(out_j) if out_j else np.zeros(0, np.int64)
+    if not ii.size:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64))
+    # exact host re-derivation of the four per-pair counts from the
+    # packed rows (O(hits · W)); float64 refine drops slack admissions
+    pd, pm = bm_d.packed, bm_m.packed
+    blk_h = max(1, (1 << 24) // max(w, 1))
+    inter_h = np.zeros(ii.size, dtype=np.int64)
+    ca_h = np.zeros(ii.size, dtype=np.int64)
+    cb_h = np.zeros(ii.size, dtype=np.int64)
+    m_h = np.zeros(ii.size, dtype=np.int64)
+    for o in range(0, ii.size, blk_h):
+        s = slice(o, o + blk_h)
+        di, dj = pd[ii[s]], pd[jj[s]]
+        mi, mj = pm[ii[s]], pm[jj[s]]
+        inter_h[s] = np.bitwise_count(di & dj).sum(axis=1, dtype=np.int64)
+        ca_h[s] = np.bitwise_count(di & mj).sum(axis=1, dtype=np.int64)
+        cb_h[s] = np.bitwise_count(mi & dj).sum(axis=1, dtype=np.int64)
+        m_h[s] = np.bitwise_count(mi & mj).sum(axis=1, dtype=np.int64)
+    vals = derive_similarity(inter_h, ca_h, cb_h, m_h, measure)
+    keep = vals >= threshold
+    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]
 
 
 def derive_similarity(inter, ca, cb, m_bits, measure: str):

@@ -165,3 +165,43 @@ def test_similarity_matrix_complete_validation():
     empty_mask = BitMatrix.from_dense(np.zeros((10, 256), dtype=np.uint8))
     with pytest.raises(ValueError, match="unobserved"):
         similarity_matrix_complete(d, empty_mask)
+
+
+def test_pairs_above_complete_matches_matrix_form():
+    """The missing-data screen equals thresholding the matrix form's
+    upper triangle, for phi/r2/jaccard, including slack-admitted
+    candidates being dropped by the exact refine."""
+    from stormtpu import pairs_above_complete, similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+
+    rng = np.random.default_rng(53)
+    n, m = 40, 800
+    observed = rng.random((n, m)) > 0.12
+    values = (rng.random((n, m)) < 0.4) & observed
+    # plant a perfectly correlated pair (over co-observed columns)
+    values[7] = values[3] & observed[7]
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+
+    for measure, thr in (("r2", 0.05), ("phi", 0.1), ("jaccard", 0.25)):
+        full = similarity_matrix_complete(bm_d, bm_m, measure)
+        wi, wj = np.nonzero(np.triu(full, 1) >= thr)
+        ii, jj, vv = pairs_above_complete(bm_d, bm_m, thr, measure=measure)
+        np.testing.assert_array_equal(ii, wi, err_msg=measure)
+        np.testing.assert_array_equal(jj, wj, err_msg=measure)
+        np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0,
+                                   err_msg=measure)
+
+
+def test_pairs_above_complete_validation():
+    import pytest
+
+    from stormtpu import pairs_above_complete
+    from stormtpu.layout import BitMatrix
+
+    d = random_bitmatrix(10, 256, 0.4, seed=5)
+    full = BitMatrix.from_dense(np.ones((10, 256), dtype=np.uint8))
+    with pytest.raises(ValueError, match="use pairs_above"):
+        pairs_above_complete(d, full, 1, measure="count")
+    with pytest.raises(ValueError, match="identical shape"):
+        pairs_above_complete(d, random_bitmatrix(11, 256, 0.4, seed=6), 0.5)
