@@ -68,6 +68,13 @@ r2c = similarity_matrix_complete(carriers, mask, "r2")
 print(f"pairwise-complete r²(10, 11) = {r2c[10, 11]:.4f} "
       f"(universe = co-observed samples only)")
 
+# the same statistic as a device screen (no N² float64 matrix):
+from stormtpu import pairs_above_complete
+
+ci, cj, cr2 = pairs_above_complete(carriers, mask, 0.8, measure="r2")
+print(f"pairwise-complete screen (r² ≥ 0.8): {ci.size} pairs "
+      f"(matrix form agrees: {int((np.triu(r2c, 1) >= 0.8).sum())})")
+
 # --- query panel lookup: new variants against the reference panel ------
 q_codes = codes[rng.choice(n_variants, 8, replace=False)]
 q_dense = (q_codes >= 2).astype(np.uint8)
