@@ -127,6 +127,33 @@ def main() -> None:
         triangular_tile_ids,
     )
 
+    # Backend probe with a timeout, in a SUBPROCESS: the axon relay has
+    # gone hard-down for hours at a stretch, and jax.devices() then hangs
+    # inside the plugin's C retry loop (uninterruptible in-process — a
+    # SIGALRM never fires, measured). The driver contract is ONE JSON
+    # line; a hang loses the round's bench artifact, so probe first and
+    # fall back to a marked CPU smoke run. Override the probe timeout via
+    # STORMTPU_BENCH_BACKEND_TIMEOUT_S; 0 skips the probe.
+    import os
+    import subprocess
+    import sys
+
+    degraded = None
+    probe_s = int(os.environ.get("STORMTPU_BENCH_BACKEND_TIMEOUT_S", "300"))
+    if probe_s > 0 and "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            log(f"TPU backend unavailable ({type(e).__name__}); falling "
+                f"back to a CPU smoke run — the reported number is NOT a "
+                f"device rate")
+            jax.config.update("jax_platforms", "cpu")
+            degraded = "tpu-unavailable-cpu-fallback"
+            cli.smoke = True
     dev = jax.devices()[0]
     log(f"device: {dev} (platform={dev.platform})")
     interpret = pallas_interpret_default()
@@ -316,6 +343,7 @@ def main() -> None:
                 ),
                 "verified_exact": True,
                 "baseline_def": "reference-style streaming AND+popcount on same device",
+                **({"degraded": degraded} if degraded else {}),
             }
         ),
         flush=True,
