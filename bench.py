@@ -139,7 +139,13 @@ def main() -> None:
     import sys
 
     degraded = None
-    probe_s = int(os.environ.get("STORMTPU_BENCH_BACKEND_TIMEOUT_S", "300"))
+    try:
+        probe_s = int(os.environ.get("STORMTPU_BENCH_BACKEND_TIMEOUT_S",
+                                     "300"))
+    except ValueError:
+        # a malformed override must not break the one-JSON-line contract
+        # this probe exists to protect
+        probe_s = 300
     if probe_s > 0 and "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
         try:
             subprocess.run(

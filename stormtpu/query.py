@@ -307,9 +307,9 @@ def _complete_screen_block(d_pad, m_pad, r0, n_valid, thresh, *,
     """One row block of the pairwise-complete screen
     (setops.pairs_above_complete): four rectangle counts — data·dataᵀ,
     data·maskᵀ, mask·dataᵀ, mask·maskᵀ — feed the per-pair-universe
-    screen formulas; upper-triangle hit bitmap out."""
-    from stormtpu.kernels import count_block_auto
-
+    screen formulas. Returns the packed upper-triangle hit bitmap PLUS
+    its 1-bit-per-word summary (1024× smaller), so the host can gather
+    only the nonzero words — D2H ∝ hits, not N² (the fetch rule)."""
     d_blk = jax.lax.dynamic_slice_in_dim(d_pad, r0, bl)
     m_blk = jax.lax.dynamic_slice_in_dim(m_pad, r0, bl)
     inter = count_block_auto(d_blk, d_pad)
@@ -320,7 +320,12 @@ def _complete_screen_block(d_pad, m_pad, r0, n_valid, thresh, *,
     row_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) + r0
     col_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
     hit = (vals >= thresh) & (col_g > row_g) & (col_g < n_valid)
-    return _pack_bit_rows(hit)
+    hits = _pack_bit_rows(hit)
+    occ = hits != 0
+    pad = (-occ.shape[1]) % 32
+    if pad:
+        occ = jnp.pad(occ, ((0, 0), (0, pad)))
+    return hits, _pack_bit_rows(occ)
 
 
 def _pack_bit_rows(mask: jax.Array) -> jax.Array:

@@ -133,6 +133,19 @@ def similarity_matrix_complete(
     """
     if measure not in SIM_OPS:
         raise ValueError(f"unknown measure {measure!r}; want one of {SIM_OPS}")
+    bm_d, bm_m = _complete_operands(data, mask)
+    from stormtpu.api import count_block
+
+    inter = intersect_count_matrix(bm_d, strategy=strategy, config=config)
+    m_pair = intersect_count_matrix(bm_m, strategy=strategy, config=config)
+    dm = count_block(bm_d, bm_m, config=config)  # ca_ij = |data_i ∩ mask_j|
+    return derive_similarity(inter, dm, dm.T, m_pair, measure)
+
+
+def _complete_operands(data: MatrixLike, mask: MatrixLike):
+    """Shared validation for the pairwise-complete forms: identical
+    shapes, and data ⊆ mask rowwise (a set bit at an unobserved position
+    is a contradiction)."""
     bm_d = _as_bitmatrix(data)
     bm_m = _as_bitmatrix(mask)
     if bm_d.n != bm_m.n or bm_d.m_bits != bm_m.m_bits:
@@ -145,12 +158,7 @@ def similarity_matrix_complete(
             "data has set bits at unobserved (mask=0) positions; clear "
             "missing positions in data or fix the mask"
         )
-    from stormtpu.api import count_block
-
-    inter = intersect_count_matrix(bm_d, strategy=strategy, config=config)
-    m_pair = intersect_count_matrix(bm_m, strategy=strategy, config=config)
-    dm = count_block(bm_d, bm_m, config=config)  # ca_ij = |data_i ∩ mask_j|
-    return derive_similarity(inter, dm, dm.T, m_pair, measure)
+    return bm_d, bm_m
 
 
 def pairs_above_complete(
@@ -159,6 +167,7 @@ def pairs_above_complete(
     threshold: float,
     *,
     measure: str = "r2",
+    block_rows: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All unordered pairs (i < j) with the PAIRWISE-COMPLETE measure ≥
     threshold — the missing-data LD screen at scale (the matrix form is
@@ -178,7 +187,9 @@ def pairs_above_complete(
 
     from stormtpu.query import (
         _complete_screen_block,
+        _expand_word_coords,
         _expand_words,
+        _gather_hit_words,
         _validate_screen,
     )
     from stormtpu.stream import require_device_budget
@@ -190,44 +201,73 @@ def pairs_above_complete(
             f"('count' does not depend on the mask — use pairs_above)"
         )
     dev_thresh = _validate_screen(measure, threshold)
-    bm_d = _as_bitmatrix(data)
-    bm_m = _as_bitmatrix(mask)
-    if bm_d.n != bm_m.n or bm_d.m_bits != bm_m.m_bits:
-        raise ValueError(
-            f"data and mask must have identical shape; got "
-            f"{bm_d.n}×{bm_d.m_bits} vs {bm_m.n}×{bm_m.m_bits}"
-        )
-    if np.any(bm_d.packed & ~bm_m.packed):
-        raise ValueError(
-            "data has set bits at unobserved (mask=0) positions; clear "
-            "missing positions in data or fix the mask"
-        )
+    bm_d, bm_m = _complete_operands(data, mask)
     n, w = bm_d.n, bm_d.n_words
     if n < 2:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros(0, np.float64))
-    bl = min(4096, next_pow2(n))
+    if block_rows is None:
+        bl = min(4096, next_pow2(n))
+    else:
+        if block_rows < 1 or block_rows & (block_rows - 1):
+            raise ValueError("block_rows must be a power of two")
+        bl = block_rows
     n_pad = round_up(max(n, 32), max(bl, 32))
+    need = 8 * n_pad * w           # two resident packed operands
+    need += 20 * bl * n_pad        # 4 int32 count blocks + float32 vals
+    need += bl * n_pad // 8 * 2    # hit bitmap + its word summary
+    from stormtpu.kernels import MXU_XLA_MAX_BITS
+
+    if bm_d.m_bits <= MXU_XLA_MAX_BITS:
+        # the small-M XLA int8 rectangle materializes int8 unpacks of
+        # both full operands (and both row blocks) inside the jit —
+        # the dominant allocation at this route's shapes
+        need += 2 * (n_pad + bl) * bm_d.m_bits
     require_device_budget(
-        8 * n_pad * w + bl * n_pad * (4 * 4 + 1) // 1,
-        f"N={n}: two resident operands (data+mask) plus four count "
-        f"blocks and the hit bitmap",
+        need,
+        f"N={n}: two resident operands (data+mask), four count blocks, "
+        f"unpack buffers and the hit bitmap",
         "reduce the bit universe or screen via similarity_matrix_complete "
         "in row chunks",
     )
 
     d_dev = bm_d.device_padded(n_pad)
     m_dev = bm_m.device_padded(n_pad)
+    wout = n_pad // 32
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     for r0 in range(0, n_pad, bl):
         if r0 >= n:  # padded tail blocks have no real rows
             break
-        hits = _complete_screen_block(
+        hits_d, wsum_d = _complete_screen_block(
             d_dev, m_dev, jnp.int32(r0), jnp.int32(n), dev_thresh,
             measure=measure, bl=bl,
         )
-        li, lj = _expand_words(np.asarray(hits), np.int32(n))
+        # two-phase fetch (the rule: D2H ∝ hits, not N² — the one-phase
+        # bitmap fetch measurably dominates screens through this relay):
+        # 1-bit-per-word summary first, then gather only nonzero words
+        wi_r, wi_w = _expand_words(np.asarray(wsum_d), np.int32(wout))
+        if wi_r.size > bl * wout // 8:
+            # dense screen: the straight bitmap fetch is cheaper
+            li, lj = _expand_words(np.asarray(hits_d), np.int32(n))
+        elif wi_r.size:
+            p = wi_r.size
+            chunk = int(min(max(next_pow2(p), 4096), 1 << 16))
+            p_pad = round_up(p, chunk)
+            ri_p = np.zeros(p_pad, dtype=np.int32)
+            wi_p = np.zeros(p_pad, dtype=np.int32)
+            ri_p[:p] = wi_r
+            wi_p[:p] = wi_w
+            words = np.concatenate([
+                np.asarray(_gather_hit_words(
+                    hits_d, jnp.asarray(ri_p[o : o + chunk]),
+                    jnp.asarray(wi_p[o : o + chunk]),
+                ))
+                for o in range(0, p_pad, chunk)
+            ])[:p]
+            li, lj = _expand_word_coords(wi_r, wi_w, words, n)
+        else:
+            continue
         keep = (li + r0) < n
         out_i.append((li[keep] + r0).astype(np.int64))
         out_j.append(lj[keep].astype(np.int64))

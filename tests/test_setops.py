@@ -186,11 +186,17 @@ def test_pairs_above_complete_matches_matrix_form():
     for measure, thr in (("r2", 0.05), ("phi", 0.1), ("jaccard", 0.25)):
         full = similarity_matrix_complete(bm_d, bm_m, measure)
         wi, wj = np.nonzero(np.triu(full, 1) >= thr)
-        ii, jj, vv = pairs_above_complete(bm_d, bm_m, thr, measure=measure)
-        np.testing.assert_array_equal(ii, wi, err_msg=measure)
-        np.testing.assert_array_equal(jj, wj, err_msg=measure)
-        np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0,
-                                   err_msg=measure)
+        # default single-block route AND a forced multi-block walk
+        # (block_rows=16 < n crosses block boundaries, exercising the
+        # per-block row offsets and the ragged tail)
+        for br in (None, 16):
+            ii, jj, vv = pairs_above_complete(
+                bm_d, bm_m, thr, measure=measure, block_rows=br
+            )
+            np.testing.assert_array_equal(ii, wi, err_msg=f"{measure} br={br}")
+            np.testing.assert_array_equal(jj, wj, err_msg=f"{measure} br={br}")
+            np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0,
+                                       err_msg=f"{measure} br={br}")
 
 
 def test_pairs_above_complete_validation():

@@ -345,4 +345,5 @@ def test_cross_queries_on_device(tpu_backend):
         ii, jj, vv = cross_pairs_above(a, b, max(thr, 1))
         wi, wj = np.nonzero(c >= max(thr, 1))
         np.testing.assert_array_equal(ii, wi, err_msg=f"m={m}")
+        np.testing.assert_array_equal(jj, wj, err_msg=f"m={m}")
         np.testing.assert_array_equal(vv, c[wi, wj], err_msg=f"m={m}")
