@@ -204,3 +204,64 @@ def test_stream_queries_property(dense, k, threshold):
     np.testing.assert_array_equal(ii, wi.astype(np.int32))
     np.testing.assert_array_equal(jj, wj.astype(np.int32))
     np.testing.assert_array_equal(vv, want[wi, wj])
+
+
+@given(bit_matrices(), bit_matrices(), st.integers(1, 5))
+@settings(max_examples=12, deadline=None)
+def test_cross_queries_property(da, db, k):
+    """Cross top-k values and count screens equal the dense oracle on
+    arbitrary (independently shaped) operand pairs sharing a universe."""
+    from stormtpu import cross_pairs_above, cross_topk_neighbors
+
+    m = max(da.shape[1], db.shape[1])
+    a = np.zeros((da.shape[0], m), np.uint8)
+    a[:, : da.shape[1]] = da
+    b = np.zeros((db.shape[0], m), np.uint8)
+    b[:, : db.shape[1]] = db
+    c = a.astype(np.int64) @ b.T
+    kk = min(k, b.shape[0])
+    vals, idx = cross_topk_neighbors(BitMatrix.from_dense(a),
+                                     BitMatrix.from_dense(b), kk)
+    np.testing.assert_array_equal(vals, -np.sort(-c, axis=1)[:, :kk])
+    for r in range(a.shape[0]):
+        for t in range(kk):
+            assert c[r, idx[r, t]] == vals[r, t]
+    thr = max(int(c.max()) // 2, 1)
+    ii, jj, vv = cross_pairs_above(BitMatrix.from_dense(a),
+                                   BitMatrix.from_dense(b), thr)
+    wi, wj = np.nonzero(c >= thr)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_array_equal(vv, c[wi, wj])
+
+
+@given(bit_matrices(), st.integers(0, 2**60 - 1))
+@settings(max_examples=12, deadline=None)
+def test_complete_similarity_property(dense, mask_seed):
+    """Pairwise-complete r² equals the brute-force per-pair formula over
+    co-observed columns on arbitrary data/mask pairs; the screen agrees
+    with thresholding the matrix form."""
+    from stormtpu import pairs_above_complete, similarity_matrix_complete
+
+    n, m = dense.shape
+    rng = np.random.default_rng(mask_seed % (2**32))
+    observed = (rng.random((n, m)) > 0.25).astype(np.uint8)
+    data = dense & observed
+    bm_d = BitMatrix.from_dense(data)
+    bm_m = BitMatrix.from_dense(observed)
+    got = similarity_matrix_complete(bm_d, bm_m, "r2")
+    for i in range(n):
+        for j in range(n):
+            co = observed[i].astype(bool) & observed[j].astype(bool)
+            a = data[i, co].astype(np.float64)
+            b = data[j, co].astype(np.float64)
+            mm = co.sum()
+            ca, cb, it = a.sum(), b.sum(), (a * b).sum()
+            den = ca * cb * (mm - ca) * (mm - cb)
+            want = ((mm * it - ca * cb) ** 2 / den) if den > 0 else 0.0
+            assert abs(got[i, j] - want) < 1e-9, (i, j)
+    if n >= 2:
+        ii, jj, vv = pairs_above_complete(bm_d, bm_m, 0.5, measure="r2")
+        wi, wj = np.nonzero(np.triu(got, 1) >= 0.5)
+        np.testing.assert_array_equal(ii, wi)
+        np.testing.assert_array_equal(jj, wj)
