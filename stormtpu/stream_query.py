@@ -237,6 +237,11 @@ def _merge_topk(
     best_i[sl] = np.take_along_axis(ci, sel, axis=1)
 
 
+def _topk_ckpt_params(bm: BitMatrix, k: int, sb: int, kernel: str) -> dict:
+    return {"n": bm.n, "m_bits": bm.m_bits, "k": k,
+            "superblock_rows": sb, "kernel": kernel}
+
+
 def stream_topk_neighbors(
     bm: BitMatrix,
     k: int,
@@ -245,6 +250,7 @@ def stream_topk_neighbors(
     kernel: str = "auto",
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    out_dir: Optional[str] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count at streaming
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
@@ -252,7 +258,16 @@ def stream_topk_neighbors(
     ``query.topk_neighbors``; tie order among equal counts is
     route-dependent there too, and zero-count entries may carry the
     (0, 0) "no partner" convention where the summary skip proved a whole
-    stripe zero."""
+    stripe zero.
+
+    ``out_dir``: checkpoint the running best after every completed
+    stripe ROW (atomic write+rename, like stream.py's stripes) and
+    resume from it — an interrupted multi-hour walk restarts at the
+    first unfinished superblock row, not from scratch. The checkpoint is
+    keyed on (n, m_bits, k, superblock, kernel); a mismatch raises."""
+    import json
+    import os
+
     cfg = config or default_config()
     cfg.validate(bm.m_bits)
     if not 1 <= k < max(bm.n, 2):
@@ -282,10 +297,25 @@ def stream_topk_neighbors(
 
     best_v = np.full((n_pad, k), -1, dtype=np.int64)
     best_i = np.zeros((n_pad, k), dtype=np.int32)
+    start_i = 0
+    ckpt = os.path.join(out_dir, "topk_ckpt.npz") if out_dir else None
+    params = _topk_ckpt_params(bm, k, sb, kernel)
+    if ckpt and os.path.exists(ckpt):
+        with np.load(ckpt, allow_pickle=False) as z:
+            got = json.loads(str(z["params"]))
+            if got != params:
+                raise ValueError(
+                    f"checkpoint {ckpt} was written for {got}, not {params}"
+                )
+            best_v = z["best_v"]
+            best_i = z["best_i"]
+            start_i = int(z["next_i"])
+    elif out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     n_dev = jnp.int32(bm.n)
     occ_sb = _superblock_occupancy(bm, n_pad, sb)
     xi_d, xi_idx = None, -1
-    for i in range(n_super):
+    for i in range(start_i, n_super):
         for j in range(i, n_super):
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 # C8 summary skip: every count in this stripe is exactly
@@ -313,6 +343,15 @@ def stream_topk_neighbors(
                 _merge_topk(best_v, best_i, slice(j * sb, (j + 1) * sb),
                             np.asarray(vj).astype(np.int64),
                             np.asarray(ij) + i * sb, k)
+        if ckpt:
+            # atomic per-row checkpoint: a crash restarts at the first
+            # UNFINISHED row (its partial merges are discarded with the
+            # in-memory arrays, so no candidate is ever merged twice)
+            tmp = ckpt + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, params=json.dumps(params), best_v=best_v,
+                         best_i=best_i, next_i=i + 1)
+            os.replace(tmp, ckpt)
     best_v = best_v[: bm.n]
     best_i = best_i[: bm.n]
     order = np.argsort(-best_v, axis=1, kind="stable")
@@ -383,6 +422,7 @@ def stream_pairs_above(
     kernel: str = "auto",
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    out_dir: Optional[str] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All unordered pairs (i < j) with measure ≥ threshold, at streaming
     scale (operands bounded by host RAM, not HBM). Same contract as
@@ -390,7 +430,17 @@ def stream_pairs_above(
     (ii, jj, values) row-major, int32 counts / float64 similarities.
 
     D2H per stripe is the packed hit bitmap (superblock²/8 bytes) plus
-    the hit values gathered from the device-resident stripe counts."""
+    the hit values gathered from the device-resident stripe counts.
+
+    ``out_dir``: persist every computed stripe's hits to
+    ``hits_{i:05d}_{j:05d}.npz`` (summary-skipped and empty stripes
+    write an empty marker) and skip stripes whose file exists — an
+    interrupted walk resumes at the first missing stripe, mirroring
+    ``stream.stream_count_matrix``. Keyed by a manifest on (n, m_bits,
+    superblock, kernel, measure, threshold); a mismatch raises."""
+    import json
+    import os
+
     from stormtpu.query import (
         _expand_words,
         _gather_hit_words,
@@ -430,16 +480,56 @@ def stream_pairs_above(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = os.path.join(out_dir, "screen_manifest.json")
+        params = {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
+                  "kernel": kernel, "measure": measure,
+                  "threshold": float(threshold)}
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                got = json.load(f)
+            if got != params:
+                raise ValueError(
+                    f"{manifest} was written for {got}, not {params}"
+                )
+        else:
+            with open(manifest, "w") as f:
+                json.dump(params, f)
+
+    def _stripe_file(i: int, j: int) -> str:
+        return os.path.join(out_dir, f"hits_{i:05d}_{j:05d}.npz")
+
+    def _emit(i, j, li, lj, cvals):
+        out_i.append(li)
+        out_j.append(lj)
+        out_c.append(cvals)
+        if out_dir:
+            tmp = _stripe_file(i, j) + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, ii=li, jj=lj, counts=cvals)
+            os.replace(tmp, _stripe_file(i, j))
+
     # C8 summary skip: a summary-zero stripe has all-zero counts, which
     # cannot pass a count screen (threshold >= 1) or a positive
     # jaccard/dice/cosine/overlap threshold. phi/r2 DO score
     # zero-intersection (anti-correlated) pairs, so they walk everything.
     occ_sb = (None if measure in ("phi", "r2")
               else _superblock_occupancy(bm, n_pad, sb))
+    empty64 = np.zeros(0, dtype=np.int64)
     xi_d, xi_idx = None, -1
     for i in range(n_super):
         for j in range(i, n_super):
+            if out_dir and os.path.exists(_stripe_file(i, j)):
+                # resume: reload the completed stripe's hits
+                with np.load(_stripe_file(i, j)) as z:
+                    if z["ii"].size:
+                        out_i.append(z["ii"])
+                        out_j.append(z["jj"])
+                        out_c.append(z["counts"])
+                continue
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                _emit(i, j, empty64, empty64, empty64)
                 continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
@@ -461,6 +551,7 @@ def stream_pairs_above(
             )
             li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
             if not li.size:
+                _emit(i, j, empty64, empty64, empty64)
                 continue
             # gather hit values from the still-device-resident counts
             # (fixed pow2 chunk shapes, same pattern as pair_counts)
@@ -478,9 +569,8 @@ def stream_pairs_above(
                 ))
                 for o in range(0, p_pad, chunk)
             ])[:p]
-            out_i.append((li + i * sb).astype(np.int64))
-            out_j.append((lj + j * sb).astype(np.int64))
-            out_c.append(cvals.astype(np.int64))
+            _emit(i, j, (li + i * sb).astype(np.int64),
+                  (lj + j * sb).astype(np.int64), cvals.astype(np.int64))
     if not out_i:
         empty_v = (np.zeros(0, np.int32) if measure == "count"
                    else np.zeros(0, np.float64))

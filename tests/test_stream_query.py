@@ -226,3 +226,116 @@ def test_budget_guard_covers_clustered_and_spares_host_routes(monkeypatch):
     np.testing.assert_array_equal(ii, wi)
     np.testing.assert_array_equal(jj, wj)
     np.testing.assert_array_equal(vv, c[wi, wj])
+
+
+def test_stream_topk_checkpoint_resume(tmp_path, monkeypatch):
+    """An interrupted stream_topk_neighbors(out_dir=...) resumes from
+    its per-row checkpoint: the crashed row is recomputed, finished rows
+    are not, and the result equals the uncheckpointed run exactly."""
+    import stormtpu.stream_query as sq
+
+    bm = random_bitmatrix(52, 600, 0.3, seed=91)
+    want_vals, want_idx = stream_topk_neighbors(
+        bm, 5, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True,
+    )
+
+    real = sq._stripe_topk
+    calls = {"n": 0, "fail_at": 5}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == calls["fail_at"]:
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_topk", counting)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        stream_topk_neighbors(
+            bm, 5, superblock_rows=16, kernel="dense", config=_small_cfg(),
+            interpret=True, out_dir=str(tmp_path),
+        )
+    crashed_calls = calls["n"]
+    calls["fail_at"] = 10**9
+    vals, idx = stream_topk_neighbors(
+        bm, 5, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True, out_dir=str(tmp_path),
+    )
+    np.testing.assert_array_equal(vals, want_vals)
+    c = oracle_count_matrix(bm.packed)
+    for r in range(bm.n):
+        for t in range(5):
+            if vals[r, t] > 0:
+                assert c[r, idx[r, t]] == vals[r, t]
+    # the resume skipped the checkpointed rows: total stripes computed
+    # across both runs stays below 2x a full walk
+    n_super = 4  # 52 rows / 16 -> 64 padded
+    full = n_super * (n_super + 1) // 2
+    assert calls["n"] - crashed_calls < full
+
+    # a different-parameter resume must refuse
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_topk_neighbors(
+            bm, 4, superblock_rows=16, kernel="dense", config=_small_cfg(),
+            interpret=True, out_dir=str(tmp_path),
+        )
+
+
+def test_stream_pairs_stripe_files_resume(tmp_path, monkeypatch):
+    """stream_pairs_above(out_dir=...) persists per-stripe hits and
+    skips existing stripes on re-run; deleting one file recomputes
+    exactly that stripe; values match the plain run."""
+    import os
+
+    import stormtpu.stream_query as sq
+
+    bm = random_bitmatrix(52, 600, 0.3, seed=92)
+    want = stream_pairs_above(
+        bm, 30, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True,
+    )
+    real = sq._stripe_screen
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_screen", counting)
+    got = stream_pairs_above(
+        bm, 30, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True, out_dir=str(tmp_path),
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    first = calls["n"]
+    assert first > 0
+
+    # full re-run: every stripe reloaded from disk, zero recompute
+    calls["n"] = 0
+    got = stream_pairs_above(
+        bm, 30, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True, out_dir=str(tmp_path),
+    )
+    assert calls["n"] == 0
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # delete one stripe -> exactly one recompute, same values
+    # (sb=16 rounds to lcm(ti=8, 32)=32 here: n_super=2, 3 stripes)
+    os.remove(os.path.join(str(tmp_path), "hits_00000_00001.npz"))
+    calls["n"] = 0
+    got = stream_pairs_above(
+        bm, 30, superblock_rows=16, kernel="dense", config=_small_cfg(),
+        interpret=True, out_dir=str(tmp_path),
+    )
+    assert calls["n"] == 1
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # parameter mismatch refuses
+    with pytest.raises(ValueError, match="manifest"):
+        stream_pairs_above(
+            bm, 31, superblock_rows=16, kernel="dense", config=_small_cfg(),
+            interpret=True, out_dir=str(tmp_path),
+        )
