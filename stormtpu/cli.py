@@ -176,7 +176,8 @@ def cmd_topk(args: argparse.Namespace) -> int:
         from stormtpu.stream_query import stream_topk_neighbors
 
         vals, idx = stream_topk_neighbors(
-            bm, args.k, superblock_rows=args.superblock
+            bm, args.k, superblock_rows=args.superblock,
+            out_dir=args.ckpt_dir or None,
         )
     else:
         from stormtpu import topk_neighbors
@@ -209,6 +210,7 @@ def cmd_screen(args: argparse.Namespace) -> int:
         ii, jj, vals = stream_pairs_above(
             bm, args.threshold, measure=args.measure,
             superblock_rows=args.superblock,
+            out_dir=args.ckpt_dir or None,
         )
     else:
         from stormtpu import pairs_above
@@ -308,6 +310,8 @@ def main(argv=None) -> int:
     sp.add_argument("--stream", action="store_true",
                     help="operand-streaming stripe walk (N beyond HBM)")
     sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--ckpt-dir", default="",
+                    help="with --stream: checkpoint/resume directory")
     sp.set_defaults(fn=cmd_topk)
 
     sp = sub.add_parser(
@@ -329,6 +333,8 @@ def main(argv=None) -> int:
     sp.add_argument("--stream", action="store_true",
                     help="operand-streaming stripe walk (N beyond HBM)")
     sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--ckpt-dir", default="",
+                    help="with --stream: per-stripe hit files, resumable")
     sp.set_defaults(fn=cmd_screen)
 
     args = p.parse_args(argv)

@@ -177,3 +177,32 @@ def test_cli_against_rejects_stream(tmp_path):
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["screen", "--in", str(f), "--out", str(tmp_path / "o.npz"),
               "--threshold", "1", "--against", str(f), "--stream"])
+
+
+def test_cli_stream_ckpt_dir(tmp_path):
+    import numpy as np
+
+    from stormtpu import BitMatrix
+    from stormtpu.cli import main
+    from stormtpu.io import save_bitmatrix
+    from stormtpu.stream_query import stream_topk_neighbors
+
+    rng = np.random.default_rng(7)
+    bm = BitMatrix.from_dense((rng.random((40, 512)) < 0.3).astype(np.uint8))
+    f = tmp_path / "m.npz"
+    save_bitmatrix(bm, str(f))
+    out = tmp_path / "topk.npz"
+    ck = tmp_path / "ck"
+    assert main(["topk", "--in", str(f), "--out", str(out), "--k", "3",
+                 "--stream", "--superblock", "16",
+                 "--ckpt-dir", str(ck)]) == 0
+    assert (ck / "topk_ckpt.npz").exists()
+    with np.load(out) as z:
+        want, _ = stream_topk_neighbors(bm, 3, superblock_rows=16)
+        np.testing.assert_array_equal(z["counts"], want)
+    out2 = tmp_path / "hits.npz"
+    ck2 = tmp_path / "ck2"
+    assert main(["screen", "--in", str(f), "--out", str(out2),
+                 "--threshold", "20", "--stream", "--superblock", "16",
+                 "--ckpt-dir", str(ck2)]) == 0
+    assert (ck2 / "screen_manifest.json").exists()
