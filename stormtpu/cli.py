@@ -164,6 +164,12 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "--against and --stream are mutually exclusive: the cross "
             "form walks the panel in device-sized chunks itself"
         )
+    if args.ckpt_dir and not args.stream:
+        raise SystemExit(
+            "--ckpt-dir requires --stream: only the stripe walk "
+            "checkpoints (a silent no-op here would lose a crashed "
+            "multi-hour run)"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -193,6 +199,12 @@ def cmd_screen(args: argparse.Namespace) -> int:
         raise SystemExit(
             "--against and --stream are mutually exclusive: the cross "
             "form walks the panel in device-sized chunks itself"
+        )
+    if args.ckpt_dir and not args.stream:
+        raise SystemExit(
+            "--ckpt-dir requires --stream: only the stripe walk "
+            "checkpoints (a silent no-op here would lose a crashed "
+            "multi-hour run)"
         )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")

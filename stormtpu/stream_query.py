@@ -237,9 +237,25 @@ def _merge_topk(
     best_i[sl] = np.take_along_axis(ci, sel, axis=1)
 
 
+def _content_fingerprint(bm: BitMatrix) -> str:
+    """Cheap content key for resume directories: shape alone is not
+    identity (a regenerated same-shape matrix must NOT silently reuse a
+    stale checkpoint). Row popcounts catch any bit-count change; the
+    boundary-row CRCs catch same-popcount edits at the ends. Not
+    cryptographic — a safety net, not a proof."""
+    import zlib
+
+    h = zlib.crc32(np.ascontiguousarray(bm.row_nnz).tobytes())
+    if bm.n:
+        h = zlib.crc32(np.ascontiguousarray(bm.packed[0]).tobytes(), h)
+        h = zlib.crc32(np.ascontiguousarray(bm.packed[-1]).tobytes(), h)
+    return f"{int(bm.nnz)}-{h:08x}"
+
+
 def _topk_ckpt_params(bm: BitMatrix, k: int, sb: int, kernel: str) -> dict:
     return {"n": bm.n, "m_bits": bm.m_bits, "k": k,
-            "superblock_rows": sb, "kernel": kernel}
+            "superblock_rows": sb, "kernel": kernel,
+            "content": _content_fingerprint(bm)}
 
 
 def stream_topk_neighbors(
@@ -251,6 +267,7 @@ def stream_topk_neighbors(
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
     out_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count at streaming
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
@@ -264,7 +281,9 @@ def stream_topk_neighbors(
     stripe ROW (atomic write+rename, like stream.py's stripes) and
     resume from it — an interrupted multi-hour walk restarts at the
     first unfinished superblock row, not from scratch. The checkpoint is
-    keyed on (n, m_bits, k, superblock, kernel); a mismatch raises."""
+    keyed on (n, m_bits, k, superblock, kernel) PLUS a cheap content
+    fingerprint of the matrix; a mismatch raises (``resume=False``
+    ignores and overwrites any existing checkpoint)."""
     import json
     import os
 
@@ -300,7 +319,7 @@ def stream_topk_neighbors(
     start_i = 0
     ckpt = os.path.join(out_dir, "topk_ckpt.npz") if out_dir else None
     params = _topk_ckpt_params(bm, k, sb, kernel)
-    if ckpt and os.path.exists(ckpt):
+    if ckpt and resume and os.path.exists(ckpt):
         with np.load(ckpt, allow_pickle=False) as z:
             got = json.loads(str(z["params"]))
             if got != params:
@@ -316,6 +335,7 @@ def stream_topk_neighbors(
     occ_sb = _superblock_occupancy(bm, n_pad, sb)
     xi_d, xi_idx = None, -1
     for i in range(start_i, n_super):
+        dirty = False
         for j in range(i, n_super):
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 # C8 summary skip: every count in this stripe is exactly
@@ -323,6 +343,7 @@ def stream_topk_neighbors(
                 # (0, 0) "no partner" convention, which the final mask
                 # emits anyway, so the stripe never touches the device
                 continue
+            dirty = True
             if xi_idx != i:
                 xi_d = jnp.asarray(
                     _host_superblock(bm.packed, bm.n, sb, w_pad, i)
@@ -343,10 +364,13 @@ def stream_topk_neighbors(
                 _merge_topk(best_v, best_i, slice(j * sb, (j + 1) * sb),
                             np.asarray(vj).astype(np.int64),
                             np.asarray(ij) + i * sb, k)
-        if ckpt:
+        if ckpt and dirty:
             # atomic per-row checkpoint: a crash restarts at the first
             # UNFINISHED row (its partial merges are discarded with the
-            # in-memory arrays, so no candidate is ever merged twice)
+            # in-memory arrays, so no candidate is ever merged twice).
+            # Summary-skipped rows write nothing — re-skipping them on
+            # resume is a host-only check, and the full-state write is
+            # the expensive part (n_pad·k·12 bytes per row)
             tmp = ckpt + ".tmp"
             with open(tmp, "wb") as f:
                 np.savez(f, params=json.dumps(params), best_v=best_v,
@@ -423,6 +447,7 @@ def stream_pairs_above(
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
     out_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All unordered pairs (i < j) with measure ≥ threshold, at streaming
     scale (operands bounded by host RAM, not HBM). Same contract as
@@ -437,7 +462,8 @@ def stream_pairs_above(
     write an empty marker) and skip stripes whose file exists — an
     interrupted walk resumes at the first missing stripe, mirroring
     ``stream.stream_count_matrix``. Keyed by a manifest on (n, m_bits,
-    superblock, kernel, measure, threshold); a mismatch raises."""
+    superblock, kernel, measure, threshold) plus a cheap content
+    fingerprint; a mismatch raises (``resume=False`` overwrites)."""
     import json
     import os
 
@@ -485,8 +511,9 @@ def stream_pairs_above(
         manifest = os.path.join(out_dir, "screen_manifest.json")
         params = {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
                   "kernel": kernel, "measure": measure,
-                  "threshold": float(threshold)}
-        if os.path.exists(manifest):
+                  "threshold": float(threshold),
+                  "content": _content_fingerprint(bm)}
+        if resume and os.path.exists(manifest):
             with open(manifest) as f:
                 got = json.load(f)
             if got != params:
@@ -494,8 +521,10 @@ def stream_pairs_above(
                     f"{manifest} was written for {got}, not {params}"
                 )
         else:
-            with open(manifest, "w") as f:
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(params, f)
+            os.replace(tmp, manifest)
 
     def _stripe_file(i: int, j: int) -> str:
         return os.path.join(out_dir, f"hits_{i:05d}_{j:05d}.npz")
@@ -520,7 +549,7 @@ def stream_pairs_above(
     xi_d, xi_idx = None, -1
     for i in range(n_super):
         for j in range(i, n_super):
-            if out_dir and os.path.exists(_stripe_file(i, j)):
+            if out_dir and resume and os.path.exists(_stripe_file(i, j)):
                 # resume: reload the completed stripe's hits
                 with np.load(_stripe_file(i, j)) as z:
                     if z["ii"].size:

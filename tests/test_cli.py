@@ -206,3 +206,22 @@ def test_cli_stream_ckpt_dir(tmp_path):
                  "--threshold", "20", "--stream", "--superblock", "16",
                  "--ckpt-dir", str(ck2)]) == 0
     assert (ck2 / "screen_manifest.json").exists()
+
+
+def test_cli_ckpt_dir_requires_stream(tmp_path):
+    import numpy as np
+    import pytest
+
+    from stormtpu import BitMatrix
+    from stormtpu.cli import main
+    from stormtpu.io import save_bitmatrix
+
+    bm = BitMatrix.from_dense(np.eye(8, 64, dtype=np.uint8))
+    f = tmp_path / "m.npz"
+    save_bitmatrix(bm, str(f))
+    with pytest.raises(SystemExit, match="requires --stream"):
+        main(["topk", "--in", str(f), "--out", str(tmp_path / "o.npz"),
+              "--k", "2", "--ckpt-dir", str(tmp_path / "ck")])
+    with pytest.raises(SystemExit, match="requires --stream"):
+        main(["screen", "--in", str(f), "--out", str(tmp_path / "o.npz"),
+              "--threshold", "1", "--ckpt-dir", str(tmp_path / "ck")])

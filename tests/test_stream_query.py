@@ -339,3 +339,36 @@ def test_stream_pairs_stripe_files_resume(tmp_path, monkeypatch):
             bm, 31, superblock_rows=16, kernel="dense", config=_small_cfg(),
             interpret=True, out_dir=str(tmp_path),
         )
+
+
+def test_resume_rejects_different_content_and_resume_false(tmp_path):
+    """Same-shape but different-content matrices must NOT silently reuse
+    a checkpoint (content fingerprint); resume=False overwrites."""
+    bm1 = random_bitmatrix(40, 512, 0.4, seed=95)
+    bm2 = random_bitmatrix(40, 512, 0.4, seed=96)
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "s")
+
+    stream_topk_neighbors(bm1, 3, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True, out_dir=d1)
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_topk_neighbors(bm2, 3, superblock_rows=16, kernel="dense",
+                              config=_small_cfg(), interpret=True,
+                              out_dir=d1)
+    v2, _ = stream_topk_neighbors(bm2, 3, superblock_rows=16, kernel="dense",
+                                  config=_small_cfg(), interpret=True,
+                                  out_dir=d1, resume=False)
+    np.testing.assert_array_equal(v2, _oracle_topk_vals(bm2, 3))
+
+    stream_pairs_above(bm1, 30, superblock_rows=16, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=d2)
+    with pytest.raises(ValueError, match="manifest"):
+        stream_pairs_above(bm2, 30, superblock_rows=16, kernel="dense",
+                           config=_small_cfg(), interpret=True, out_dir=d2)
+    ii, jj, vv = stream_pairs_above(bm2, 30, superblock_rows=16,
+                                    kernel="dense", config=_small_cfg(),
+                                    interpret=True, out_dir=d2, resume=False)
+    c = oracle_count_matrix(bm2.packed)
+    wi, wj = np.nonzero(np.triu(c, 1) >= 30)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_array_equal(vv, c[wi, wj])
