@@ -13,7 +13,7 @@ data-parallel, and the count matrix is assembled via jax.lax collectives.
 - ``scaling``  — scaling-efficiency measurement harness
 """
 
-from stormtpu.parallel.mesh import make_row_mesh
+from stormtpu.parallel.mesh import make_grid_mesh, make_row_mesh
 from stormtpu.parallel.allpairs import distributed_count_matrix
 from stormtpu.parallel.columns import distributed_column_counts
 from stormtpu.parallel.cross import (
@@ -35,6 +35,7 @@ from stormtpu.parallel.setops import (
 )
 
 __all__ = [
+    "make_grid_mesh",
     "make_row_mesh",
     "distributed_count_matrix",
     "distributed_column_counts",

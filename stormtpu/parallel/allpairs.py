@@ -37,12 +37,13 @@ from stormtpu.config import EngineConfig, default_config
 from stormtpu.parallel.mesh import fetch_global, make_row_mesh
 from stormtpu.utils import round_up
 
-__all__ = ["distributed_count_matrix", "ring_count_rows"]
+__all__ = ["distributed_count_matrix", "ring_count_rows", "ring_count_rows_2d"]
 
 BlockFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
-def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn):
+def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn,
+                   psum_axis: Optional[str] = None):
     """Triangular ring: each UNORDERED shard pair is computed exactly once
     — device d computes (d, d+s) for s = 0..⌈R/2⌉−1ish and ships the
     transposed count tile back over the ring for the mirror entry, instead
@@ -58,6 +59,12 @@ def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn):
     For even R, S = R/2 and at s = S the pairing d ↔ d+R/2 is mutual —
     both devices compute their own block (SPMD executes everywhere
     anyway), so no mirror is shipped.
+
+    ``psum_axis``: the 2-D composed form — each device holds only a WORD
+    slice of its row shard, block_fn yields an exact int32 partial, and
+    the psum over the bits axis completes each tile before it enters the
+    ring bookkeeping (every device of a row group then runs identical
+    ring steps, so the mirrors/ppermutes are unchanged).
     """
 
     def local_fn(x_local: jax.Array) -> jax.Array:
@@ -68,6 +75,8 @@ def _ring_local_fn(axis: str, r: int, n_loc: int, block_fn: BlockFn):
         for s in range(s_max + 1):
             partner = (my + s) % r
             counts = block_fn(x_local, buf).astype(jnp.int32)
+            if psum_axis is not None:
+                counts = jax.lax.psum(counts, psum_axis)
             out = jax.lax.dynamic_update_slice(out, counts, (0, partner * n_loc))
             if 0 < s and not (r % 2 == 0 and s == s_max):
                 # ship countsᵀ (rows of the partner × cols of me) forward
@@ -104,6 +113,29 @@ def ring_count_rows(
         in_specs=P(axis, None),
         out_specs=P(axis, None),
         check_vma=False,  # pallas outputs carry no vma metadata
+    )
+
+
+def ring_count_rows_2d(
+    mesh: Mesh,
+    row_axis: str,
+    bit_axis: str,
+    n_loc: int,
+    block_fn: BlockFn,
+):
+    """Jittable sharded fn for a 2-D [rows × bits] mesh: packed sharded
+    ``P(rows, bits)`` → row-sharded counts int32 [N_pad, N_pad] (each
+    device holds a word slice of a row shard; the ring streams row
+    shards, a psum over the bits axis completes every tile)."""
+    r = mesh.shape[row_axis]
+    local = _ring_local_fn(row_axis, r, n_loc, block_fn,
+                           psum_axis=bit_axis)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(row_axis, bit_axis),
+        out_specs=P(row_axis, None),
+        check_vma=False,
     )
 
 
@@ -253,6 +285,23 @@ def distributed_count_matrix(
 
         block_fn = lambda a, b: count_block_auto(a, b, config=cfg)
 
+    if len(mesh.axis_names) == 2:
+        # composed 2-D form (rows × bits): ring over row shards, psum
+        # over word slices — for N AND M both beyond a 1-D layout.
+        # shard_axis is ignored; the mesh already says both.
+        row_axis, bit_axis = mesh.axis_names
+        rr, rb = mesh.shape[row_axis], mesh.shape[bit_axis]
+        n_pad = round_up(max(n, rr), rr * 8)
+        w_pad = round_up(max(w, rb), rb)
+        xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        xp[:n, :w] = packed
+        n_loc = n_pad // rr
+        x_sharded = jax.device_put(
+            xp, NamedSharding(mesh, P(row_axis, bit_axis))
+        )
+        fn = jax.jit(ring_count_rows_2d(mesh, row_axis, bit_axis, n_loc,
+                                        block_fn))
+        return fetch_global(fn(x_sharded))[:n, :n]
     if shard_axis == "bits":
         # each device's word slice must be a multiple of the K-step, and
         # the K-step must satisfy Mosaic's 128-divisible last-dim rule

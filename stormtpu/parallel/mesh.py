@@ -56,3 +56,30 @@ def make_row_mesh(
     import numpy as np
 
     return Mesh(np.asarray(devices), axis_names=(axis,))
+
+
+def make_grid_mesh(
+    rows: int,
+    bits: int,
+    *,
+    axes: tuple[str, str] = ("rows", "bits"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D mesh [rows × bits] for the composed row-shard × K-shard form
+    (both N and M too large for either 1-D layout alone): the ring
+    streams row shards along ``axes[0]`` while ``psum`` over ``axes[1]``
+    merges exact int32 partials from the word slices. Lay the faster
+    interconnect along the bits axis when possible — the psum runs every
+    ring step."""
+    if devices is None:
+        devices = jax.devices()
+    if rows * bits > len(devices):
+        raise ValueError(
+            f"asked for {rows}×{bits} devices, have {len(devices)}"
+        )
+    import numpy as np
+
+    return Mesh(
+        np.asarray(devices[: rows * bits]).reshape(rows, bits),
+        axis_names=axes,
+    )

@@ -384,3 +384,18 @@ def test_distributed_topk_bits_small_w_falls_back(mesh8):
     with _pytest.raises(ValueError):
         distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(8),
                                    shard_axis="cols")
+
+
+def test_distributed_count_matrix_2d_mesh():
+    """Composed rows × bits mesh: ring over row shards with a psum over
+    word slices, exact vs oracle at ragged N and W, both orientations
+    of the 8-device grid (odd and even ring lengths)."""
+    from stormtpu.parallel import distributed_count_matrix, make_grid_mesh
+
+    rng = np.random.default_rng(67)
+    packed = rng.integers(0, 2**32, (43, 19), dtype=np.uint32)
+    want = oracle_count_matrix(packed)
+    for rr, rb in ((4, 2), (2, 4)):
+        mesh = make_grid_mesh(rr, rb)
+        got = distributed_count_matrix(packed, mesh=mesh)
+        np.testing.assert_array_equal(got, want, err_msg=f"{rr}x{rb}")
