@@ -71,16 +71,24 @@ def _sharded_operands(bm, mesh: Mesh, n_pad: int):
     """Mesh-sharded device operands for ``bm``, cached on the BitMatrix
     (same rationale as BitMatrix.device_padded: repeated queries must not
     re-upload O(N·W) per call). Returns (packed row-sharded,
-    nnz row-sharded, nnz replicated)."""
-    axis = mesh.axis_names[0]
+    nnz row-sharded, nnz replicated). On a 2-D [rows × bits] mesh the
+    packed words are additionally sharded along the second axis (the
+    composed ring+psum query forms)."""
+    axes = mesh.axis_names
+    axis = axes[0]
+    bit_axis = axes[1] if len(axes) == 2 else None
 
     def build():
-        xp = np.zeros((n_pad, bm.n_words), dtype=np.uint32)
-        xp[: bm.n] = bm.packed
+        w_pad = bm.n_words
+        if bit_axis is not None:
+            rb = mesh.shape[bit_axis]
+            w_pad = round_up(max(bm.n_words, rb), rb)
+        xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+        xp[: bm.n, : bm.n_words] = bm.packed
         nnz_pad = np.zeros(n_pad, dtype=np.int32)
         nnz_pad[: bm.n] = bm.row_nnz.astype(np.int32)
         return (
-            jax.device_put(xp, NamedSharding(mesh, P(axis, None))),
+            jax.device_put(xp, NamedSharding(mesh, P(axis, bit_axis))),
             jax.device_put(nnz_pad, NamedSharding(mesh, P(axis))),
             jax.device_put(nnz_pad, NamedSharding(mesh, P())),
         )
@@ -115,7 +123,8 @@ def _kshard_operands(bm, mesh: Mesh, ti: int, wk: int):
     return x_sharded, nnz_rep, n_pad, w_pad
 
 
-def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
+def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int,
+                     psum_axis: Optional[str] = None):
     """Per-device ring loop maintaining running top-k for the local rows.
 
     Correctness of the streaming merge: a global top-k partner of row i
@@ -125,6 +134,11 @@ def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
     differs from the single-chip ``lax.top_k`` over the full row (merge
     order is ring order, not global column order) — values are identical,
     indices may differ among equal counts.
+
+    ``psum_axis``: 2-D [rows × bits] mesh — each device holds a word
+    slice, the psum completes every count block exactly before the
+    (non-idempotent) top-k merge touches it; every device of a row group
+    then runs identical merges.
     """
     kk = min(k, n_loc)
     nb = n_loc // block_rows
@@ -143,6 +157,8 @@ def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
             def step_block(args):
                 blk, b0, bv, bi = args
                 counts = count_block_auto(blk, buf).astype(jnp.int32)
+                if psum_axis is not None:
+                    counts = jax.lax.psum(counts, psum_axis)
                 row_g = (
                     jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
                     + my * n_loc + b0
@@ -175,13 +191,16 @@ def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int):
 
 @functools.lru_cache(maxsize=64)
 def _topk_fn(mesh: Mesh, n_loc: int, k: int, block_rows: int):
-    axis = mesh.axis_names[0]
+    axes = mesh.axis_names
+    axis = axes[0]
+    bit_axis = axes[1] if len(axes) == 2 else None
     r = mesh.shape[axis]
     return jax.jit(
         shard_map(
-            _ring_topk_local(axis, r, n_loc, k, block_rows),
+            _ring_topk_local(axis, r, n_loc, k, block_rows,
+                             psum_axis=bit_axis),
             mesh=mesh,
-            in_specs=P(axis, None),
+            in_specs=P(axis, bit_axis),
             out_specs=(P(axis, None), P(axis, None)),
             check_vma=False,
         )
@@ -249,7 +268,8 @@ def distributed_topk_neighbors(
         raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
-    if shard_axis == "bits" and bm.n_words >= r * 128:
+    if (shard_axis == "bits" and len(mesh.axis_names) == 1
+            and bm.n_words >= r * 128):
         from stormtpu.config import default_config
         from stormtpu.tuning import tuned_variant
         from stormtpu.utils import (
@@ -308,7 +328,8 @@ def distributed_topk_neighbors(
 
 
 def _ring_hits_local(
-    axis: str, r: int, n_loc: int, block_rows: int, measure: str
+    axis: str, r: int, n_loc: int, block_rows: int, measure: str,
+    psum_axis: Optional[str] = None,
 ):
     """Per-device TRIANGULAR ring loop emitting the packed hit bitmap for
     the local rows over all N columns.
@@ -351,6 +372,13 @@ def _ring_hits_local(
             def step_block(args):
                 blk, b0, nzb = args
                 counts = count_block_auto(blk, buf)
+                if psum_axis is not None:
+                    # 2-D mesh: complete the word-slice partial exactly
+                    # before the screen (float32 slack math is NOT a
+                    # homomorphism over partial counts)
+                    counts = jax.lax.psum(
+                        counts.astype(jnp.int32), psum_axis
+                    )
                 row_g = (
                     jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
                     + my * n_loc + b0
@@ -404,13 +432,16 @@ def _ring_hits_local(
 
 @functools.lru_cache(maxsize=64)
 def _hits_fn(mesh: Mesh, n_loc: int, block_rows: int, measure: str):
-    axis = mesh.axis_names[0]
+    axes = mesh.axis_names
+    axis = axes[0]
+    bit_axis = axes[1] if len(axes) == 2 else None
     r = mesh.shape[axis]
     return jax.jit(
         shard_map(
-            _ring_hits_local(axis, r, n_loc, block_rows, measure),
+            _ring_hits_local(axis, r, n_loc, block_rows, measure,
+                             psum_axis=bit_axis),
             mesh=mesh,
-            in_specs=(P(axis, None), P(axis), P(), P(), P()),
+            in_specs=(P(axis, bit_axis), P(axis), P(), P(), P()),
             out_specs=P(axis, None),
             check_vma=False,
         )
@@ -505,7 +536,8 @@ def distributed_pairs_above(
         raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
     dev_thresh = _validate_screen(measure, threshold)
     rep = NamedSharding(mesh, P())
-    if shard_axis == "bits" and bm.n_words >= r * 128:
+    if (shard_axis == "bits" and len(mesh.axis_names) == 1
+            and bm.n_words >= r * 128):
         from stormtpu.config import default_config
         from stormtpu.tuning import tuned_variant
         from stormtpu.utils import (

@@ -399,3 +399,37 @@ def test_distributed_count_matrix_2d_mesh():
         mesh = make_grid_mesh(rr, rb)
         got = distributed_count_matrix(packed, mesh=mesh)
         np.testing.assert_array_equal(got, want, err_msg=f"{rr}x{rb}")
+
+
+def test_distributed_queries_2d_mesh():
+    """Composed rows × bits mesh for the reduced queries: per-step psum
+    completes each count block before the top-k merge / screen; values
+    equal the single-chip forms at ragged N and W."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import (
+        distributed_pairs_above,
+        distributed_topk_neighbors,
+        make_grid_mesh,
+    )
+    from stormtpu.query import pairs_above, topk_neighbors
+
+    rng = np.random.default_rng(71)
+    dense = (rng.random((45, 610)) < 0.3).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    want_v, _ = topk_neighbors(bm, 4)
+    want_hits = pairs_above(bm, 40)
+    for rr, rb in ((4, 2), (2, 4)):
+        mesh = make_grid_mesh(rr, rb)
+        vals, idx = distributed_topk_neighbors(bm, 4, mesh=mesh,
+                                               block_rows=8)
+        np.testing.assert_array_equal(vals, want_v, err_msg=f"{rr}x{rb}")
+        c = oracle_count_matrix(bm.packed)
+        for r in range(bm.n):
+            for t in range(4):
+                if vals[r, t] > 0:
+                    assert c[r, idx[r, t]] == vals[r, t]
+        ii, jj, vv = distributed_pairs_above(bm, 40, mesh=mesh,
+                                             block_rows=8)
+        np.testing.assert_array_equal(ii, want_hits[0], err_msg=f"{rr}x{rb}")
+        np.testing.assert_array_equal(jj, want_hits[1], err_msg=f"{rr}x{rb}")
+        np.testing.assert_array_equal(vv, want_hits[2], err_msg=f"{rr}x{rb}")
