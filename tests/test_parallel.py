@@ -433,3 +433,27 @@ def test_distributed_queries_2d_mesh():
         np.testing.assert_array_equal(ii, want_hits[0], err_msg=f"{rr}x{rb}")
         np.testing.assert_array_equal(jj, want_hits[1], err_msg=f"{rr}x{rb}")
         np.testing.assert_array_equal(vv, want_hits[2], err_msg=f"{rr}x{rb}")
+
+
+def test_distributed_setops_inherit_2d_mesh():
+    from stormtpu import similarity_matrix
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import (
+        distributed_pairwise_cardinality,
+        distributed_similarity_matrix,
+        make_grid_mesh,
+    )
+
+    rng = np.random.default_rng(73)
+    dense = (rng.random((21, 330)) < 0.35).astype(np.uint8)
+    bm = BitMatrix.from_dense(dense)
+    mesh = make_grid_mesh(4, 2)
+    np.testing.assert_allclose(
+        distributed_similarity_matrix(bm, "jaccard", mesh=mesh),
+        similarity_matrix(bm, "jaccard"), rtol=0, atol=0,
+    )
+    want_u = (bm.row_nnz[:, None] + bm.row_nnz[None, :]
+              - oracle_count_matrix(bm.packed))
+    np.testing.assert_array_equal(
+        distributed_pairwise_cardinality(bm, "union", mesh=mesh), want_u,
+    )
