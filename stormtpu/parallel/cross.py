@@ -49,23 +49,36 @@ def _cross_operands(a, b, mesh):
     return bm_a, bm_b, mesh, axis, mesh.shape[axis]
 
 
+def _bit_axis(mesh) -> Optional[str]:
+    return mesh.axis_names[1] if len(mesh.axis_names) == 2 else None
+
+
 def _put_sharded(bm_a, bm_b, mesh, axis, r):
-    """(a replicated [na, W], b row-sharded [nb_pad, W], n_loc) —
-    device-cached on the BitMatrices (repeated lookups against the same
-    reference panel are the workload; re-uploading the panel per call
-    cost ~8 s/138 MB through this relay)."""
+    """(a replicated-over-rows [na, W], b row-sharded [nb_pad, W],
+    n_loc) — device-cached on the BitMatrices (repeated lookups against
+    the same reference panel are the workload; re-uploading the panel
+    per call cost ~8 s/138 MB through this relay). On a 2-D [rows ×
+    bits] mesh both operands are additionally word-sharded; a psum over
+    the bits axis completes the count blocks in the kernels."""
     nb_pad = round_up(max(bm_b.n, r), r * 32)
+    bit_axis = _bit_axis(mesh)
+    w_pad = bm_b.n_words
+    if bit_axis is not None:
+        rb = mesh.shape[bit_axis]
+        w_pad = round_up(max(w_pad, rb), rb)
 
     def build_b():
-        xb = np.zeros((nb_pad, bm_b.n_words), dtype=np.uint32)
-        xb[: bm_b.n] = bm_b.packed
-        return jax.device_put(xb, NamedSharding(mesh, P(axis, None)))
+        xb = np.zeros((nb_pad, w_pad), dtype=np.uint32)
+        xb[: bm_b.n, : bm_b.n_words] = bm_b.packed
+        return jax.device_put(xb, NamedSharding(mesh, P(axis, bit_axis)))
+
+    def build_a():
+        xa = np.zeros((bm_a.n, w_pad), dtype=np.uint32)
+        xa[:, : bm_a.n_words] = bm_a.packed
+        return jax.device_put(xa, NamedSharding(mesh, P(None, bit_axis)))
 
     b_sharded = bm_b.device_cached(("cross_rowshard", nb_pad, mesh), build_b)
-    a_rep = bm_a.device_cached(
-        ("cross_replicated", mesh),
-        lambda: jax.device_put(bm_a.packed, NamedSharding(mesh, P())),
-    )
+    a_rep = bm_a.device_cached(("cross_replicated", w_pad, mesh), build_a)
     return a_rep, b_sharded, nb_pad // r
 
 
@@ -73,9 +86,14 @@ def _put_sharded(bm_a, bm_b, mesh, axis, r):
 def _cross_topk_fn(mesh: Mesh, axis: str, k: int, n_loc: int):
     from stormtpu.kernels import count_block_auto
 
+    bit_axis = _bit_axis(mesh)
+
     def local_fn(a_rep, b_loc, nb):
         d = jax.lax.axis_index(axis)
         c = count_block_auto(a_rep, b_loc)          # [na, n_loc]
+        if bit_axis is not None:
+            # 2-D mesh: complete the word-slice partial before top-k
+            c = jax.lax.psum(c.astype(jnp.int32), bit_axis)
         gid = (jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
                + d * jnp.int32(n_loc))
         masked = jnp.where(gid < nb, c, jnp.int32(-1))
@@ -87,7 +105,7 @@ def _cross_topk_fn(mesh: Mesh, axis: str, k: int, n_loc: int):
     return jax.jit(shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
+        in_specs=(P(None, bit_axis), P(axis, bit_axis), P()),
         out_specs=(P(axis, None, None), P(axis, None, None)),
         check_vma=False,
     ))
@@ -138,9 +156,15 @@ def _cross_screen_fn(mesh: Mesh, axis: str, measure: str, n_loc: int):
     from stormtpu.kernels import count_block_auto
     from stormtpu.query import _pack_bit_rows, _screen_vals
 
+    bit_axis = _bit_axis(mesh)
+
     def local_fn(a_rep, b_loc, nnz_a, nnz_b_loc, nb, thresh, m_f):
         d = jax.lax.axis_index(axis)
         c = count_block_auto(a_rep, b_loc)          # [na, n_loc]
+        if bit_axis is not None:
+            # complete the partial before the float32 screen (the slack
+            # math is not a homomorphism over partial counts)
+            c = jax.lax.psum(c.astype(jnp.int32), bit_axis)
         vals = _screen_vals(c, nnz_a, nnz_b_loc, m_f, measure)
         gid = (jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
                + d * jnp.int32(n_loc))
@@ -150,7 +174,8 @@ def _cross_screen_fn(mesh: Mesh, axis: str, measure: str, n_loc: int):
     return jax.jit(shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(), P(axis), P(), P(), P()),
+        in_specs=(P(None, bit_axis), P(axis, bit_axis), P(), P(axis),
+                  P(), P(), P()),
         out_specs=P(None, axis),
         check_vma=False,
     ))

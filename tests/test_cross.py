@@ -162,3 +162,32 @@ def test_distributed_cross_matches_single_chip():
     # refuse (each device ranks only its own shard)
     with pytest.raises(ValueError, match="B shard"):
         distributed_cross_topk_neighbors(a, b, 33, mesh=mesh)
+
+
+def test_distributed_cross_2d_mesh():
+    """Cross queries on the composed rows × bits mesh: the panel is
+    row- AND word-sharded, psum completes each count block; values equal
+    the single-chip forms."""
+    from stormtpu.parallel import (
+        distributed_cross_pairs_above,
+        distributed_cross_topk_neighbors,
+        make_grid_mesh,
+    )
+
+    a = random_bitmatrix(15, 580, 0.35, seed=81)
+    b = random_bitmatrix(90, 580, 0.3, seed=82)
+    c = oracle_count_block(a.packed, b.packed).astype(np.int64)
+    for rr, rb in ((4, 2), (2, 4)):
+        mesh = make_grid_mesh(rr, rb)
+        vals, idx = distributed_cross_topk_neighbors(a, b, 4, mesh=mesh)
+        np.testing.assert_array_equal(
+            vals, -np.sort(-c, axis=1)[:, :4], err_msg=f"{rr}x{rb}"
+        )
+        for r in range(a.n):
+            for t in range(4):
+                assert c[r, idx[r, t]] == vals[r, t]
+        ii, jj, vv = distributed_cross_pairs_above(a, b, 52, mesh=mesh)
+        ii1, jj1, vv1 = cross_pairs_above(a, b, 52)
+        np.testing.assert_array_equal(ii, ii1, err_msg=f"{rr}x{rb}")
+        np.testing.assert_array_equal(jj, jj1, err_msg=f"{rr}x{rb}")
+        np.testing.assert_array_equal(vv, vv1, err_msg=f"{rr}x{rb}")
