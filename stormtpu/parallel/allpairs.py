@@ -245,6 +245,28 @@ def _jit_kshard_tiles_clustered(mesh, axis, ti, wk, n_slots, interpret,
 
 
 @functools.lru_cache(maxsize=64)
+def _jit_ring2d(mesh, row_axis, bit_axis, n_loc, cfg):
+    # default-block_fn form only (a caller-supplied block_fn is a fresh
+    # unhashable callable; those callers own their caching)
+    from stormtpu.kernels import count_block_auto
+
+    return jax.jit(ring_count_rows_2d(
+        mesh, row_axis, bit_axis, n_loc,
+        lambda a, b: count_block_auto(a, b, config=cfg),
+    ))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_ring1d(mesh, axis, n_loc, cfg):
+    from stormtpu.kernels import count_block_auto
+
+    return jax.jit(ring_count_rows(
+        mesh, axis, n_loc,
+        lambda a, b: count_block_auto(a, b, config=cfg),
+    ))
+
+
+@functools.lru_cache(maxsize=64)
 def _jit_kshard_tiles(mesh, axis, ti, wk, interpret, variant):
     return jax.jit(kshard_count_tiles(
         mesh, axis, tile_rows=ti, tile_words=wk,
@@ -299,8 +321,13 @@ def distributed_count_matrix(
         x_sharded = jax.device_put(
             xp, NamedSharding(mesh, P(row_axis, bit_axis))
         )
-        fn = jax.jit(ring_count_rows_2d(mesh, row_axis, bit_axis, n_loc,
-                                        block_fn))
+        # compiled fns cached per (mesh, statics) — a fresh
+        # jit(shard_map) per call recompiles every call (CLAUDE.md)
+        if caller_block_fn:
+            fn = jax.jit(ring_count_rows_2d(mesh, row_axis, bit_axis,
+                                            n_loc, block_fn))
+        else:
+            fn = _jit_ring2d(mesh, row_axis, bit_axis, n_loc, cfg)
         return fetch_global(fn(x_sharded))[:n, :n]
     if shard_axis == "bits":
         # each device's word slice must be a multiple of the K-step, and
@@ -391,6 +418,9 @@ def distributed_count_matrix(
     xp[:n] = packed
     n_loc = n_pad // r
     x_sharded = jax.device_put(xp, NamedSharding(mesh, P(axis, None)))
-    fn = jax.jit(ring_count_rows(mesh, axis, n_loc, block_fn))
+    if caller_block_fn:
+        fn = jax.jit(ring_count_rows(mesh, axis, n_loc, block_fn))
+    else:
+        fn = _jit_ring1d(mesh, axis, n_loc, cfg)
     c = fn(x_sharded)
     return fetch_global(c)[:n, :n]

@@ -30,7 +30,7 @@ try:  # jax >= 0.7 stable location
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from stormtpu.parallel.mesh import fetch_global, make_row_mesh
+from stormtpu.parallel.mesh import bit_axis_of, fetch_global, make_row_mesh
 from stormtpu.utils import round_up
 
 __all__ = [
@@ -49,10 +49,6 @@ def _cross_operands(a, b, mesh):
     return bm_a, bm_b, mesh, axis, mesh.shape[axis]
 
 
-def _bit_axis(mesh) -> Optional[str]:
-    return mesh.axis_names[1] if len(mesh.axis_names) == 2 else None
-
-
 def _put_sharded(bm_a, bm_b, mesh, axis, r):
     """(a replicated-over-rows [na, W], b row-sharded [nb_pad, W],
     n_loc) — device-cached on the BitMatrices (repeated lookups against
@@ -61,7 +57,7 @@ def _put_sharded(bm_a, bm_b, mesh, axis, r):
     bits] mesh both operands are additionally word-sharded; a psum over
     the bits axis completes the count blocks in the kernels."""
     nb_pad = round_up(max(bm_b.n, r), r * 32)
-    bit_axis = _bit_axis(mesh)
+    bit_axis = bit_axis_of(mesh)
     w_pad = bm_b.n_words
     if bit_axis is not None:
         rb = mesh.shape[bit_axis]
@@ -86,7 +82,7 @@ def _put_sharded(bm_a, bm_b, mesh, axis, r):
 def _cross_topk_fn(mesh: Mesh, axis: str, k: int, n_loc: int):
     from stormtpu.kernels import count_block_auto
 
-    bit_axis = _bit_axis(mesh)
+    bit_axis = bit_axis_of(mesh)
 
     def local_fn(a_rep, b_loc, nb):
         d = jax.lax.axis_index(axis)
@@ -156,7 +152,7 @@ def _cross_screen_fn(mesh: Mesh, axis: str, measure: str, n_loc: int):
     from stormtpu.kernels import count_block_auto
     from stormtpu.query import _pack_bit_rows, _screen_vals
 
-    bit_axis = _bit_axis(mesh)
+    bit_axis = bit_axis_of(mesh)
 
     def local_fn(a_rep, b_loc, nnz_a, nnz_b_loc, nb, thresh, m_f):
         d = jax.lax.axis_index(axis)

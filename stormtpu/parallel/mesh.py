@@ -71,6 +71,8 @@ def make_grid_mesh(
     merges exact int32 partials from the word slices. Lay the faster
     interconnect along the bits axis when possible — the psum runs every
     ring step."""
+    if rows < 1 or bits < 1:
+        raise ValueError(f"mesh dims must be >= 1, got {rows}×{bits}")
     if devices is None:
         devices = jax.devices()
     if rows * bits > len(devices):
@@ -83,3 +85,10 @@ def make_grid_mesh(
         np.asarray(devices[: rows * bits]).reshape(rows, bits),
         axis_names=axes,
     )
+
+
+def bit_axis_of(mesh: Mesh) -> Optional[str]:
+    """Second mesh axis name on a 2-D [rows × bits] mesh, else None —
+    the single home of the grid-mesh convention (make_grid_mesh defines
+    it; every 2-D-aware sharded fn derives from here)."""
+    return mesh.axis_names[1] if len(mesh.axis_names) == 2 else None

@@ -51,7 +51,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from stormtpu.api import MatrixLike, _as_bitmatrix
 from stormtpu.kernels import count_block_auto
-from stormtpu.parallel.mesh import fetch_global, make_row_mesh
+from stormtpu.parallel.mesh import bit_axis_of, fetch_global, make_row_mesh
 from stormtpu.query import (
     _SCREEN_TILE_CHUNK,
     _default_block_rows,
@@ -74,9 +74,8 @@ def _sharded_operands(bm, mesh: Mesh, n_pad: int):
     nnz row-sharded, nnz replicated). On a 2-D [rows × bits] mesh the
     packed words are additionally sharded along the second axis (the
     composed ring+psum query forms)."""
-    axes = mesh.axis_names
-    axis = axes[0]
-    bit_axis = axes[1] if len(axes) == 2 else None
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
 
     def build():
         w_pad = bm.n_words
@@ -191,9 +190,8 @@ def _ring_topk_local(axis: str, r: int, n_loc: int, k: int, block_rows: int,
 
 @functools.lru_cache(maxsize=64)
 def _topk_fn(mesh: Mesh, n_loc: int, k: int, block_rows: int):
-    axes = mesh.axis_names
-    axis = axes[0]
-    bit_axis = axes[1] if len(axes) == 2 else None
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
     r = mesh.shape[axis]
     return jax.jit(
         shard_map(
@@ -432,9 +430,8 @@ def _ring_hits_local(
 
 @functools.lru_cache(maxsize=64)
 def _hits_fn(mesh: Mesh, n_loc: int, block_rows: int, measure: str):
-    axes = mesh.axis_names
-    axis = axes[0]
-    bit_axis = axes[1] if len(axes) == 2 else None
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
     r = mesh.shape[axis]
     return jax.jit(
         shard_map(

@@ -521,6 +521,13 @@ def stream_pairs_above(
                     f"{manifest} was written for {got}, not {params}"
                 )
         else:
+            # fresh manifest ⇒ any existing stripe files are from ANOTHER
+            # run (resume=False, or an unmanifested directory) — purge
+            # them, or a crash mid-rewrite would leave stale-content
+            # stripes a later resume silently reloads as current
+            for name in os.listdir(out_dir):
+                if name.startswith("hits_") and name.endswith(".npz"):
+                    os.remove(os.path.join(out_dir, name))
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(params, f)

@@ -184,6 +184,17 @@ _WRAPPER_WORKER = textwrap.dedent(
     assert np.array_equal(vals2, -np.sort(-C2m, axis=1)[:, :3]), \
         "bits-axis topk INEXACT multihost"
 
+    # 2-D composed mesh spanning the process boundary: ring over row
+    # shards with a per-step psum over word slices (both collectives
+    # cross hosts), through the public wrappers
+    from stormtpu.parallel import make_grid_mesh
+    mesh2d = make_grid_mesh(2, 2)
+    got2 = distributed_count_matrix(bm.packed, mesh=mesh2d)
+    assert np.array_equal(got2, C), "2-D mesh count INEXACT multihost"
+    v2d, _ = distributed_topk_neighbors(bm, 3, mesh=mesh2d, block_rows=8)
+    assert np.array_equal(v2d, -np.sort(-Cm, axis=1)[:, :3]), \
+        "2-D mesh topk INEXACT multihost"
+
     # streaming driver: all processes compute + gather collectively,
     # process 0 writes; the result on disk must be the exact matrix
     from stormtpu.parallel import distributed_stream_count_matrix
