@@ -40,7 +40,11 @@ from stormtpu.layout import BitMatrix
 from stormtpu.stream import _auto_stream_kernel, _host_superblock
 from stormtpu.utils import pallas_interpret_default, round_up
 
-__all__ = ["stream_topk_neighbors", "stream_pairs_above"]
+__all__ = [
+    "stream_topk_neighbors",
+    "stream_pairs_above",
+    "stream_pairs_above_complete",
+]
 
 # stripe kernels these queries accept (resolved from "auto" by
 # stream._auto_stream_kernel); anything else must be rejected — an
@@ -624,5 +628,168 @@ def stream_pairs_above(
 
     vals = derive_similarity(counts, bm.row_nnz[ii], bm.row_nnz[jj],
                              bm.m_bits, measure)
+    keep = vals >= threshold
+    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("measure", "tps", "ti", "wk", "interpret", "kernel",
+                     "variant", "diagonal"),
+)
+def _stripe_screen_complete(
+    di: jax.Array,
+    dj: jax.Array,
+    mi: jax.Array,
+    mj: jax.Array,
+    row0_i: jax.Array,
+    row0_j: jax.Array,
+    n: jax.Array,
+    thresh: jax.Array,
+    *,
+    measure: str,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+    diagonal: bool,
+):
+    """One stripe of the PAIRWISE-COMPLETE screen: four square count
+    grids (data·dataᵀ, data·maskᵀ, mask·dataᵀ, mask·maskᵀ) feed the
+    per-pair-universe screen formulas (query._screen_vals_core). On a
+    diagonal stripe md = dmᵀ (same row sets), saving one grid. Returns
+    the packed hit bitmap; hit values are re-derived exactly on host."""
+    from stormtpu.query import _pack_bit_rows, _screen_vals_core
+
+    def grid(a, b):
+        return _stripe_square_counts(a, b, tps, ti, wk, interpret, kernel,
+                                     variant)
+
+    inter = grid(di, dj)
+    dm = grid(di, mj)
+    md = dm.T if diagonal else grid(mi, dj)
+    mm = grid(mi, mj)
+    vals = _screen_vals_core(
+        inter, dm.astype(jnp.float32), md.astype(jnp.float32),
+        mm.astype(jnp.float32), measure,
+    )
+    row_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) + row0_i
+    col_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) + row0_j
+    hit = (vals >= thresh) & (col_g > row_g) & (row_g < n) & (col_g < n)
+    return _pack_bit_rows(hit)
+
+
+def stream_pairs_above_complete(
+    data: BitMatrix,
+    mask: BitMatrix,
+    threshold: float,
+    *,
+    measure: str = "r2",
+    superblock_rows: int = 4096,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The PAIRWISE-COMPLETE missing-data screen at streaming scale —
+    ``setops.pairs_above_complete`` for N beyond HBM (four superblock
+    slices resident per stripe: data and mask of both row blocks; host
+    RAM is the bound, like every stream_* form). Same contract: each
+    pair is scored over its co-observed universe, float32 slack screen
+    on device, hit values re-derived exactly on host from the packed
+    rows (float64 refine).
+
+    The data-summary skip applies to jaccard/dice/cosine/overlap (a
+    data-co-empty stripe has inter = 0, which zeroes those measures);
+    phi/r2 score zero-intersection pairs and walk every stripe."""
+    from stormtpu.query import _expand_words, _validate_screen
+    from stormtpu.setops import SIM_OPS, _complete_operands, derive_similarity
+
+    if measure not in SIM_OPS:
+        raise ValueError(
+            f"unknown measure {measure!r}; want one of {SIM_OPS} "
+            f"('count' does not depend on the mask — use stream_pairs_above)"
+        )
+    cfg = config or default_config()
+    dev_thresh = _validate_screen(measure, threshold)
+    bm_d, bm_m = _complete_operands(data, mask)
+    cfg.validate(bm_d.m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm_d.m_bits, bm_d.n)
+    _check_stripe_kernel(kernel)
+    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
+    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
+    superblock_rows = round_up(superblock_rows, math.lcm(ti, 32))
+    from stormtpu.tuning import tuned_variant
+
+    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
+                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
+    tps = superblock_rows // ti
+    w_pad = round_up(bm_d.n_words, wk)
+    n_pad = round_up(bm_d.n, superblock_rows)
+    n_super = n_pad // superblock_rows
+    sb = superblock_rows
+    n_dev = jnp.int32(bm_d.n)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    occ_sb = (None if measure in ("phi", "r2")
+              else _superblock_occupancy(bm_d, n_pad, sb))
+    di_d = mi_d = None
+    xi_idx = -1
+    for i in range(n_super):
+        for j in range(i, n_super):
+            if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                continue
+            if xi_idx != i:
+                di_d = jnp.asarray(
+                    _host_superblock(bm_d.packed, bm_d.n, sb, w_pad, i))
+                mi_d = jnp.asarray(
+                    _host_superblock(bm_m.packed, bm_m.n, sb, w_pad, i))
+                xi_idx = i
+            if i == j:
+                dj_d, mj_d = di_d, mi_d
+            else:
+                dj_d = jnp.asarray(
+                    _host_superblock(bm_d.packed, bm_d.n, sb, w_pad, j))
+                mj_d = jnp.asarray(
+                    _host_superblock(bm_m.packed, bm_m.n, sb, w_pad, j))
+            hits_d = _stripe_screen_complete(
+                di_d, dj_d, mi_d, mj_d,
+                jnp.int32(i * sb), jnp.int32(j * sb), n_dev, dev_thresh,
+                measure=measure, tps=tps, ti=ti, wk=wk,
+                interpret=bool(interpret), kernel=kernel, variant=variant,
+                diagonal=i == j,
+            )
+            li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
+            if not li.size:
+                continue
+            out_i.append((li + i * sb).astype(np.int64))
+            out_j.append((lj + j * sb).astype(np.int64))
+    if not out_i:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64))
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    order = np.lexsort((jj, ii))
+    ii, jj = ii[order], jj[order]
+    # exact host re-derivation of the four per-pair counts (O(hits · W))
+    pd, pm = bm_d.packed, bm_m.packed
+    blk_h = max(1, (1 << 24) // max(bm_d.n_words, 1))
+    inter_h = np.zeros(ii.size, dtype=np.int64)
+    ca_h = np.zeros(ii.size, dtype=np.int64)
+    cb_h = np.zeros(ii.size, dtype=np.int64)
+    m_h = np.zeros(ii.size, dtype=np.int64)
+    for o in range(0, ii.size, blk_h):
+        s = slice(o, o + blk_h)
+        dii, djj = pd[ii[s]], pd[jj[s]]
+        mii, mjj = pm[ii[s]], pm[jj[s]]
+        inter_h[s] = np.bitwise_count(dii & djj).sum(axis=1, dtype=np.int64)
+        ca_h[s] = np.bitwise_count(dii & mjj).sum(axis=1, dtype=np.int64)
+        cb_h[s] = np.bitwise_count(mii & djj).sum(axis=1, dtype=np.int64)
+        m_h[s] = np.bitwise_count(mii & mjj).sum(axis=1, dtype=np.int64)
+    vals = derive_similarity(inter_h, ca_h, cb_h, m_h, measure)
     keep = vals >= threshold
     return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]

@@ -372,3 +372,65 @@ def test_resume_rejects_different_content_and_resume_false(tmp_path):
     np.testing.assert_array_equal(ii, wi)
     np.testing.assert_array_equal(jj, wj)
     np.testing.assert_array_equal(vv, c[wi, wj])
+
+
+def test_stream_pairs_above_complete_matches_resident_form():
+    """The streaming pairwise-complete screen equals thresholding the
+    matrix form's upper triangle across stripe boundaries, for r2
+    (walks everything) and jaccard (data-summary skip legal)."""
+    from stormtpu import similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream_query import stream_pairs_above_complete
+
+    rng = np.random.default_rng(97)
+    n, m = 52, 800
+    observed = rng.random((n, m)) > 0.12
+    values = (rng.random((n, m)) < 0.4) & observed
+    values[9] = values[2] & observed[9]  # planted high-r2 pair
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+
+    for measure, thr in (("r2", 0.05), ("jaccard", 0.25)):
+        full = similarity_matrix_complete(bm_d, bm_m, measure)
+        wi, wj = np.nonzero(np.triu(full, 1) >= thr)
+        ii, jj, vv = stream_pairs_above_complete(
+            bm_d, bm_m, thr, measure=measure, superblock_rows=16,
+            kernel="dense", config=_small_cfg(), interpret=True,
+        )
+        np.testing.assert_array_equal(ii, wi, err_msg=measure)
+        np.testing.assert_array_equal(jj, wj, err_msg=measure)
+        np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0,
+                                   err_msg=measure)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="use stream_pairs_above"):
+        stream_pairs_above_complete(bm_d, bm_m, 1, measure="count")
+
+
+def test_stream_complete_summary_skip_on_clustered_data():
+    """Block-diagonal DATA with a full mask: the data-summary skip must
+    not drop any jaccard hit (inter=0 stripes are provably below any
+    positive threshold), and r2 — which scores anti-correlated
+    zero-intersection pairs — must match the matrix form exactly."""
+    from stormtpu import similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream_query import stream_pairs_above_complete
+    from test_clustered import block_diagonal_bitmatrix
+
+    bm_d = block_diagonal_bitmatrix(64, 12800, 4, 0.35, seed=98)
+    rng = np.random.default_rng(99)
+    observed = (rng.random((64, 12800)) > 0.1) | (
+        np.asarray(bm_d.to_dense(), dtype=bool)
+    )
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+    cfg = _small_cfg()
+    for measure, thr in (("jaccard", 0.2), ("r2", 0.3)):
+        full = similarity_matrix_complete(bm_d, bm_m, measure)
+        wi, wj = np.nonzero(np.triu(full, 1) >= thr)
+        ii, jj, vv = stream_pairs_above_complete(
+            bm_d, bm_m, thr, measure=measure, superblock_rows=16,
+            kernel="dense", config=cfg, interpret=True,
+        )
+        np.testing.assert_array_equal(ii, wi, err_msg=measure)
+        np.testing.assert_array_equal(jj, wj, err_msg=measure)
