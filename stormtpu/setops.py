@@ -161,6 +161,32 @@ def _complete_operands(data: MatrixLike, mask: MatrixLike):
     return bm_d, bm_m
 
 
+def _complete_refine(bm_d, bm_m, ii, jj, measure: str, threshold: float):
+    """Exact host re-derivation + float64 refine of pairwise-complete
+    screen candidates (one home — shared by the resident and streaming
+    screens): the four per-pair counts from the packed rows
+    (O(hits · W)), then ``derive_similarity`` with the per-pair
+    co-observed universe, keeping values ≥ threshold."""
+    pd, pm = bm_d.packed, bm_m.packed
+    blk_h = max(1, (1 << 24) // max(bm_d.n_words, 1))
+    inter_h = np.zeros(ii.size, dtype=np.int64)
+    ca_h = np.zeros(ii.size, dtype=np.int64)
+    cb_h = np.zeros(ii.size, dtype=np.int64)
+    m_h = np.zeros(ii.size, dtype=np.int64)
+    for o in range(0, ii.size, blk_h):
+        s = slice(o, o + blk_h)
+        di, dj = pd[ii[s]], pd[jj[s]]
+        mi, mj = pm[ii[s]], pm[jj[s]]
+        inter_h[s] = np.bitwise_count(di & dj).sum(axis=1, dtype=np.int64)
+        ca_h[s] = np.bitwise_count(di & mj).sum(axis=1, dtype=np.int64)
+        cb_h[s] = np.bitwise_count(mi & dj).sum(axis=1, dtype=np.int64)
+        m_h[s] = np.bitwise_count(mi & mj).sum(axis=1, dtype=np.int64)
+    vals = derive_similarity(inter_h, ca_h, cb_h, m_h, measure)
+    keep = vals >= threshold
+    return (ii[keep].astype(np.int32), jj[keep].astype(np.int32),
+            vals[keep])
+
+
 def pairs_above_complete(
     data: MatrixLike,
     mask: MatrixLike,
@@ -276,25 +302,7 @@ def pairs_above_complete(
     if not ii.size:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros(0, np.float64))
-    # exact host re-derivation of the four per-pair counts from the
-    # packed rows (O(hits · W)); float64 refine drops slack admissions
-    pd, pm = bm_d.packed, bm_m.packed
-    blk_h = max(1, (1 << 24) // max(w, 1))
-    inter_h = np.zeros(ii.size, dtype=np.int64)
-    ca_h = np.zeros(ii.size, dtype=np.int64)
-    cb_h = np.zeros(ii.size, dtype=np.int64)
-    m_h = np.zeros(ii.size, dtype=np.int64)
-    for o in range(0, ii.size, blk_h):
-        s = slice(o, o + blk_h)
-        di, dj = pd[ii[s]], pd[jj[s]]
-        mi, mj = pm[ii[s]], pm[jj[s]]
-        inter_h[s] = np.bitwise_count(di & dj).sum(axis=1, dtype=np.int64)
-        ca_h[s] = np.bitwise_count(di & mj).sum(axis=1, dtype=np.int64)
-        cb_h[s] = np.bitwise_count(mi & dj).sum(axis=1, dtype=np.int64)
-        m_h[s] = np.bitwise_count(mi & mj).sum(axis=1, dtype=np.int64)
-    vals = derive_similarity(inter_h, ca_h, cb_h, m_h, measure)
-    keep = vals >= threshold
-    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]
+    return _complete_refine(bm_d, bm_m, ii, jj, measure, threshold)
 
 
 def derive_similarity(inter, ca, cb, m_bits, measure: str):

@@ -61,6 +61,40 @@ def _check_stripe_kernel(kernel: str) -> None:
         )
 
 
+def _resolve_stripe_config(
+    bm: BitMatrix,
+    superblock_rows: int,
+    kernel: str,
+    config: Optional[EngineConfig],
+    interpret: Optional[bool],
+    *,
+    bitmap: bool,
+):
+    """Shared stripe-walk setup (one home — three hand-rolled copies of
+    this block were a review finding): resolve kernel/tiles/variant and
+    the superblock/padding geometry. ``bitmap`` rounds the superblock to
+    lcm(ti, 32) (hit bitmaps pack 32 columns per word; ti=24/48 crashed
+    the max(ti, 32) form)."""
+    from stormtpu.tuning import tuned_variant
+
+    cfg = config or default_config()
+    cfg.validate(bm.m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    _check_stripe_kernel(kernel)
+    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
+    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
+    sb = round_up(superblock_rows, math.lcm(ti, 32) if bitmap else ti)
+    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
+                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
+    w_pad = round_up(bm.n_words, wk)
+    n_pad = round_up(bm.n, sb)
+    return (cfg, kernel, bool(interpret), ti, wk, sb, variant, w_pad,
+            n_pad, n_pad // sb)
+
+
 def _superblock_occupancy(bm: BitMatrix, n_pad: int, sb: int) -> Optional[np.ndarray]:
     """Per-superblock K-group occupancy bool [n_super, G] (the C8 summary
     OR-reduced per superblock, wk=128-word groups — same statistic as the
@@ -291,32 +325,17 @@ def stream_topk_neighbors(
     import json
     import os
 
-    cfg = config or default_config()
-    cfg.validate(bm.m_bits)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
-    if interpret is None:
-        interpret = pallas_interpret_default()
-    if kernel == "auto":
-        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
-    _check_stripe_kernel(kernel)
-    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
-    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
-    superblock_rows = round_up(superblock_rows, ti)
-    if k > superblock_rows:
+    (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
+     n_super) = _resolve_stripe_config(
+        bm, superblock_rows, kernel, config, interpret, bitmap=False)
+    if k > sb:
         raise ValueError(
-            f"k={k} exceeds superblock_rows={superblock_rows}: each stripe "
+            f"k={k} exceeds superblock_rows={sb}: each stripe "
             f"ranks only one superblock of partners; raise superblock_rows"
         )
-    from stormtpu.tuning import tuned_variant
-
-    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
-                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
-    tps = superblock_rows // ti
-    w_pad = round_up(bm.n_words, wk)
-    n_pad = round_up(bm.n, superblock_rows)
-    n_super = n_pad // superblock_rows
-    sb = superblock_rows
+    tps = sb // ti
 
     best_v = np.full((n_pad, k), -1, dtype=np.int64)
     best_i = np.zeros((n_pad, k), dtype=np.int32)
@@ -478,30 +497,11 @@ def stream_pairs_above(
         _validate_screen,
     )
 
-    cfg = config or default_config()
-    cfg.validate(bm.m_bits)
     dev_thresh = _validate_screen(measure, threshold)
-    if interpret is None:
-        interpret = pallas_interpret_default()
-    if kernel == "auto":
-        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
-    _check_stripe_kernel(kernel)
-    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
-    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
-    # the hit bitmap packs 32 columns per word AND the tile grid needs
-    # ti | SB, so round to a common multiple (max(ti, 32) satisfies
-    # neither when ti is not a multiple/divisor of 32 — e.g. ti=24
-    # crashed the tile walk, ti=48 the bit pack)
-    superblock_rows = round_up(superblock_rows, math.lcm(ti, 32))
-    from stormtpu.tuning import tuned_variant
-
-    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
-                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
-    tps = superblock_rows // ti
-    w_pad = round_up(bm.n_words, wk)
-    n_pad = round_up(bm.n, superblock_rows)
-    n_super = n_pad // superblock_rows
-    sb = superblock_rows
+    (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
+     n_super) = _resolve_stripe_config(
+        bm, superblock_rows, kernel, config, interpret, bitmap=True)
+    tps = sb // ti
 
     nnz = np.zeros(n_pad, dtype=np.int32)
     nnz[: bm.n] = bm.row_nnz
@@ -656,21 +656,30 @@ def _stripe_screen_complete(
     variant: str,
     diagonal: bool,
 ):
-    """One stripe of the PAIRWISE-COMPLETE screen: four square count
-    grids (data·dataᵀ, data·maskᵀ, mask·dataᵀ, mask·maskᵀ) feed the
+    """One stripe of the PAIRWISE-COMPLETE screen: four count grids
+    (data·dataᵀ, data·maskᵀ, mask·dataᵀ, mask·maskᵀ) feed the
     per-pair-universe screen formulas (query._screen_vals_core). On a
-    diagonal stripe md = dmᵀ (same row sets), saving one grid. Returns
-    the packed hit bitmap; hit values are re-derived exactly on host."""
+    diagonal stripe md = dmᵀ (same row sets) saves one grid, and the
+    symmetric grids (inter, mm) take the triangular gather-mirror path.
+    Returns the packed hit bitmap; hit values are re-derived exactly on
+    host."""
     from stormtpu.query import _pack_bit_rows, _screen_vals_core
 
     def grid(a, b):
         return _stripe_square_counts(a, b, tps, ti, wk, interpret, kernel,
                                      variant)
 
-    inter = grid(di, dj)
+    def sym_grid(a, b):
+        # diagonal stripes: a IS b and the grid is symmetric
+        if diagonal:
+            return _stripe_diag_counts(a, tps, ti, wk, interpret, kernel,
+                                       variant)
+        return grid(a, b)
+
+    inter = sym_grid(di, dj)
     dm = grid(di, mj)
     md = dm.T if diagonal else grid(mi, dj)
-    mm = grid(mi, mj)
+    mm = sym_grid(mi, mj)
     vals = _screen_vals_core(
         inter, dm.astype(jnp.float32), md.astype(jnp.float32),
         mm.astype(jnp.float32), measure,
@@ -691,6 +700,8 @@ def stream_pairs_above_complete(
     kernel: str = "auto",
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    out_dir: Optional[str] = None,
+    resume: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The PAIRWISE-COMPLETE missing-data screen at streaming scale —
     ``setops.pairs_above_complete`` for N beyond HBM (four superblock
@@ -702,46 +713,83 @@ def stream_pairs_above_complete(
 
     The data-summary skip applies to jaccard/dice/cosine/overlap (a
     data-co-empty stripe has inter = 0, which zeroes those measures);
-    phi/r2 score zero-intersection pairs and walk every stripe."""
+    phi/r2 score zero-intersection pairs and walk every stripe.
+
+    ``out_dir``: persist per-stripe candidate pairs and skip completed
+    stripes on re-run (the ``stream_pairs_above`` checkpoint contract:
+    parameter+content-keyed manifest — fingerprinting BOTH matrices —
+    ``resume=False`` purges and overwrites)."""
+    import json
+    import os
+
     from stormtpu.query import _expand_words, _validate_screen
-    from stormtpu.setops import SIM_OPS, _complete_operands, derive_similarity
+    from stormtpu.setops import SIM_OPS, _complete_operands
 
     if measure not in SIM_OPS:
         raise ValueError(
             f"unknown measure {measure!r}; want one of {SIM_OPS} "
             f"('count' does not depend on the mask — use stream_pairs_above)"
         )
-    cfg = config or default_config()
     dev_thresh = _validate_screen(measure, threshold)
     bm_d, bm_m = _complete_operands(data, mask)
-    cfg.validate(bm_d.m_bits)
-    if interpret is None:
-        interpret = pallas_interpret_default()
-    if kernel == "auto":
-        kernel = _auto_stream_kernel(bm_d.m_bits, bm_d.n)
-    _check_stripe_kernel(kernel)
-    ti = cfg.k2_tile_rows if kernel in ("mxu", "xla_int8") else cfg.k1_tile_rows
-    wk = cfg.k2_tile_words if kernel in ("mxu", "xla_int8") else cfg.k1_tile_words
-    superblock_rows = round_up(superblock_rows, math.lcm(ti, 32))
-    from stormtpu.tuning import tuned_variant
-
-    variant = tuned_variant("k2" if kernel == "mxu" else "k1",
-                            cfg.k2_variant if kernel == "mxu" else cfg.k1_variant)
-    tps = superblock_rows // ti
-    w_pad = round_up(bm_d.n_words, wk)
-    n_pad = round_up(bm_d.n, superblock_rows)
-    n_super = n_pad // superblock_rows
-    sb = superblock_rows
+    (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
+     n_super) = _resolve_stripe_config(
+        bm_d, superblock_rows, kernel, config, interpret, bitmap=True)
+    tps = sb // ti
     n_dev = jnp.int32(bm_d.n)
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = os.path.join(out_dir, "complete_screen_manifest.json")
+        params = {"n": bm_d.n, "m_bits": bm_d.m_bits,
+                  "superblock_rows": sb, "kernel": kernel,
+                  "measure": measure, "threshold": float(threshold),
+                  "content_data": _content_fingerprint(bm_d),
+                  "content_mask": _content_fingerprint(bm_m)}
+        if resume and os.path.exists(manifest):
+            with open(manifest) as f:
+                got = json.load(f)
+            if got != params:
+                raise ValueError(
+                    f"{manifest} was written for {got}, not {params}"
+                )
+        else:
+            for name in os.listdir(out_dir):
+                if name.startswith("chits_") and name.endswith(".npz"):
+                    os.remove(os.path.join(out_dir, name))
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.replace(tmp, manifest)
+
+    def _stripe_file(i: int, j: int) -> str:
+        return os.path.join(out_dir, f"chits_{i:05d}_{j:05d}.npz")
+
+    def _emit(i, j, gi, gj):
+        out_i.append(gi)
+        out_j.append(gj)
+        if out_dir:
+            tmp = _stripe_file(i, j) + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, ii=gi, jj=gj)
+            os.replace(tmp, _stripe_file(i, j))
+
+    empty64 = np.zeros(0, dtype=np.int64)
     occ_sb = (None if measure in ("phi", "r2")
               else _superblock_occupancy(bm_d, n_pad, sb))
     di_d = mi_d = None
     xi_idx = -1
     for i in range(n_super):
         for j in range(i, n_super):
+            if out_dir and resume and os.path.exists(_stripe_file(i, j)):
+                with np.load(_stripe_file(i, j)) as z:
+                    if z["ii"].size:
+                        out_i.append(z["ii"])
+                        out_j.append(z["jj"])
+                continue
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                _emit(i, j, empty64, empty64)
                 continue
             if xi_idx != i:
                 di_d = jnp.asarray(
@@ -764,32 +812,15 @@ def stream_pairs_above_complete(
                 diagonal=i == j,
             )
             li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
-            if not li.size:
-                continue
-            out_i.append((li + i * sb).astype(np.int64))
-            out_j.append((lj + j * sb).astype(np.int64))
-    if not out_i:
+            _emit(i, j, (li + i * sb).astype(np.int64),
+                  (lj + j * sb).astype(np.int64))
+    if not out_i or not sum(a.size for a in out_i):
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros(0, np.float64))
     ii = np.concatenate(out_i)
     jj = np.concatenate(out_j)
     order = np.lexsort((jj, ii))
     ii, jj = ii[order], jj[order]
-    # exact host re-derivation of the four per-pair counts (O(hits · W))
-    pd, pm = bm_d.packed, bm_m.packed
-    blk_h = max(1, (1 << 24) // max(bm_d.n_words, 1))
-    inter_h = np.zeros(ii.size, dtype=np.int64)
-    ca_h = np.zeros(ii.size, dtype=np.int64)
-    cb_h = np.zeros(ii.size, dtype=np.int64)
-    m_h = np.zeros(ii.size, dtype=np.int64)
-    for o in range(0, ii.size, blk_h):
-        s = slice(o, o + blk_h)
-        dii, djj = pd[ii[s]], pd[jj[s]]
-        mii, mjj = pm[ii[s]], pm[jj[s]]
-        inter_h[s] = np.bitwise_count(dii & djj).sum(axis=1, dtype=np.int64)
-        ca_h[s] = np.bitwise_count(dii & mjj).sum(axis=1, dtype=np.int64)
-        cb_h[s] = np.bitwise_count(mii & djj).sum(axis=1, dtype=np.int64)
-        m_h[s] = np.bitwise_count(mii & mjj).sum(axis=1, dtype=np.int64)
-    vals = derive_similarity(inter_h, ca_h, cb_h, m_h, measure)
-    keep = vals >= threshold
-    return ii[keep].astype(np.int32), jj[keep].astype(np.int32), vals[keep]
+    from stormtpu.setops import _complete_refine
+
+    return _complete_refine(bm_d, bm_m, ii, jj, measure, threshold)

@@ -434,3 +434,55 @@ def test_stream_complete_summary_skip_on_clustered_data():
         )
         np.testing.assert_array_equal(ii, wi, err_msg=measure)
         np.testing.assert_array_equal(jj, wj, err_msg=measure)
+
+
+def test_stream_complete_resume(tmp_path, monkeypatch):
+    """stream_pairs_above_complete(out_dir=...): per-stripe candidate
+    files skip recompute on re-run; a different mask refuses the stale
+    directory (content fingerprints cover BOTH matrices)."""
+    import stormtpu.stream_query as sq
+    from stormtpu.layout import BitMatrix
+
+    rng = np.random.default_rng(103)
+    obs = rng.random((52, 700)) > 0.12
+    val = (rng.random((52, 700)) < 0.4) & obs
+    bm_d = BitMatrix.from_dense(val.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(obs.astype(np.uint8))
+    want = sq.stream_pairs_above_complete(
+        bm_d, bm_m, 0.05, measure="r2", superblock_rows=16,
+        kernel="dense", config=_small_cfg(), interpret=True,
+    )
+    real = sq._stripe_screen_complete
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_screen_complete", counting)
+    got = sq.stream_pairs_above_complete(
+        bm_d, bm_m, 0.05, measure="r2", superblock_rows=16,
+        kernel="dense", config=_small_cfg(), interpret=True,
+        out_dir=str(tmp_path),
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert calls["n"] > 0
+    calls["n"] = 0
+    got = sq.stream_pairs_above_complete(
+        bm_d, bm_m, 0.05, measure="r2", superblock_rows=16,
+        kernel="dense", config=_small_cfg(), interpret=True,
+        out_dir=str(tmp_path),
+    )
+    assert calls["n"] == 0
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # a regenerated mask must refuse the stale directory
+    obs2 = rng.random((52, 700)) > 0.12
+    bm_m2 = BitMatrix.from_dense((obs2 | val.astype(bool)).astype(np.uint8))
+    with pytest.raises(ValueError, match="manifest"):
+        sq.stream_pairs_above_complete(
+            bm_d, bm_m2, 0.05, measure="r2", superblock_rows=16,
+            kernel="dense", config=_small_cfg(), interpret=True,
+            out_dir=str(tmp_path),
+        )

@@ -347,3 +347,29 @@ def test_cross_queries_on_device(tpu_backend):
         np.testing.assert_array_equal(ii, wi, err_msg=f"m={m}")
         np.testing.assert_array_equal(jj, wj, err_msg=f"m={m}")
         np.testing.assert_array_equal(vv, c[wi, wj], err_msg=f"m={m}")
+
+
+def test_stream_complete_screen_on_device(tpu_backend):
+    """The four-grid pairwise-complete stripe screen (triangular diag
+    grids + dm^T identity + per-pair-universe float32 screen) on the
+    real device, exact vs the matrix form."""
+    from stormtpu import similarity_matrix_complete
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream_query import stream_pairs_above_complete
+
+    rng = np.random.default_rng(31)
+    n, m = 700, 65536
+    observed = rng.random((n, m)) > 0.1
+    values = (rng.random((n, m)) < 0.3) & observed
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+    full = similarity_matrix_complete(bm_d, bm_m, "r2")
+    thr = float(np.percentile(full[np.triu_indices(n, 1)], 99.9))
+    ii, jj, vv = stream_pairs_above_complete(
+        bm_d, bm_m, thr, measure="r2", superblock_rows=256,
+        kernel="mxu", interpret=False,
+    )
+    wi, wj = np.nonzero(np.triu(full, 1) >= thr)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0)
