@@ -79,4 +79,13 @@ ii, jj, v = stream_pairs_above(bm, thr, superblock_rows=sb, config=cfg)
 wi, wj = np.nonzero(np.triu(want, 1) >= thr)
 assert np.array_equal(ii, wi) and np.array_equal(v, want[wi, wj])
 print(f"stream_pairs_above(>= {thr}): {v.size} pairs, exact")
+
+# multi-hour walks checkpoint: out_dir persists per-stripe progress and
+# a re-run (or a crashed run) resumes at the first unfinished stripe
+with tempfile.TemporaryDirectory() as ck:
+    stream_pairs_above(bm, thr, superblock_rows=sb, config=cfg, out_dir=ck)
+    ii2, jj2, v2 = stream_pairs_above(  # second run: all stripes reloaded
+        bm, thr, superblock_rows=sb, config=cfg, out_dir=ck)
+assert np.array_equal(ii2, wi)
+print("checkpoint/resume round-trip exact")
 print("OK")
