@@ -86,6 +86,7 @@ with tempfile.TemporaryDirectory() as ck:
     stream_pairs_above(bm, thr, superblock_rows=sb, config=cfg, out_dir=ck)
     ii2, jj2, v2 = stream_pairs_above(  # second run: all stripes reloaded
         bm, thr, superblock_rows=sb, config=cfg, out_dir=ck)
-assert np.array_equal(ii2, wi)
+assert (np.array_equal(ii2, wi) and np.array_equal(jj2, wj)
+        and np.array_equal(v2, want[wi, wj]))
 print("checkpoint/resume round-trip exact")
 print("OK")

@@ -95,6 +95,70 @@ def _resolve_stripe_config(
             n_pad, n_pad // sb)
 
 
+class _StripeStore:
+    """Per-stripe checkpoint store shared by the screens — ONE home for
+    the manifest/purge/atomic-write/resume machinery (two hand-rolled
+    copies were a review finding). A fresh manifest (no prior one, or
+    ``resume=False``) purges this store's stripe files first: a crash
+    mid-rewrite must not leave stale-content stripes a later resume
+    would silently reload. All writes are tmp+rename atomic."""
+
+    def __init__(self, out_dir: Optional[str], manifest_name: str,
+                 prefix: str, params: dict, resume: bool):
+        import json
+        import os
+
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.resume = resume
+        if not out_dir:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = os.path.join(out_dir, manifest_name)
+        if resume and os.path.exists(manifest):
+            with open(manifest) as f:
+                got = json.load(f)
+            if got != params:
+                raise ValueError(
+                    f"{manifest} was written for {got}, not {params} "
+                    f"(pass resume=False to overwrite)"
+                )
+        else:
+            for name in os.listdir(out_dir):
+                if name.startswith(prefix) and name.endswith(".npz"):
+                    os.remove(os.path.join(out_dir, name))
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(params, f)
+            os.replace(tmp, manifest)
+
+    def _path(self, i: int, j: int) -> str:
+        import os
+
+        return os.path.join(self.out_dir, f"{self.prefix}{i:05d}_{j:05d}.npz")
+
+    def load(self, i: int, j: int) -> Optional[dict]:
+        """The completed stripe's arrays, or None if it must be
+        (re)computed."""
+        import os
+
+        if not (self.out_dir and self.resume
+                and os.path.exists(self._path(i, j))):
+            return None
+        with np.load(self._path(i, j)) as z:
+            return {k: z[k] for k in z.files}
+
+    def save(self, i: int, j: int, **arrays) -> None:
+        import os
+
+        if not self.out_dir:
+            return
+        tmp = self._path(i, j) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, self._path(i, j))
+
+
 def _superblock_occupancy(bm: BitMatrix, n_pad: int, sb: int) -> Optional[np.ndarray]:
     """Per-superblock K-group occupancy bool [n_super, G] (the C8 summary
     OR-reduced per superblock, wk=128-word groups — same statistic as the
@@ -510,45 +574,20 @@ def stream_pairs_above(
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        manifest = os.path.join(out_dir, "screen_manifest.json")
-        params = {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
-                  "kernel": kernel, "measure": measure,
-                  "threshold": float(threshold),
-                  "content": _content_fingerprint(bm)}
-        if resume and os.path.exists(manifest):
-            with open(manifest) as f:
-                got = json.load(f)
-            if got != params:
-                raise ValueError(
-                    f"{manifest} was written for {got}, not {params}"
-                )
-        else:
-            # fresh manifest ⇒ any existing stripe files are from ANOTHER
-            # run (resume=False, or an unmanifested directory) — purge
-            # them, or a crash mid-rewrite would leave stale-content
-            # stripes a later resume silently reloads as current
-            for name in os.listdir(out_dir):
-                if name.startswith("hits_") and name.endswith(".npz"):
-                    os.remove(os.path.join(out_dir, name))
-            tmp = manifest + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(params, f)
-            os.replace(tmp, manifest)
-
-    def _stripe_file(i: int, j: int) -> str:
-        return os.path.join(out_dir, f"hits_{i:05d}_{j:05d}.npz")
+    store = _StripeStore(
+        out_dir, "screen_manifest.json", "hits_",
+        {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
+         "kernel": kernel, "measure": measure,
+         "threshold": float(threshold),
+         "content": _content_fingerprint(bm)},
+        resume,
+    )
 
     def _emit(i, j, li, lj, cvals):
         out_i.append(li)
         out_j.append(lj)
         out_c.append(cvals)
-        if out_dir:
-            tmp = _stripe_file(i, j) + ".tmp"
-            with open(tmp, "wb") as f:
-                np.savez(f, ii=li, jj=lj, counts=cvals)
-            os.replace(tmp, _stripe_file(i, j))
+        store.save(i, j, ii=li, jj=lj, counts=cvals)
 
     # C8 summary skip: a summary-zero stripe has all-zero counts, which
     # cannot pass a count screen (threshold >= 1) or a positive
@@ -560,13 +599,12 @@ def stream_pairs_above(
     xi_d, xi_idx = None, -1
     for i in range(n_super):
         for j in range(i, n_super):
-            if out_dir and resume and os.path.exists(_stripe_file(i, j)):
-                # resume: reload the completed stripe's hits
-                with np.load(_stripe_file(i, j)) as z:
-                    if z["ii"].size:
-                        out_i.append(z["ii"])
-                        out_j.append(z["jj"])
-                        out_c.append(z["counts"])
+            done = store.load(i, j)
+            if done is not None:
+                if done["ii"].size:
+                    out_i.append(done["ii"])
+                    out_j.append(done["jj"])
+                    out_c.append(done["counts"])
                 continue
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 _emit(i, j, empty64, empty64, empty64)
@@ -739,41 +777,20 @@ def stream_pairs_above_complete(
     n_dev = jnp.int32(bm_d.n)
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        manifest = os.path.join(out_dir, "complete_screen_manifest.json")
-        params = {"n": bm_d.n, "m_bits": bm_d.m_bits,
-                  "superblock_rows": sb, "kernel": kernel,
-                  "measure": measure, "threshold": float(threshold),
-                  "content_data": _content_fingerprint(bm_d),
-                  "content_mask": _content_fingerprint(bm_m)}
-        if resume and os.path.exists(manifest):
-            with open(manifest) as f:
-                got = json.load(f)
-            if got != params:
-                raise ValueError(
-                    f"{manifest} was written for {got}, not {params}"
-                )
-        else:
-            for name in os.listdir(out_dir):
-                if name.startswith("chits_") and name.endswith(".npz"):
-                    os.remove(os.path.join(out_dir, name))
-            tmp = manifest + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(params, f)
-            os.replace(tmp, manifest)
-
-    def _stripe_file(i: int, j: int) -> str:
-        return os.path.join(out_dir, f"chits_{i:05d}_{j:05d}.npz")
+    store = _StripeStore(
+        out_dir, "complete_screen_manifest.json", "chits_",
+        {"n": bm_d.n, "m_bits": bm_d.m_bits, "superblock_rows": sb,
+         "kernel": kernel, "measure": measure,
+         "threshold": float(threshold),
+         "content_data": _content_fingerprint(bm_d),
+         "content_mask": _content_fingerprint(bm_m)},
+        resume,
+    )
 
     def _emit(i, j, gi, gj):
         out_i.append(gi)
         out_j.append(gj)
-        if out_dir:
-            tmp = _stripe_file(i, j) + ".tmp"
-            with open(tmp, "wb") as f:
-                np.savez(f, ii=gi, jj=gj)
-            os.replace(tmp, _stripe_file(i, j))
+        store.save(i, j, ii=gi, jj=gj)
 
     empty64 = np.zeros(0, dtype=np.int64)
     occ_sb = (None if measure in ("phi", "r2")
@@ -782,11 +799,11 @@ def stream_pairs_above_complete(
     xi_idx = -1
     for i in range(n_super):
         for j in range(i, n_super):
-            if out_dir and resume and os.path.exists(_stripe_file(i, j)):
-                with np.load(_stripe_file(i, j)) as z:
-                    if z["ii"].size:
-                        out_i.append(z["ii"])
-                        out_j.append(z["jj"])
+            done = store.load(i, j)
+            if done is not None:
+                if done["ii"].size:
+                    out_i.append(done["ii"])
+                    out_j.append(done["jj"])
                 continue
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 _emit(i, j, empty64, empty64)
@@ -814,7 +831,7 @@ def stream_pairs_above_complete(
             li, lj = _expand_words(np.asarray(hits_d), np.int32(sb))
             _emit(i, j, (li + i * sb).astype(np.int64),
                   (lj + j * sb).astype(np.int64))
-    if not out_i or not sum(a.size for a in out_i):
+    if not sum(a.size for a in out_i):
         return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                 np.zeros(0, np.float64))
     ii = np.concatenate(out_i)
