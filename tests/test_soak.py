@@ -1,0 +1,133 @@
+"""Opt-in randomized integration soak (STORMTPU_SLOW_TESTS=1): one
+random panel per iteration driven through EVERY public surface — counts
+(all strategies), set-ops, similarities (plain + pairwise-complete),
+queries (resident, streaming, cross), and the 8-device distributed
+forms — each cross-checked against the NumPy oracle. The per-route unit
+tests pin behaviors; this pins their AGREEMENT on shapes none of them
+chose."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.oracle import oracle_count_block, oracle_count_matrix
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("STORMTPU_SLOW_TESTS"),
+    reason="~minutes of randomized sweeps; set STORMTPU_SLOW_TESTS=1",
+)
+
+
+def test_public_api_agreement_soak():
+    from stormtpu import (
+        cross_pairs_above,
+        cross_topk_neighbors,
+        intersect_count_matrix,
+        pairs_above,
+        pairs_above_complete,
+        pairwise_cardinality,
+        similarity_matrix,
+        similarity_matrix_complete,
+        topk_neighbors,
+    )
+    from stormtpu.dispatch import STRATEGIES
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import (
+        distributed_count_matrix,
+        distributed_pairs_above,
+        distributed_topk_neighbors,
+        make_grid_mesh,
+        make_row_mesh,
+    )
+    from stormtpu.setops import derive_similarity
+    from stormtpu.stream_query import (
+        stream_pairs_above,
+        stream_topk_neighbors,
+    )
+
+    rng = np.random.default_rng(20260818)
+    for it in range(4):
+        n = int(rng.integers(24, 120))
+        m = int(rng.integers(200, 4000))
+        density = float(10 ** rng.uniform(-2.2, -0.3))
+        dense = (rng.random((n, m)) < density).astype(np.uint8)
+        dense[n // 4] = 0                      # empty row
+        dense[-1] = dense[0]                   # duplicate row
+        bm = BitMatrix.from_dense(dense)
+        c = oracle_count_matrix(bm.packed).astype(np.int64)
+        ctx = f"iter {it} n={n} m={m} d={density:.4f}"
+
+        # counts: every strategy agrees with the oracle
+        for strat in STRATEGIES:
+            got = intersect_count_matrix(bm, strategy=strat)
+            assert np.array_equal(got, c), f"{ctx} strategy={strat}"
+
+        # set-ops + similarities
+        u = pairwise_cardinality(bm, "union")
+        assert np.array_equal(
+            u, bm.row_nnz[:, None] + bm.row_nnz[None, :] - c), ctx
+        jac = similarity_matrix(bm, "jaccard")
+        want_j = derive_similarity(c, bm.row_nnz[:, None],
+                                   bm.row_nnz[None, :], m, "jaccard")
+        np.testing.assert_allclose(jac, want_j, rtol=0, atol=0,
+                                   err_msg=ctx)
+
+        # queries, resident + streaming
+        k = int(rng.integers(1, min(8, n - 1) + 1))
+        cm = c.copy()
+        np.fill_diagonal(cm, -1)
+        want_topk = np.maximum(-np.sort(-cm, axis=1)[:, :k], 0)
+        vals, _ = topk_neighbors(bm, k)
+        assert np.array_equal(vals, want_topk), f"{ctx} topk"
+        sv, _ = stream_topk_neighbors(bm, k, superblock_rows=32,
+                                      interpret=True)
+        assert np.array_equal(sv, want_topk), f"{ctx} stream topk"
+
+        thr = max(1, int(np.percentile(c[np.triu_indices(n, 1)], 90)))
+        wi, wj = np.nonzero(np.triu(c, 1) >= thr)
+        for fn, tag in ((pairs_above, "screen"),
+                        (lambda b, t: stream_pairs_above(
+                            b, t, superblock_rows=32, interpret=True),
+                         "stream screen")):
+            ii, jj, vv = fn(bm, thr)
+            assert np.array_equal(ii, wi), f"{ctx} {tag}"
+            assert np.array_equal(jj, wj), f"{ctx} {tag}"
+            assert np.array_equal(vv, c[wi, wj]), f"{ctx} {tag}"
+
+        # pairwise-complete forms
+        observed = (rng.random((n, m)) > 0.15) | dense.astype(bool)
+        bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+        r2c = similarity_matrix_complete(bm, bm_m, "r2")
+        ci, cj, cv = pairs_above_complete(bm, bm_m, 0.4, measure="r2")
+        ewi, ewj = np.nonzero(np.triu(r2c, 1) >= 0.4)
+        assert np.array_equal(ci, ewi) and np.array_equal(cj, ewj), \
+            f"{ctx} complete screen"
+
+        # cross queries vs a second panel
+        nb = int(rng.integers(16, 80))
+        db = (rng.random((nb, m)) < density).astype(np.uint8)
+        bq = BitMatrix.from_dense(db)
+        cx = oracle_count_block(bm.packed, bq.packed).astype(np.int64)
+        kx = int(rng.integers(1, min(5, nb) + 1))
+        xv, xi = cross_topk_neighbors(bm, bq, kx)
+        assert np.array_equal(xv, -np.sort(-cx, axis=1)[:, :kx]), \
+            f"{ctx} cross topk"
+        thx = max(1, int(cx.max()) - 1)
+        xii, xjj, xvv = cross_pairs_above(bm, bq, thx)
+        xwi, xwj = np.nonzero(cx >= thx)
+        assert np.array_equal(xii, xwi) and np.array_equal(xvv, cx[xwi, xwj]), \
+            f"{ctx} cross screen"
+
+        # distributed forms, 1-D and 2-D meshes
+        for mesh in (make_row_mesh(8), make_grid_mesh(4, 2)):
+            got = distributed_count_matrix(bm.packed, mesh=mesh)
+            assert np.array_equal(got, c), f"{ctx} dist counts {mesh.shape}"
+            dv, _ = distributed_topk_neighbors(bm, k, mesh=mesh,
+                                               block_rows=8)
+            assert np.array_equal(dv, want_topk), f"{ctx} dist topk"
+            dii, djj, dvv = distributed_pairs_above(bm, thr, mesh=mesh,
+                                                    block_rows=8)
+            assert np.array_equal(dii, wi) and np.array_equal(dvv, c[wi, wj]), \
+                f"{ctx} dist screen"
