@@ -47,8 +47,9 @@ def test_public_api_agreement_soak():
         stream_topk_neighbors,
     )
 
+    iters = int(os.environ.get("STORMTPU_SOAK_ITERS", "4"))
     rng = np.random.default_rng(20260818)
-    for it in range(4):
+    for it in range(iters):
         n = int(rng.integers(24, 120))
         m = int(rng.integers(200, 4000))
         density = float(10 ** rng.uniform(-2.2, -0.3))
