@@ -211,3 +211,27 @@ def test_pairs_above_complete_validation():
         pairs_above_complete(d, full, 1, measure="count")
     with pytest.raises(ValueError, match="identical shape"):
         pairs_above_complete(d, random_bitmatrix(11, 256, 0.4, seed=6), 0.5)
+
+
+def test_pairs_above_complete_large_m_pallas_route():
+    """m > MXU_XLA_MAX_BITS routes the four count blocks through the
+    Pallas MXU rectangle (interpret on CPU) — values must still equal
+    the matrix form exactly."""
+    from stormtpu import pairs_above_complete, similarity_matrix_complete
+    from stormtpu.kernels import MXU_XLA_MAX_BITS
+    from stormtpu.layout import BitMatrix
+
+    m = MXU_XLA_MAX_BITS + 4096
+    rng = np.random.default_rng(67)
+    observed = rng.random((18, m)) > 0.2
+    values = (rng.random((18, m)) < 0.002) & observed  # sparse: fast pack
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+    full = similarity_matrix_complete(bm_d, bm_m, "jaccard")
+    thr = float(np.percentile(full[np.triu_indices(18, 1)], 80))
+    thr = max(thr, 1e-6)
+    ii, jj, vv = pairs_above_complete(bm_d, bm_m, thr, measure="jaccard")
+    wi, wj = np.nonzero(np.triu(full, 1) >= thr)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0)
