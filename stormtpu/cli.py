@@ -90,6 +90,10 @@ def cmd_scaling(args: argparse.Namespace) -> int:
 def cmd_tune(args: argparse.Namespace) -> int:
     from stormtpu.tuning import tune
 
+    if (args.n is None) != (args.m is None):
+        print("tune: pass BOTH --n and --m for a single-shape probe "
+              "(neither = full grid)", file=sys.stderr)
+        return 2
     tune(n=args.n, m_bits=args.m, reps=args.reps, log=_log)
     return 0
 
@@ -258,8 +262,14 @@ def main(argv=None) -> int:
         "tune",
         help="measure kernel crossovers on this device and cache them for dispatch",
     )
-    sp.add_argument("--n", type=int, default=4096)
-    sp.add_argument("--m", type=int, default=65536)
+    # default: the FULL shape grid (tuning.DEFAULT_GRID) — a bare
+    # `stormtpu tune` must never clobber the per-bucket cache with a
+    # single-shape one (that happened once: the r2 TPU-return runbook
+    # re-tuned only 4096x65536 and nearest-bucket dispatch lost its
+    # small-N/long-K corrections). Pass BOTH --n and --m for the quick
+    # single-shape probe.
+    sp.add_argument("--n", type=int, default=None)
+    sp.add_argument("--m", type=int, default=None)
     sp.add_argument("--reps", type=int, default=3)
     sp.set_defaults(fn=cmd_tune)
 
