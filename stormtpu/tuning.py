@@ -397,22 +397,6 @@ def tune(
         return max(agg, key=agg.get).split("/")[1]
 
     k1_best, k2_best = best_variant("pallas_dense"), best_variant("pallas_mxu")
-    for gn, gm in grid:
-        if (gn, gm) == anchor:
-            continue
-        log(f"[tune] shape {gn} x {gm} bits")
-        buckets[_bucket_key(gn, gm)] = _tune_shape(
-            gn, gm, reps, slow_path_budget_s, log,
-            k1_variant=k1_best, k2_variant=k2_best,
-        )
-
-    # device TOPS for the K4-vs-K2 crossover: best measured MXU rate at
-    # the longest-K bucket (2·m_bits int8 MACs per unique pair)
-    k2_tops = 0.0
-    for key, b in buckets.items():
-        bm_bits = int(key.split("x")[1])
-        rate = b["dense_pairs_per_s"].get("pallas_mxu", 0.0)
-        k2_tops = max(k2_tops, rate * 2 * bm_bits)
 
     from stormtpu.utils.profiling import timeit_chain
     import jax.numpy as jnp
@@ -424,30 +408,70 @@ def tune(
     ]
     floor_s = timeit_chain(lambda x: x & jnp.uint32(7), tiny, 1)
 
-    result = {
-        "device": str(jax.devices()[0]),
-        "grid": [list(g) for g in grid],
-        "buckets": buckets,
-        "best_k1_variant": k1_best,
-        "best_k2_variant": k2_best,
-        "dispatch_floor_s": floor_s,
-    }
-    if len(buckets) == 1:
-        # single-shape runs keep the round-1 top-level fields (CLI users
-        # and older cache readers)
-        only = next(iter(buckets.values()))
-        result["dense_pairs_per_s"] = only["dense_pairs_per_s"]
-        result["variant_pairs_per_s"] = only["variant_pairs_per_s"]
-        result["shape"] = {"n": grid[0][0], "m_bits": grid[0][1]}
+    # intermediate checkpoints carry the previous cache's K4 model (same
+    # device only) until this run's refit replaces it at the end
+    prev = load_tuning()
+    prev_k4 = (prev or {}).get("k4_cost_model") if (
+        prev and prev.get("device") == str(jax.devices()[0])) else None
+
+    def assemble() -> dict:
+        result = {
+            "device": str(jax.devices()[0]),
+            "grid": [list(g) for g in grid],
+            "buckets": buckets,
+            "best_k1_variant": k1_best,
+            "best_k2_variant": k2_best,
+            "dispatch_floor_s": floor_s,
+        }
+        if prev_k4 is not None:
+            result["k4_cost_model"] = prev_k4
+        if len(buckets) == 1:
+            # single-shape runs keep the round-1 top-level fields (CLI
+            # users and older cache readers)
+            only = next(iter(buckets.values()))
+            result["dense_pairs_per_s"] = only["dense_pairs_per_s"]
+            result["variant_pairs_per_s"] = only["variant_pairs_per_s"]
+            result["shape"] = {"n": grid[0][0], "m_bits": grid[0][1]}
+        return result
+
+    def write(result: dict) -> str:
+        path = cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=2)
+        os.replace(tmp, path)
+        return path
+
+    # checkpoint the cache after EVERY bucket: a grid run is tens of
+    # minutes of device time through this relay, and a killed process
+    # must not lose the measured buckets (nearest-bucket dispatch is
+    # correct on any prefix of the grid).
+    write(assemble())
+    for gn, gm in grid:
+        if (gn, gm) == anchor:
+            continue
+        log(f"[tune] shape {gn} x {gm} bits")
+        buckets[_bucket_key(gn, gm)] = _tune_shape(
+            gn, gm, reps, slow_path_budget_s, log,
+            k1_variant=k1_best, k2_variant=k2_best,
+        )
+        write(assemble())
+
+    # device TOPS for the K4-vs-K2 crossover: best measured MXU rate at
+    # the longest-K bucket (2·m_bits int8 MACs per unique pair)
+    k2_tops = 0.0
+    for key, b in buckets.items():
+        bm_bits = int(key.split("x")[1])
+        rate = b["dense_pairs_per_s"].get("pallas_mxu", 0.0)
+        k2_tops = max(k2_tops, rate * 2 * bm_bits)
+
+    result = assemble()
     k4 = refit_k4_constants(log)
     if k4 is not None:
         k4["k2_int8_ops_per_s"] = k2_tops
         k4["dispatch_floor_s"] = floor_s
         result["k4_cost_model"] = k4
 
-    path = cache_path()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(result, f, indent=2)
-    log(f"wrote {path}")
+    log(f"wrote {write(result)}")
     return result
