@@ -1,25 +1,33 @@
 #!/bin/bash
-# Run this when the axon TPU relay comes back (it was down the whole
-# r2 follow-up session, 2026-08-17 ~18:00 onward). Order matters:
-# everything below shares one process where possible so the cold
-# remote-compile pathology (first compile 6-20 min, serializes the
-# compile service) is paid once, and no two cold-cache TPU processes
+# Run this when the axon TPU relay comes back after an outage. Order
+# matters: everything below shares warm compile caches where possible so
+# the cold remote-compile pathology (first compile 6-20 min, serializes
+# the compile service) is paid once, and no two cold-cache TPU processes
 # ever run concurrently (CLAUDE.md).
-set -e
+#
+# IMPORTANT: run NOTHING else on this 1-core host while this script is
+# going — host-timed probes (the tune's K4 refit) are poisoned by any
+# concurrent process (measured 2026-08-18: a parallel pytest inflated
+# np.unique 100x and zeroed the fitted cost model).
+set -u
 cd "$(dirname "$0")/.."
+fail=0
 
 echo "=== 1. probe ==="
-timeout 1800 python -c "import jax; print(jax.devices())"
+timeout 1800 python -c "import jax; print(jax.devices())" || exit 1
 
-echo "=== 2. re-tune (REQUIRED: pre-fix caches have artifact winners"
-echo "        in small-shape buckets - BASELINE.md tuning notes) ==="
-timeout 7200 python -m stormtpu tune
+echo "=== 2. re-tune (bare tune = FULL shape grid; checkpoints the"
+echo "        cache after every bucket) ==="
+timeout 7200 python -m stormtpu tune || fail=1
 
-echo "=== 3. on-device failure-mode suite (covers the new stream_query"
-echo "        diagonal gather-mirror and cross queries if added there) ==="
-STORMTPU_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_device.py -q
+echo "=== 3. on-device failure-mode suite ==="
+STORMTPU_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_device.py -q || fail=1
 
 echo "=== 4. bench (driver contract; verified-before-report) ==="
-timeout 7200 python bench.py | tail -1
+timeout 7200 python bench.py | tail -1 || fail=1
 
+if [ "$fail" -ne 0 ]; then
+  echo "TPU-RETURN CHECKS FINISHED WITH FAILURES - inspect output above"
+  exit 1
+fi
 echo "ALL TPU-RETURN CHECKS DONE - record numbers in BASELINE.md"
