@@ -10,6 +10,7 @@
 # concurrent process (measured 2026-08-18: a parallel pytest inflated
 # np.unique 100x and zeroed the fitted cost model).
 set -u
+set -o pipefail  # bench step pipes through tail; the pipeline status must be bench's
 cd "$(dirname "$0")/.."
 fail=0
 

@@ -6,7 +6,9 @@ once and picks the widest ISA kernel with small-length scalar fallbacks,
 here dispatch is a pure host-Python decision over **(N, M, density,
 backend)** producing a strategy name. It must be semantics-free: every
 eligible strategy returns the identical exact count matrix (tested in
-``tests/test_dispatch.py``).
+``tests/test_api.py::test_dispatch_invariance_xla``,
+``tests/test_pallas_kernels.py::test_dispatch_invariance_pallas``, and
+the K5 invariance cases in ``tests/test_clustered.py``).
 
 Strategies:
 

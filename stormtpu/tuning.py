@@ -409,26 +409,50 @@ def tune(
     floor_s = timeit_chain(lambda x: x & jnp.uint32(7), tiny, 1)
 
     # intermediate checkpoints carry the previous cache's K4 model (same
-    # device only) until this run's refit replaces it at the end
+    # device only) until this run's refit replaces it at the end; a
+    # same-device previous GRID cache also contributes its buckets, so an
+    # explicit single-shape probe refreshes one bucket instead of
+    # discarding every other measured bucket (the clobbering failure the
+    # old CLI default had).
     prev = load_tuning()
-    prev_k4 = (prev or {}).get("k4_cost_model") if (
-        prev and prev.get("device") == str(jax.devices()[0])) else None
+    same_device_prev = (
+        prev if prev and prev.get("device") == str(jax.devices()[0])
+        else None
+    )
+    prev_k4 = (same_device_prev or {}).get("k4_cost_model")
+    prev_buckets = dict((same_device_prev or {}).get("buckets") or {})
+    prev_grid = [tuple(g) for g in (same_device_prev or {}).get("grid", [])]
+    if len(grid) == 1 and prev_buckets:
+        # merged single-shape run: bucket rates are best-of-variant, so
+        # they rank strategies correctly even though the GLOBAL variant
+        # choice (below) stays the previous grid anchor's
+        k1_best = (same_device_prev or {}).get("best_k1_variant", k1_best)
+        k2_best = (same_device_prev or {}).get("best_k2_variant", k2_best)
 
     def assemble() -> dict:
+        merged = {**prev_buckets, **buckets} if len(grid) == 1 else buckets
+        grid_out = list(grid)
+        for g in prev_grid:
+            if len(grid) == 1 and g not in grid_out:
+                grid_out.append(g)
         result = {
             "device": str(jax.devices()[0]),
-            "grid": [list(g) for g in grid],
-            "buckets": buckets,
+            "grid": [list(g) for g in grid_out],
+            "buckets": merged,
             "best_k1_variant": k1_best,
             "best_k2_variant": k2_best,
             "dispatch_floor_s": floor_s,
         }
         if prev_k4 is not None:
             result["k4_cost_model"] = prev_k4
-        if len(buckets) == 1:
-            # single-shape runs keep the round-1 top-level fields (CLI
-            # users and older cache readers)
-            only = next(iter(buckets.values()))
+        if len(grid) == 1:
+            # explicit single-shape runs keep the round-1 top-level fields
+            # (CLI users and older cache readers). Gated on len(grid), NOT
+            # len(buckets): a full-grid run's first checkpoint also has
+            # one bucket (the anchor), and labeling the anchor's rates
+            # with grid[0]'s shape mislabeled the cache if the process
+            # died mid-grid.
+            only = buckets[_bucket_key(*anchor)]
             result["dense_pairs_per_s"] = only["dense_pairs_per_s"]
             result["variant_pairs_per_s"] = only["variant_pairs_per_s"]
             result["shape"] = {"n": grid[0][0], "m_bits": grid[0][1]}
@@ -458,15 +482,18 @@ def tune(
         )
         write(assemble())
 
-    # device TOPS for the K4-vs-K2 crossover: best measured MXU rate at
-    # the longest-K bucket (2·m_bits int8 MACs per unique pair)
+    result = assemble()
+
+    # device TOPS for the K4-vs-K2 crossover: best measured MXU rate over
+    # every bucket in the outgoing cache — including merged-in previous
+    # buckets on a single-shape refresh, whose small new bucket alone
+    # would under-estimate the device and bias dispatch toward K4
+    # (2·m_bits int8 MACs per unique pair)
     k2_tops = 0.0
-    for key, b in buckets.items():
+    for key, b in result["buckets"].items():
         bm_bits = int(key.split("x")[1])
         rate = b["dense_pairs_per_s"].get("pallas_mxu", 0.0)
         k2_tops = max(k2_tops, rate * 2 * bm_bits)
-
-    result = assemble()
     k4 = refit_k4_constants(log)
     if k4 is not None:
         k4["k2_int8_ops_per_s"] = k2_tops

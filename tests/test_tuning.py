@@ -80,6 +80,52 @@ def test_shape_aware_buckets_route_differently(cache):
     assert tuning.measured_dense_winner() in ("popcount", "pallas_mxu")
 
 
+def test_single_shape_tune_merges_into_grid_cache(cache):
+    import jax
+
+    # a previous same-device GRID cache must survive an explicit
+    # single-shape probe: the new bucket is refreshed, every other bucket
+    # (and the anchor's variant choice) is kept (ADVICE r2 tuning.py:450)
+    prev = {
+        "device": str(jax.devices()[0]),
+        "grid": [[16384, 1048576], [256, 8192]],
+        "buckets": {
+            "16384x1048576": {"dense_pairs_per_s": {"pallas_mxu": 100.0},
+                              "variant_pairs_per_s": {},
+                              "latency_bound": []},
+            "256x8192": {"dense_pairs_per_s": {"popcount": 5.0},
+                         "variant_pairs_per_s": {}, "latency_bound": []},
+        },
+        "best_k1_variant": "chunk",
+        "best_k2_variant": "planes",
+    }
+    cache.write_text(json.dumps(prev))
+    tuning.tune(n=32, m_bits=1024, reps=1, log=lambda *_: None)
+    out = tuning.load_tuning()
+    assert set(out["buckets"]) == {"16384x1048576", "256x8192", "32x1024"}
+    assert out["buckets"]["16384x1048576"]["dense_pairs_per_s"] == {
+        "pallas_mxu": 100.0}
+    assert out["best_k1_variant"] == "chunk"
+    assert out["best_k2_variant"] == "planes"
+    assert sorted(map(tuple, out["grid"])) == sorted(
+        [(32, 1024), (16384, 1048576), (256, 8192)])
+    # legacy single-shape fields describe the explicitly probed shape
+    assert out["shape"] == {"n": 32, "m_bits": 1024}
+    assert set(out["dense_pairs_per_s"]) >= {"popcount", "pallas_dense"}
+
+
+def test_grid_tune_never_writes_legacy_shape_fields(cache):
+    # multi-bucket runs (incl. their first one-bucket checkpoint) must not
+    # carry the round-1 single-shape fields (ADVICE r2 tuning.py:428: a
+    # mid-grid death otherwise mislabeled anchor rates as grid[0]'s shape)
+    tuning.tune(shapes=[(32, 1024), (64, 1024)], reps=1,
+                log=lambda *_: None)
+    out = tuning.load_tuning()
+    assert "shape" not in out
+    assert "dense_pairs_per_s" not in out
+    assert set(out["buckets"]) == {"32x1024", "64x1024"}
+
+
 def test_k4_cost_model_from_cache(cache, monkeypatch):
     import jax
 
