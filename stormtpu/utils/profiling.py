@@ -40,6 +40,19 @@ __all__ = [
 _JITTER_FLOOR_FRAC = 0.03
 
 
+def _test_dispatch_tax() -> None:
+    """Test-only fault injection: STORMTPU_TEST_DISPATCH_TAX_S adds a
+    host-side sleep to every timed dispatch, simulating a degraded (slow
+    but alive) relay — the failure mode that cost the round-2 bench
+    artifact. Consumed by the bench deadline-contract tests; a no-op
+    unless the env var is set."""
+    import os
+
+    tax = os.environ.get("STORMTPU_TEST_DISPATCH_TAX_S")
+    if tax:
+        time.sleep(float(tax))
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]) -> Iterator[None]:
     """Profile the wrapped region to ``log_dir`` (no-op when None)."""
@@ -76,9 +89,11 @@ def timeit_chain(fn, xs, chain: int) -> float:
     distinct pre-staged inputs ``xs[1:]`` (``xs[0]`` warms the compile)."""
     g = _chained(fn, chain)
     np.asarray(g(xs[0]))
+    _test_dispatch_tax()
     t0 = time.time()
     for x in xs[1:]:
         np.asarray(g(x))
+        _test_dispatch_tax()
     return (time.time() - t0) / (len(xs) - 1)
 
 
@@ -151,9 +166,11 @@ def timeit_chain_salted(fn_salt, xs, chain: int) -> float:
     ``fn_salt(x, s)`` over the distinct pre-staged inputs ``xs[1:]``."""
     g = _chained_salted(fn_salt, chain)
     np.asarray(g(xs[0]))
+    _test_dispatch_tax()
     t0 = time.time()
     for x in xs[1:]:
         np.asarray(g(x))
+        _test_dispatch_tax()
     return (time.time() - t0) / (len(xs) - 1)
 
 
