@@ -82,11 +82,13 @@ N_HEAD = 16384
 M_HEAD = 65536
 REPS = 3
 
-# Last driver-captured device baseline at the headline shape
-# (BENCH_r01.json, 2026-08-17): used for vs_baseline ONLY while this run's
-# own baseline stage hasn't completed yet, and marked as such.
-_RECORDED_BASELINE_PAIRS_S = 12_677_262
-_RECORDED_BASELINE_TAG = "recorded-2026-08-17"
+# Last recorded device baseline at the headline shape (round-3 honest
+# chains, 2026-08-18: 44.07 M pairs/s = 722 GB/s stream — earlier rounds'
+# shorter chains under-measured it; BASELINE.md streaming notes): used for
+# vs_baseline ONLY while this run's own baseline stage hasn't completed
+# yet, and marked as such.
+_RECORDED_BASELINE_PAIRS_S = 44_069_833
+_RECORDED_BASELINE_TAG = "recorded-2026-08-18"
 
 
 def log(msg: str) -> None:

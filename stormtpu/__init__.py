@@ -28,6 +28,14 @@ Layer map (TPU-native redesign, not a port):
                   (new surface; the reference is single-threaded)
 """
 
+# Cold-start mitigation: point JAX's persistent compilation cache at a
+# stormtpu dir BEFORE any compile can happen (measured 79 s → 2.3 s for a
+# fresh process's first kernel on the axon relay; VERDICT r2 #4).
+# STORMTPU_COMPILATION_CACHE=0 opts out.
+from stormtpu.utils.backend import enable_compilation_cache as _enable_cc
+
+_enable_cc()
+
 from stormtpu.config import EngineConfig, default_config
 from stormtpu.layout import BitMatrix, BitMatrixBuilder, pack_bits, unpack_bits
 from stormtpu.oracle import (

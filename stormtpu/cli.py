@@ -313,7 +313,7 @@ def main(argv=None) -> int:
     sp.add_argument("--superblock", type=int, default=4096)
     sp.add_argument("--kernel", default="auto",
                     choices=("auto", "mxu", "dense", "xla_int8",
-                             "xla_popcount", "clustered"))
+                             "xla_popcount", "clustered", "sparse_outer"))
     sp.add_argument("--no-compress", action="store_true",
                     help="write stripes uncompressed (disk-speed writes)")
     sp.add_argument("--operand-streaming", default="auto",

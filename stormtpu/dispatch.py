@@ -90,17 +90,17 @@ def choose_strategy(
         from stormtpu.native import HAVE_NATIVE
 
         if n <= 32768 and HAVE_NATIVE:
-            from stormtpu.tuning import k4_cost_model
+            from stormtpu.tuning import k4_constants
 
-            fit = k4_cost_model() or {}
             # shipped defaults encode the round-1 v5e + 1-core host;
             # `python -m stormtpu tune` re-fits them for this machine
             # (tuning.refit_k4_constants)
-            c_sort = fit.get("c_sort_s_per_nnz", 3e-8)
-            c_n2 = fit.get("c_n2_s_per_elem", 4e-9)
-            c_emit = fit.get("c_emit_s_per_emission", 2e-9)
-            tops = fit.get("k2_int8_ops_per_s", 330e12)
-            floor = fit.get("dispatch_floor_s", 0.03)
+            fit = k4_constants()
+            c_sort = fit["c_sort_s_per_nnz"]
+            c_n2 = fit["c_n2_s_per_elem"]
+            c_emit = fit["c_emit_s_per_emission"]
+            tops = fit["k2_int8_ops_per_s"]
+            floor = fit["dispatch_floor_s"]
             nnz = n * m_bits * density
             # K4: np.unique sort + N² zero/mirror + pair emission
             # (E ≈ nnz · n · density)

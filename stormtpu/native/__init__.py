@@ -60,6 +60,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.stpu_mirror_upper.argtypes = [p_i32, i64]
     lib.stpu_sparse_outer_runs.restype = None
     lib.stpu_sparse_outer_runs.argtypes = [p_i64, p_i32, i64, i64, p_i32]
+    lib.stpu_sparse_outer_runs_cross.restype = None
+    lib.stpu_sparse_outer_runs_cross.argtypes = [
+        p_i64, p_i32, i64, p_i64, p_i32, i64, i64, p_i32,
+    ]
     return lib
 
 
@@ -196,6 +200,27 @@ def sparse_outer_runs_native(
     rows = np.ascontiguousarray(rows, dtype=np.int32)
     out = np.zeros((n, n), dtype=np.int32)
     lib.stpu_sparse_outer_runs(col_ids, rows, col_ids.size, n, out)
+    return out
+
+
+def sparse_outer_runs_cross_native(
+    cols_a: np.ndarray, rows_a: np.ndarray,
+    cols_b: np.ndarray, rows_b: np.ndarray,
+    na: int, nb: int,
+) -> Optional[np.ndarray]:
+    """K4 cross-stripe counts [na, nb] from two column-sorted local-row
+    COO lists (the per-superblock streaming form; stripe-local buffers)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cols_a = np.ascontiguousarray(cols_a, dtype=np.int64)
+    rows_a = np.ascontiguousarray(rows_a, dtype=np.int32)
+    cols_b = np.ascontiguousarray(cols_b, dtype=np.int64)
+    rows_b = np.ascontiguousarray(rows_b, dtype=np.int32)
+    out = np.zeros((na, nb), dtype=np.int32)
+    lib.stpu_sparse_outer_runs_cross(
+        cols_a, rows_a, cols_a.size, cols_b, rows_b, cols_b.size, nb, out,
+    )
     return out
 
 

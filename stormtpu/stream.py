@@ -289,20 +289,48 @@ def stream_count_matrix(
         interpret = pallas_interpret_default()
     if kernel == "auto":
         kernel = _auto_stream_kernel(bm.m_bits, bm.n)
-        # C8 skip at streaming scale: when the summary-AND co-occupancy
-        # says most (tile pair, K-group) cells are co-empty, the
-        # work-list stripes win by ≈ 1/fraction over ANY dense stripe
-        # walk — same statistic as the single-matrix dispatch
-        from stormtpu.kernels.clustered import clustered_work_fraction
+        # C12 at streaming scale (the reference's sparse regime has no
+        # size ceiling; K4's single-shot form is capped at N=32768 by its
+        # N² host buffer): at extreme sparsity route to the per-superblock
+        # inverted-index walk — buffers are superblock², and each stripe
+        # pair re-decides K4-vs-dense with the fitted cost model. This
+        # check runs BEFORE the clustered one, mirroring dispatch.py's
+        # priority: below the density threshold K4 beats the K5 skip at
+        # every measured shape (K5 still pays work_fraction × the dense
+        # device cost; K4's work scales with nnz², not N²·M), and a
+        # stripe where K4 loses falls back to the dense MXU walk anyway.
+        from stormtpu.native import HAVE_NATIVE
 
-        wf = clustered_work_fraction(bm, cfg)
-        if wf is not None and wf < cfg.clustered_work_fraction_threshold:
-            kernel = "clustered"
-    if kernel not in ("mxu", "dense", "xla_int8", "xla_popcount", "clustered"):
+        if (
+            HAVE_NATIVE
+            and bm.n >= 2
+            and bm.density < cfg.sparse_density_threshold
+        ):
+            kernel = "sparse_outer"
+        else:
+            # C8 skip at streaming scale: when the summary-AND
+            # co-occupancy says most (tile pair, K-group) cells are
+            # co-empty, the work-list stripes win by ≈ 1/fraction over
+            # ANY dense stripe walk — same statistic as the
+            # single-matrix dispatch
+            from stormtpu.kernels.clustered import clustered_work_fraction
+
+            wf = clustered_work_fraction(bm, cfg)
+            if wf is not None and wf < cfg.clustered_work_fraction_threshold:
+                kernel = "clustered"
+    if kernel not in ("mxu", "dense", "xla_int8", "xla_popcount",
+                      "clustered", "sparse_outer"):
         # an unknown string would silently run the k1-dense branch below
         raise ValueError(
             f"unknown kernel {kernel!r}; want 'auto' or one of "
-            f"('mxu', 'dense', 'xla_int8', 'xla_popcount', 'clustered')"
+            f"('mxu', 'dense', 'xla_int8', 'xla_popcount', 'clustered', "
+            f"'sparse_outer')"
+        )
+    if kernel == "sparse_outer":
+        return _stream_sparse_outer(
+            bm, out_dir, superblock_rows=superblock_rows, config=cfg,
+            resume=resume, compress=compress, interpret=bool(interpret),
+            progress=progress,
         )
     if kernel == "clustered":
         return _stream_clustered(
@@ -517,6 +545,184 @@ def _stream_clustered(
         tmp = path + ".tmp.npz"
         save = np.savez_compressed if compress else np.savez
         save(tmp, tiles=tiles, loc_i=loc_i, loc_j=loc_j, i=i, j=j)
+        os.replace(tmp, path)
+        manifest["completed"].append([i, j])
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _superblock_coo(
+    bm: BitMatrix, superblock_rows: int, n_super: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-superblock column-sorted local-row COO: for each row
+    superblock I, (cols int64, local_rows int32) sorted by (col, row) —
+    the order the native K4 run-walks need. Deduplicated (packing ORs
+    duplicate positions, so counts must too)."""
+    if bm.coo is not None:
+        rows_c, cols_c = bm.coo
+        keys = cols_c.astype(np.int64) * bm.n + rows_c
+        keys_u = np.unique(keys)
+        cols_s = keys_u // bm.n
+        rows_s = keys_u % bm.n
+    else:
+        # CSR extraction is duplicate-free by construction
+        indptr, indices = bm.positions_csr()
+        rows_s = np.repeat(
+            np.arange(bm.n, dtype=np.int64), np.diff(indptr)
+        )
+        cols_s = indices.astype(np.int64)
+        order = np.lexsort((rows_s, cols_s))
+        cols_s, rows_s = cols_s[order], rows_s[order]
+    subs = []
+    for i in range(n_super):
+        lo = i * superblock_rows
+        mask = (rows_s >= lo) & (rows_s < lo + superblock_rows)
+        subs.append((cols_s[mask], (rows_s[mask] - lo).astype(np.int32)))
+    return subs
+
+
+def _stream_sparse_outer(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    superblock_rows: int,
+    config: EngineConfig,
+    resume: bool,
+    compress: bool,
+    interpret: bool,
+    progress: Optional[Callable[[int, int], None]],
+) -> dict:
+    """K4 at streaming scale: per-superblock inverted-index emission.
+
+    The single-shot K4 (``count_matrix_sparse_outer``) is capped at
+    N=32768 by its N²-int32 host buffer; here every stripe pair (I, J)
+    runs the same merge-walk emission on **stripe-local** buffers
+    (superblock², 64 MB at the default 4096) over the two superblocks'
+    column-sorted sub-COO lists — so the reference's sparse regime (C12)
+    reaches the streaming driver's scale (C11) with host RAM as the only
+    bound, like everything else in this driver.
+
+    Per-stripe dispatch: the EXACT emission count E(I,J) = Σ_c occ_I(c)
+    · occ_J(c) is computed from the per-superblock column histograms
+    (cheap: one intersect1d per stripe), and the fitted K4 cost model
+    (tuning.k4_constants) decides K4-vs-dense **per stripe pair** — a
+    dense superblock pair inside an otherwise sparse panel takes the MXU
+    walk, exactly the reference's per-block representation dispatch (C7)
+    at superblock granularity.
+
+    Stripe formats: K4 stripes store only their nonzero counts
+    (``coo_i``/``coo_j``/``coo_v`` — at the densities that choose K4 the
+    stripe is overwhelmingly zero, and npz-compressing 64 MB of zeros at
+    ~50 MB/s on this 1-core host would dominate the whole run); dense
+    stripes keep the ``counts`` format. ``load_streamed_matrix`` handles
+    both; resume-by-file works unchanged.
+    """
+    from stormtpu.native import (
+        mirror_upper_native,
+        sparse_outer_runs_cross_native,
+        sparse_outer_runs_native,
+    )
+    from stormtpu.tuning import k4_constants
+
+    cfg = config
+    tile_rows = cfg.k2_tile_rows
+    tile_words = cfg.k2_tile_words
+    superblock_rows = round_up(superblock_rows, tile_rows)
+    tiles_per_super = superblock_rows // tile_rows
+    n_pad = round_up(bm.n, superblock_rows)
+    w_pad = round_up(bm.n_words, tile_words)
+    n_super = n_pad // superblock_rows
+    dense_kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+    if dense_kernel == "dense":
+        # dense-stripe fallbacks share this walk's K2 tile geometry (the
+        # superblock is rounded to k2 tiles above); the K1 form only wins
+        # in small-shape buckets this driver never sees
+        dense_kernel = "mxu"
+
+    subs = _superblock_coo(bm, superblock_rows, n_super)
+    # per-superblock column histograms for exact E(I,J)
+    hists = [np.unique(cols, return_counts=True) for cols, _ in subs]
+
+    fit = k4_constants()
+    c_n2 = fit["c_n2_s_per_elem"]
+    c_emit = fit["c_emit_s_per_emission"]
+    tops = fit["k2_int8_ops_per_s"]
+    floor = fit["dispatch_floor_s"]
+    sb2 = superblock_rows * superblock_rows
+    est_dense_s = sb2 * bm.m_bits / tops + floor
+
+    def emissions(i: int, j: int) -> int:
+        cu_i, cnt_i = hists[i]
+        if i == j:
+            # diag run-walk touches cnt·(cnt+1)/2 cells per column
+            return int((cnt_i.astype(np.int64) * (cnt_i + 1) // 2).sum())
+        cu_j, cnt_j = hists[j]
+        _, ia, ja = np.intersect1d(cu_i, cu_j, return_indices=True,
+                                   assume_unique=True)
+        return int(cnt_i[ia].astype(np.int64) @ cnt_j[ja])
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {
+        "n": bm.n,
+        "m_bits": bm.m_bits,
+        "superblock_rows": superblock_rows,
+        "n_super": n_super,
+        "kernel": "sparse_outer",
+        "stripe_kernels": {"k4": 0, "dense": 0},
+        "completed": [],
+    }
+    total = n_super * (n_super + 1) // 2
+    done = 0
+    xi_d, xi_idx = None, -1
+    for i, j in _superblock_pairs(n_super):
+        path = stripe_path(out_dir, i, j)
+        if resume and os.path.exists(path):
+            manifest["completed"].append([i, j])
+            done += 1
+            continue
+        e_ij = emissions(i, j)
+        use_k4 = c_n2 * sb2 + c_emit * e_ij < est_dense_s
+        tmp = path + ".tmp.npz"
+        save = np.savez_compressed if compress else np.savez
+        if use_k4:
+            cols_i, rows_i = subs[i]
+            if i == j:
+                stripe = sparse_outer_runs_native(
+                    cols_i, rows_i, superblock_rows)
+                mirror_upper_native(stripe)
+            else:
+                cols_j, rows_j = subs[j]
+                stripe = sparse_outer_runs_cross_native(
+                    cols_i, rows_i, cols_j, rows_j,
+                    superblock_rows, superblock_rows)
+            nz_i, nz_j = np.nonzero(stripe)
+            save(tmp, coo_i=nz_i.astype(np.int32),
+                 coo_j=nz_j.astype(np.int32),
+                 coo_v=stripe[nz_i, nz_j], i=i, j=j)
+            manifest["stripe_kernels"]["k4"] += 1
+        else:
+            # dense device stripe (operand-streaming style: only the two
+            # superblock slices resident; the i slice reuses across its
+            # row of stripes)
+            if xi_idx != i:
+                xi_d = jnp.asarray(
+                    _host_superblock(bm.packed, bm.n, superblock_rows,
+                                     w_pad, i)
+                )
+                xi_idx = i
+            xj_d = None if i == j else jnp.asarray(
+                _host_superblock(bm.packed, bm.n, superblock_rows, w_pad, j)
+            )
+            stripe = _compute_stripe_pair(
+                xi_d, xj_d, tiles_per_super, tile_rows, tile_words,
+                interpret, dense_kernel,
+            )
+            save(tmp, counts=stripe, i=i, j=j)
+            manifest["stripe_kernels"]["dense"] += 1
         os.replace(tmp, path)
         manifest["completed"].append([i, j])
         done += 1
@@ -816,6 +1022,9 @@ def load_streamed_matrix(out_dir: str) -> np.ndarray:
                         z["tiles"], z["loc_i"], z["loc_j"],
                         sb // ti, ti, i == j,
                     )
+                elif "coo_i" in z.files:  # sparse_outer nonzero stripes
+                    stripe = np.zeros((sb, sb), dtype=np.int32)
+                    stripe[z["coo_i"], z["coo_j"]] = z["coo_v"]
                 else:
                     stripe = z["counts"]
             full[i * sb : (i + 1) * sb, j * sb : (j + 1) * sb] = stripe

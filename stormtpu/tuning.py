@@ -131,6 +131,28 @@ def k4_cost_model() -> Optional[dict]:
     return t.get("k4_cost_model")
 
 
+# Shipped K4 cost-model defaults (round-1 v5e + 1-core host measurements;
+# BASELINE.md "Sparse-path crossover"). `python -m stormtpu tune` re-fits
+# them for the current machine; every consumer (dispatch.py single-shot,
+# stream.py per-stripe) reads through k4_constants() so the fitted and
+# shipped values can never diverge between call sites.
+K4_DEFAULTS = {
+    "c_sort_s_per_nnz": 3e-8,
+    "c_n2_s_per_elem": 4e-9,
+    "c_emit_s_per_emission": 2e-9,
+    "k2_int8_ops_per_s": 330e12,
+    "dispatch_floor_s": 0.03,
+}
+
+
+def k4_constants() -> dict:
+    """K4 cost-model constants: the fitted cache values where present,
+    shipped defaults elsewhere."""
+    out = dict(K4_DEFAULTS)
+    out.update(k4_cost_model() or {})
+    return out
+
+
 def _auto_c2(t1: float) -> int:
     """Chain length whose marginal time clears relay jitter, from a
     one-dispatch probe ``t1`` (fixed per-candidate chain lengths made

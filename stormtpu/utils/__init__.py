@@ -7,6 +7,7 @@ from stormtpu.utils.tiling import (
 )
 from stormtpu.utils.backend import (
     V5E_INT8_PEAK_OPS,
+    enable_compilation_cache,
     is_tpu_backend,
     pallas_interpret_default,
 )
@@ -21,6 +22,7 @@ from stormtpu.utils.profiling import (
 
 __all__ = [
     "V5E_INT8_PEAK_OPS",
+    "enable_compilation_cache",
     "assemble_triangular",
     "next_pow2",
     "quantize_bucket",

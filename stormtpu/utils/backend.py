@@ -9,9 +9,39 @@ platform to TPU but reports platform name "axon"; treat it as TPU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 _TPU_PLATFORMS = ("tpu", "axon")
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a stormtpu cache dir.
+
+    Cold-start mitigation (VERDICT r2 #4): the axon relay's remote
+    compiler costs 20–60 s per new executable (minutes when cold), so a
+    fresh process's first tiny ``pair_count`` burned ~8 min in round-2's
+    acceptance config 1. Measured on the axon backend (2026-08-18): the
+    persistent cache DOES work through the relay plugin — a 79 s
+    first-process compile+run became 2.3 s in a fresh process. Every
+    ``stormtpu`` import enables it (before any compile happens);
+    opt out with ``STORMTPU_COMPILATION_CACHE=0``, redirect with
+    ``STORMTPU_COMPILATION_CACHE=<dir>``. A user-set
+    ``JAX_COMPILATION_CACHE_DIR`` (or prior ``jax.config`` value) wins.
+    """
+    knob = os.environ.get("STORMTPU_COMPILATION_CACHE", "")
+    if knob == "0":
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+        cache_dir = knob or os.path.join(
+            os.path.expanduser("~"), ".cache", "stormtpu", "xla_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:  # pragma: no cover - never block import on this
+        pass
 
 
 def is_tpu_backend() -> bool:

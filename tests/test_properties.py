@@ -138,14 +138,38 @@ _TILE_CFG = EngineConfig(
 )
 
 
+# Shapes pinned AT the index-map boundaries (VERDICT r2 #5): N straddles
+# the k2 tile rows (ti−1, ti, ti+1 and the 2-tile boundary), M straddles a
+# word boundary (32), the K-step boundary (k2_tile_words·32 = 4096 bits
+# under _TILE_CFG), and twice it — the exact places Pallas index-map bugs
+# live. Small shapes stay in the pool so shrinking can land anywhere in
+# {1..12} ∪ boundary±1.
+_TI = _TILE_CFG.k2_tile_rows          # 32
+_KSTEP = _TILE_CFG.k2_tile_words * 32  # 4096 bits
+
+
 @st.composite
 def boundary_matrices(draw):
-    n = draw(st.integers(min_value=33, max_value=70))
-    m = draw(st.integers(min_value=4100, max_value=9000))
+    n = draw(st.one_of(
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([_TI - 1, _TI, _TI + 1,
+                         2 * _TI - 1, 2 * _TI, 2 * _TI + 1]),
+    ))
+    m = draw(st.one_of(
+        st.sampled_from([31, 32, 33, 63, 65]),          # word boundary
+        st.sampled_from([_KSTEP - 32, _KSTEP, _KSTEP + 32,
+                         2 * _KSTEP - 32, 2 * _KSTEP + 32]),  # K-step
+    ))
     seed = draw(st.integers(min_value=0, max_value=2**31))
     density = draw(st.sampled_from([0.005, 0.2, 0.6]))
     rng = np.random.default_rng(seed)
-    return (rng.random((n, m)) < density).astype(np.uint8)
+    dense = (rng.random((n, m)) < density).astype(np.uint8)
+    # force content AT the boundaries: last row, last column, and the
+    # word straddling the first K-step all carry set bits, so an
+    # index-map off-by-one cannot hide behind empty tails
+    dense[-1, -1] = 1
+    dense[0, min(m, _KSTEP) - 1] = 1
+    return dense
 
 
 @given(boundary_matrices())
@@ -163,11 +187,41 @@ def test_all_strategies_agree_across_tile_boundaries(dense):
         )
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n,m", [(255, 8224), (256, 8192), (257, 8160)],
+)
+def test_strategies_agree_at_shipped_tile_boundaries(n, m):
+    """Deterministic twin of the hypothesis case at the SHIPPED tile
+    geometry (k2 ti=256, K-step=8192 bits): N at ti−1/ti/ti+1 and M
+    straddling the default K-group boundary — the production index maps,
+    not just the small-tile test config. Only the tile-walking strategies
+    run here (K3/K4 have no tile index maps, and K3's O(N²·L) CPU cost
+    triples the case for nothing)."""
+    rng = np.random.default_rng(n * 100003 + m)
+    dense = (rng.random((n, m)) < 0.15).astype(np.uint8)
+    dense[-1, -1] = 1
+    bm = BitMatrix.from_dense(dense)
+    want = oracle_count_matrix(bm.packed)
+    for strategy in ("popcount", "mxu", "pallas_dense", "pallas_mxu",
+                     "clustered"):
+        got = intersect_count_matrix(bm, strategy=strategy)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"strategy {strategy} diverged at shipped "
+            f"tile boundary {n}x{m}"
+        )
+
+
 @given(boundary_matrices(), st.integers(min_value=1, max_value=5))
 @settings(max_examples=4, deadline=None)
 def test_topk_property_across_tile_boundaries(dense, k):
     from stormtpu import topk_neighbors
 
+    if dense.shape[0] < 2:
+        return
+    k = min(k, dense.shape[0] - 1)
     bm = BitMatrix.from_dense(dense)
     want = oracle_count_matrix(bm.packed).astype(np.int64)
     vals, _ = topk_neighbors(bm, k)
@@ -185,6 +239,9 @@ def test_stream_queries_property(dense, k, threshold):
     rows, words, and superblocks)."""
     from stormtpu.stream_query import stream_pairs_above, stream_topk_neighbors
 
+    if dense.shape[0] < 2:
+        return
+    k = min(k, dense.shape[0] - 1)
     bm = BitMatrix.from_dense(dense)
     want = oracle_count_matrix(bm.packed).astype(np.int64)
     w = want.copy()
