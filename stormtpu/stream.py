@@ -585,6 +585,72 @@ def _superblock_coo(
     return subs
 
 
+class _SparseStripePlan:
+    """Per-superblock K4 machinery shared by the streaming count walker
+    and the streaming queries (stream_query.py): column-sorted sub-COO
+    lists, per-superblock column histograms (exact emission counts
+    E(I,J)), the fitted per-stripe K4-vs-dense decision, and the native
+    stripe evaluation. One home so the counts walk and the query walks
+    can never disagree on which stripe the sparse regime owns."""
+
+    def __init__(self, bm: BitMatrix, superblock_rows: int, n_super: int):
+        from stormtpu.tuning import k4_constants
+
+        self.bm = bm
+        self.sb = superblock_rows
+        self.subs = _superblock_coo(bm, superblock_rows, n_super)
+        self.hists = [np.unique(cols, return_counts=True)
+                      for cols, _ in self.subs]
+        fit = k4_constants()
+        self._c_n2 = fit["c_n2_s_per_elem"]
+        self._c_emit = fit["c_emit_s_per_emission"]
+        self._sb2 = superblock_rows * superblock_rows
+        self._est_dense_s = (
+            self._sb2 * bm.m_bits / fit["k2_int8_ops_per_s"]
+            + fit["dispatch_floor_s"]
+        )
+
+    def emissions(self, i: int, j: int) -> int:
+        """Exact K4 emission count for stripe (i, j), from the column
+        histograms (one intersect1d per stripe)."""
+        cu_i, cnt_i = self.hists[i]
+        if i == j:
+            # diag run-walk touches cnt·(cnt+1)/2 cells per column
+            return int((cnt_i.astype(np.int64) * (cnt_i + 1) // 2).sum())
+        cu_j, cnt_j = self.hists[j]
+        _, ia, ja = np.intersect1d(cu_i, cu_j, return_indices=True,
+                                   assume_unique=True)
+        return int(cnt_i[ia].astype(np.int64) @ cnt_j[ja])
+
+    def use_k4(self, i: int, j: int, extra_emissions: int = 0) -> bool:
+        """Fitted cost model: K4 emission vs the dense MXU stripe.
+        ``extra_emissions`` charges caller-side per-candidate host work
+        (e.g. the r2 zero-intersection staircase) at the emission rate."""
+        cost = self._c_n2 * self._sb2 + self._c_emit * (
+            self.emissions(i, j) + extra_emissions
+        )
+        return cost < self._est_dense_s
+
+    def stripe_counts(self, i: int, j: int) -> np.ndarray:
+        """Dense [sb, sb] int32 local counts of stripe (i, j) via the
+        native inverted-index run walk (diagonal stripes mirrored to
+        full square, self-counts on the diagonal)."""
+        from stormtpu.native import (
+            mirror_upper_native,
+            sparse_outer_runs_cross_native,
+            sparse_outer_runs_native,
+        )
+
+        cols_i, rows_i = self.subs[i]
+        if i == j:
+            stripe = sparse_outer_runs_native(cols_i, rows_i, self.sb)
+            mirror_upper_native(stripe)
+            return stripe
+        cols_j, rows_j = self.subs[j]
+        return sparse_outer_runs_cross_native(
+            cols_i, rows_i, cols_j, rows_j, self.sb, self.sb)
+
+
 def _stream_sparse_outer(
     bm: BitMatrix,
     out_dir: str,
@@ -621,13 +687,6 @@ def _stream_sparse_outer(
     stripes keep the ``counts`` format. ``load_streamed_matrix`` handles
     both; resume-by-file works unchanged.
     """
-    from stormtpu.native import (
-        mirror_upper_native,
-        sparse_outer_runs_cross_native,
-        sparse_outer_runs_native,
-    )
-    from stormtpu.tuning import k4_constants
-
     cfg = config
     tile_rows = cfg.k2_tile_rows
     tile_words = cfg.k2_tile_words
@@ -643,27 +702,7 @@ def _stream_sparse_outer(
         # in small-shape buckets this driver never sees
         dense_kernel = "mxu"
 
-    subs = _superblock_coo(bm, superblock_rows, n_super)
-    # per-superblock column histograms for exact E(I,J)
-    hists = [np.unique(cols, return_counts=True) for cols, _ in subs]
-
-    fit = k4_constants()
-    c_n2 = fit["c_n2_s_per_elem"]
-    c_emit = fit["c_emit_s_per_emission"]
-    tops = fit["k2_int8_ops_per_s"]
-    floor = fit["dispatch_floor_s"]
-    sb2 = superblock_rows * superblock_rows
-    est_dense_s = sb2 * bm.m_bits / tops + floor
-
-    def emissions(i: int, j: int) -> int:
-        cu_i, cnt_i = hists[i]
-        if i == j:
-            # diag run-walk touches cnt·(cnt+1)/2 cells per column
-            return int((cnt_i.astype(np.int64) * (cnt_i + 1) // 2).sum())
-        cu_j, cnt_j = hists[j]
-        _, ia, ja = np.intersect1d(cu_i, cu_j, return_indices=True,
-                                   assume_unique=True)
-        return int(cnt_i[ia].astype(np.int64) @ cnt_j[ja])
+    plan = _SparseStripePlan(bm, superblock_rows, n_super)
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
@@ -684,21 +723,10 @@ def _stream_sparse_outer(
             manifest["completed"].append([i, j])
             done += 1
             continue
-        e_ij = emissions(i, j)
-        use_k4 = c_n2 * sb2 + c_emit * e_ij < est_dense_s
         tmp = path + ".tmp.npz"
         save = np.savez_compressed if compress else np.savez
-        if use_k4:
-            cols_i, rows_i = subs[i]
-            if i == j:
-                stripe = sparse_outer_runs_native(
-                    cols_i, rows_i, superblock_rows)
-                mirror_upper_native(stripe)
-            else:
-                cols_j, rows_j = subs[j]
-                stripe = sparse_outer_runs_cross_native(
-                    cols_i, rows_i, cols_j, rows_j,
-                    superblock_rows, superblock_rows)
+        if plan.use_k4(i, j):
+            stripe = plan.stripe_counts(i, j)
             nz_i, nz_j = np.nonzero(stripe)
             save(tmp, coo_i=nz_i.astype(np.int32),
                  coo_j=nz_j.astype(np.int32),

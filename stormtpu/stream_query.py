@@ -339,6 +339,105 @@ def _merge_topk(
     best_i[sl] = np.take_along_axis(ci, sel, axis=1)
 
 
+def _sparse_mode_for(bm: BitMatrix, requested: str, cfg) -> bool:
+    """Streaming-query analog of stream.py's auto sparse routing: at
+    extreme sparsity (and with the native tier present) the stripe walk
+    runs per-superblock K4 emission on the host instead of dense device
+    stripes — the reference's sparse regime (C12) reaching the streaming
+    QUERIES, above the single-shot N=32768 ceiling. ``requested`` is the
+    caller's kernel string BEFORE resolution: 'sparse_outer' forces the
+    route (raises without the native tier); 'auto' decides from the
+    measured density threshold, mirroring stream.stream_count_matrix.
+    Sparse mode keeps a resolved dense stripe kernel alongside — the
+    per-stripe cost model can still pick the device walk for locally
+    dense stripes (the reference C7 dispatch at superblock granularity)."""
+    from stormtpu.native import HAVE_NATIVE
+
+    if requested == "sparse_outer":
+        if not HAVE_NATIVE:
+            raise RuntimeError(
+                "kernel='sparse_outer' needs the native C++ tier "
+                "(stormtpu/native build failed or was disabled)"
+            )
+        return True
+    return (
+        requested == "auto"
+        and HAVE_NATIVE
+        and bm.n >= 2
+        and bm.density < cfg.sparse_density_threshold
+    )
+
+
+def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
+                  threshold: float):
+    """r2 scores ZERO-intersection (anti-correlated) pairs — at zero
+    intersection r2 = ca·cb/((m−ca)(m−cb)) = g(ca)·g(cb) with
+    g(c) = c/(m−c), monotone in c — so the candidates above a threshold
+    form a staircase enumerable from sorted row cardinalities, without
+    touching any pair the K4 emission never saw. Returns (total count,
+    materialize(stripe, diagonal) → (rows, cols)): the count phase is
+    O(sb log sb) and feeds the per-stripe cost model; materialization
+    filters to pairs whose stripe count is actually zero (nonzero pairs
+    are the COO pass's job). The staircase threshold carries a few ulps
+    of slack so float rounding can only ADD candidates — the exact
+    float64 refilter at the end of the walk trims them (the same
+    slack-screen contract as the device path)."""
+    m = float(m_bits)
+    ca = nnz_i.astype(np.float64)
+    cb = nnz_j.astype(np.float64)
+    # rows with c ∈ {0, m} cannot form zero-intersection scoring pairs:
+    # c=0 → r2=0; c=m → intersection = partner's cardinality, which is 0
+    # only when the partner scores 0 too
+    ga = np.where((nnz_i > 0) & (nnz_i < m_bits), ca / (m - ca), 0.0)
+    gb = np.where((nnz_j > 0) & (nnz_j < m_bits), cb / (m - cb), 0.0)
+    order_b = np.argsort(-gb)
+    gbs = gb[order_b]
+    t_eff = threshold * (1.0 - 1e-9)
+    with np.errstate(divide="ignore"):
+        lim = np.where(ga > 0, t_eff / ga, np.inf)
+    cnt = np.searchsorted(-gbs, -lim, side="right")
+    total = int(cnt.sum())
+
+    def materialize(stripe: np.ndarray, diagonal: bool):
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        rows = np.repeat(np.arange(cnt.size), cnt)
+        cols = order_b[offs]
+        keep = stripe[rows, cols] == 0
+        if diagonal:
+            keep &= rows < cols
+        return rows[keep], cols[keep]
+
+    return total, materialize
+
+
+def _stripe_topk_candidates_k4(
+    stripe: np.ndarray, k: int, *, diagonal: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host top-k of one K4 stripe's dense local counts, both
+    orientations (the off-diagonal transpose reuses the same buffer).
+    Self pairs rank as -1, matching the device stripe's mask; padded
+    rows/cols carry zero counts and are masked by the caller's final
+    ``idx < n`` rule, exactly like the device path."""
+    if diagonal:
+        stripe = stripe.copy()
+        np.fill_diagonal(stripe, -1)
+    kk = min(k, stripe.shape[1])
+
+    def row_topk(s):
+        sel = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        v = np.take_along_axis(s, sel, axis=1)
+        if kk < k:  # superblock smaller than k: pad with no-partner
+            v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=-1)
+            sel = np.pad(sel, ((0, 0), (0, k - kk)))
+        return v, sel.astype(np.int32)
+
+    vi, ii = row_topk(stripe)
+    if diagonal:
+        return vi, ii, None, None
+    vj, ij = row_topk(stripe.T)
+    return vi, ii, vj, ij
+
+
 def _content_fingerprint(bm: BitMatrix) -> str:
     """Cheap content key for resume directories: shape alone is not
     identity (a regenerated same-shape matrix must NOT silently reuse a
@@ -379,6 +478,12 @@ def stream_topk_neighbors(
     (0, 0) "no partner" convention where the summary skip proved a whole
     stripe zero.
 
+    ``kernel="auto"`` routes extreme-sparsity inputs to per-superblock
+    K4 host emission (no device round-trip per sparse stripe; the
+    per-stripe cost model still sends locally dense stripes to the
+    device walk) — the reference's sparse regime (C12) at streaming
+    query scale. ``kernel="sparse_outer"`` forces that route.
+
     ``out_dir``: checkpoint the running best after every completed
     stripe ROW (atomic write+rename, like stream.py's stripes) and
     resume from it — an interrupted multi-hour walk restarts at the
@@ -391,9 +496,17 @@ def stream_topk_neighbors(
 
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    requested = kernel
     (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
      n_super) = _resolve_stripe_config(
-        bm, superblock_rows, kernel, config, interpret, bitmap=False)
+        bm, superblock_rows,
+        "auto" if kernel == "sparse_outer" else kernel,
+        config, interpret, bitmap=False)
+    plan = None
+    if _sparse_mode_for(bm, requested, cfg):
+        from stormtpu.stream import _SparseStripePlan
+
+        plan = _SparseStripePlan(bm, sb, n_super)
     if k > sb:
         raise ValueError(
             f"k={k} exceeds superblock_rows={sb}: each stripe "
@@ -405,7 +518,8 @@ def stream_topk_neighbors(
     best_i = np.zeros((n_pad, k), dtype=np.int32)
     start_i = 0
     ckpt = os.path.join(out_dir, "topk_ckpt.npz") if out_dir else None
-    params = _topk_ckpt_params(bm, k, sb, kernel)
+    params = _topk_ckpt_params(
+        bm, k, sb, f"sparse_outer+{kernel}" if plan is not None else kernel)
     if ckpt and resume and os.path.exists(ckpt):
         with np.load(ckpt, allow_pickle=False) as z:
             got = json.loads(str(z["params"]))
@@ -431,6 +545,17 @@ def stream_topk_neighbors(
                 # emits anyway, so the stripe never touches the device
                 continue
             dirty = True
+            if plan is not None and plan.use_k4(i, j):
+                # sparse stripe: host K4 emission, no device round-trip
+                vi_h, ii_h, vj_h, ij_h = _stripe_topk_candidates_k4(
+                    plan.stripe_counts(i, j), k, diagonal=i == j)
+                _merge_topk(best_v, best_i, slice(i * sb, (i + 1) * sb),
+                            vi_h.astype(np.int64), ii_h + j * sb, k)
+                if i != j:
+                    _merge_topk(best_v, best_i,
+                                slice(j * sb, (j + 1) * sb),
+                                vj_h.astype(np.int64), ij_h + i * sb, k)
+                continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
                     _host_superblock(bm.packed, bm.n, sb, w_pad, i)
@@ -544,6 +669,14 @@ def stream_pairs_above(
     D2H per stripe is the packed hit bitmap (superblock²/8 bytes) plus
     the hit values gathered from the device-resident stripe counts.
 
+    ``kernel="auto"`` routes extreme-sparsity inputs to per-superblock
+    K4 host emission ("sparse_outer" forces it): sparse stripes filter
+    their exact COO counts on host with no device round-trip, and for
+    r2 — which scores zero-intersection pairs the emission never sees —
+    a cardinality staircase enumerates those candidates exactly (see
+    ``_r2_zero_plan``); locally dense stripes still take the device
+    walk, per the fitted per-stripe cost model.
+
     ``out_dir``: persist every computed stripe's hits to
     ``hits_{i:05d}_{j:05d}.npz`` (summary-skipped and empty stripes
     write an empty marker) and skip stripes whose file exists — an
@@ -562,9 +695,17 @@ def stream_pairs_above(
     )
 
     dev_thresh = _validate_screen(measure, threshold)
+    requested = kernel
     (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
      n_super) = _resolve_stripe_config(
-        bm, superblock_rows, kernel, config, interpret, bitmap=True)
+        bm, superblock_rows,
+        "auto" if kernel == "sparse_outer" else kernel,
+        config, interpret, bitmap=True)
+    plan = None
+    if _sparse_mode_for(bm, requested, cfg):
+        from stormtpu.stream import _SparseStripePlan
+
+        plan = _SparseStripePlan(bm, sb, n_super)
     tps = sb // ti
 
     nnz = np.zeros(n_pad, dtype=np.int32)
@@ -577,8 +718,8 @@ def stream_pairs_above(
     store = _StripeStore(
         out_dir, "screen_manifest.json", "hits_",
         {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
-         "kernel": kernel, "measure": measure,
-         "threshold": float(threshold),
+         "kernel": f"sparse_outer+{kernel}" if plan is not None else kernel,
+         "measure": measure, "threshold": float(threshold),
          "content": _content_fingerprint(bm)},
         resume,
     )
@@ -609,6 +750,41 @@ def stream_pairs_above(
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 _emit(i, j, empty64, empty64, empty64)
                 continue
+            if plan is not None:
+                # r2's zero-intersection staircase is counted FIRST —
+                # its per-candidate host work charges the cost model
+                z_total, z_mat = 0, None
+                if measure == "r2":
+                    z_total, z_mat = _r2_zero_plan(
+                        nnz[i * sb : (i + 1) * sb],
+                        nnz[j * sb : (j + 1) * sb],
+                        bm.m_bits, threshold)
+                if plan.use_k4(i, j, extra_emissions=z_total):
+                    stripe = plan.stripe_counts(i, j)
+                    li, lj = np.nonzero(stripe)
+                    if i == j:
+                        up = li < lj  # strict upper triangle, no self
+                        li, lj = li[up], lj[up]
+                    vv = stripe[li, lj]
+                    gi = li.astype(np.int64) + i * sb
+                    gj = lj.astype(np.int64) + j * sb
+                    if measure == "count":
+                        keep = vv >= threshold
+                    else:
+                        from stormtpu.setops import derive_similarity
+
+                        keep = derive_similarity(
+                            vv, nnz[gi], nnz[gj], bm.m_bits,
+                            measure) >= threshold
+                    gi, gj, vv = gi[keep], gj[keep], vv[keep]
+                    if z_total and z_mat is not None:
+                        zr, zc = z_mat(stripe, i == j)
+                        gi = np.concatenate([gi, zr + i * sb])
+                        gj = np.concatenate([gj, zc + j * sb])
+                        vv = np.concatenate(
+                            [vv, np.zeros(zr.size, dtype=vv.dtype)])
+                    _emit(i, j, gi, gj, vv.astype(np.int64))
+                    continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
                     _host_superblock(bm.packed, bm.n, sb, w_pad, i)

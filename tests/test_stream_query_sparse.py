@@ -1,0 +1,190 @@
+"""Extreme-sparsity streaming QUERIES (round 3): stream_topk_neighbors /
+stream_pairs_above over per-superblock K4 host emission — the reference's
+sparse regime (C12) reaching the streaming query layer above the
+single-shot N=32768 ceiling. Values must be identical to the dense walks
+and the single-chip forms, including r2's zero-intersection pairs (which
+the K4 emission never sees — the cardinality staircase must find them).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from conftest import random_bitmatrix
+from stormtpu.config import EngineConfig
+from stormtpu.native import HAVE_NATIVE
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.stream_query import stream_pairs_above, stream_topk_neighbors
+from stormtpu import tuning
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_NATIVE, reason="K4 streaming needs the native tier")
+
+
+def _small_cfg():
+    return EngineConfig(
+        k1_tile_rows=8, k1_tile_words=128, k2_tile_rows=8, k2_tile_words=8
+    )
+
+
+@pytest.fixture
+def k4_cache(tmp_path, monkeypatch):
+    path = tmp_path / "tuning.json"
+    monkeypatch.setenv(tuning.CACHE_ENV, str(path))
+
+    def write(**consts):
+        import jax
+
+        path.write_text(json.dumps({
+            "device": str(jax.devices()[0]),
+            "k4_cost_model": consts,
+        }))
+
+    return write
+
+
+def _force_k4(write):
+    write(c_sort_s_per_nnz=0.0, c_n2_s_per_elem=0.0,
+          c_emit_s_per_emission=0.0, k2_int8_ops_per_s=1.0,
+          dispatch_floor_s=100.0)
+
+
+def _force_dense(write):
+    write(c_sort_s_per_nnz=1.0, c_n2_s_per_elem=1.0,
+          c_emit_s_per_emission=1.0, k2_int8_ops_per_s=1e30,
+          dispatch_floor_s=0.0)
+
+
+def _oracle_topk_vals(bm, k):
+    c = oracle_count_matrix(bm.packed).astype(np.int64)
+    np.fill_diagonal(c, -1)
+    vals = -np.sort(-c, axis=1)[:, :k]
+    return np.maximum(vals, 0)
+
+
+@pytest.mark.parametrize("force", ["k4", "dense"])
+def test_stream_topk_sparse_outer_matches_oracle(k4_cache, force):
+    (_force_k4 if force == "k4" else _force_dense)(k4_cache)
+    bm = random_bitmatrix(60, 2048, 0.003, seed=81)  # ragged: 60 → 64 pad
+    vals, idx = stream_topk_neighbors(
+        bm, 5, superblock_rows=16, kernel="sparse_outer",
+        config=_small_cfg(), interpret=True,
+    )
+    np.testing.assert_array_equal(vals, _oracle_topk_vals(bm, 5),
+                                  err_msg=force)
+    c = oracle_count_matrix(bm.packed)
+    for r in range(bm.n):
+        for t in range(5):
+            if vals[r, t] > 0:
+                assert c[r, idx[r, t]] == vals[r, t]
+                assert idx[r, t] != r
+
+
+def test_stream_topk_sparse_mixed_stripes(k4_cache):
+    # one dense superblock inside an ultra-sparse panel: its stripes take
+    # the device walk, the sparse-sparse stripes stay on host K4 — values
+    # must be seamless across the boundary (same constants as the counts
+    # walker's mixed test: K4 wins iff E < ~362)
+    k4_cache(c_sort_s_per_nnz=0.0, c_n2_s_per_elem=0.0,
+             c_emit_s_per_emission=1e-6, k2_int8_ops_per_s=1e12,
+             dispatch_floor_s=1e-4)
+    rng = np.random.default_rng(82)
+    dense01 = (rng.random((48, 1024)) < 0.002).astype(np.uint8)
+    dense01[:16] = (rng.random((16, 1024)) < 0.4).astype(np.uint8)
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(dense01)
+    vals, _ = stream_topk_neighbors(
+        bm, 4, superblock_rows=16, kernel="sparse_outer",
+        config=_small_cfg(), interpret=True,
+    )
+    np.testing.assert_array_equal(vals, _oracle_topk_vals(bm, 4))
+
+
+@pytest.mark.parametrize("measure,threshold", [
+    ("count", 3), ("jaccard", 0.15), ("phi", 0.2),
+])
+def test_stream_screen_sparse_outer_matches_single_chip(
+    k4_cache, measure, threshold
+):
+    from stormtpu.query import pairs_above
+
+    _force_k4(k4_cache)
+    bm = random_bitmatrix(52, 2048, 0.004, seed=83)
+    ii_s, jj_s, v_s = stream_pairs_above(
+        bm, threshold, measure=measure, superblock_rows=16,
+        kernel="sparse_outer", config=_small_cfg(), interpret=True,
+    )
+    ii_1, jj_1, v_1 = pairs_above(bm, threshold, measure=measure)
+    np.testing.assert_array_equal(ii_s, ii_1, err_msg=measure)
+    np.testing.assert_array_equal(jj_s, jj_1, err_msg=measure)
+    np.testing.assert_allclose(v_s, v_1, rtol=0, atol=0, err_msg=measure)
+    assert np.all(ii_s < jj_s)
+
+
+def test_stream_screen_sparse_r2_zero_intersection_pairs(k4_cache):
+    """r2 scores anti-correlated (zero-intersection) pairs the K4
+    emission never emits; the staircase must surface them exactly."""
+    from stormtpu.query import pairs_above
+
+    _force_k4(k4_cache)
+    rng = np.random.default_rng(84)
+    m = 512
+    dense01 = np.zeros((40, m), dtype=np.uint8)
+    dense01[0, :256] = 1          # complementary halves: inter = 0,
+    dense01[1, 256:] = 1          # r2 = (256·256)/(256·256) = 1.0
+    for r in range(2, 40):        # sparse rows; identical ones score 1
+        dense01[r, rng.integers(0, 64, 2)] = 1
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(dense01)
+    ii_s, jj_s, v_s = stream_pairs_above(
+        bm, 0.5, measure="r2", superblock_rows=16,
+        kernel="sparse_outer", config=_small_cfg(), interpret=True,
+    )
+    # the anti-correlated pair must be present
+    hit = (ii_s == 0) & (jj_s == 1)
+    assert hit.any() and np.isclose(v_s[hit][0], 1.0)
+    ii_1, jj_1, v_1 = pairs_above(bm, 0.5, measure="r2")
+    np.testing.assert_array_equal(ii_s, ii_1)
+    np.testing.assert_array_equal(jj_s, jj_1)
+    np.testing.assert_allclose(v_s, v_1, rtol=0, atol=0)
+
+
+def test_stream_screen_sparse_auto_routes_and_resumes(tmp_path, k4_cache):
+    """Auto kernel takes the sparse route below the density threshold
+    (observable in the checkpoint manifest) and resumes from the stripe
+    store without recomputing."""
+    _force_k4(k4_cache)
+    bm = random_bitmatrix(48, 4096, 0.0005, seed=85)
+    assert bm.density < 0.001
+    out = tmp_path / "screen"
+    args = dict(measure="count", superblock_rows=16, config=_small_cfg(),
+                interpret=True, out_dir=str(out))
+    ii_a, jj_a, v_a = stream_pairs_above(bm, 1, **args)
+    man = json.loads((out / "screen_manifest.json").read_text())
+    assert man["kernel"].startswith("sparse_outer+")
+    ii_b, jj_b, v_b = stream_pairs_above(bm, 1, **args)
+    np.testing.assert_array_equal(ii_a, ii_b)
+    np.testing.assert_array_equal(jj_a, jj_b)
+    np.testing.assert_array_equal(v_a, v_b)
+
+    from stormtpu.query import pairs_above
+
+    ii_1, jj_1, v_1 = pairs_above(bm, 1)
+    np.testing.assert_array_equal(ii_a, ii_1)
+    np.testing.assert_array_equal(v_a, v_1)
+
+
+def test_stream_topk_sparse_checkpoint_resume(tmp_path, k4_cache):
+    _force_k4(k4_cache)
+    bm = random_bitmatrix(60, 2048, 0.003, seed=86)
+    out = tmp_path / "topk"
+    args = dict(superblock_rows=16, kernel="sparse_outer",
+                config=_small_cfg(), interpret=True, out_dir=str(out))
+    v_a, i_a = stream_topk_neighbors(bm, 4, **args)
+    v_b, i_b = stream_topk_neighbors(bm, 4, **args)
+    np.testing.assert_array_equal(v_a, v_b)
+    np.testing.assert_array_equal(i_a, i_b)
+    np.testing.assert_array_equal(v_a, _oracle_topk_vals(bm, 4))
