@@ -42,10 +42,10 @@ def _parse_single_json_line(stdout: str) -> dict:
     return json.loads(lines[0])
 
 
-def test_smoke_emits_one_json_line():
+def test_smoke_emits_one_json_line(tmp_path):
     p = subprocess.run(
         [sys.executable, BENCH, "--smoke"], env=_bench_env(),
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
     )
     assert p.returncode == 0, p.stderr[-2000:]
     out = _parse_single_json_line(p.stdout)
@@ -55,7 +55,7 @@ def test_smoke_emits_one_json_line():
     assert "degraded" not in out
 
 
-def test_deadline_flushes_best_so_far_under_slow_relay():
+def test_deadline_flushes_best_so_far_under_slow_relay(tmp_path):
     # 1 s per dispatch + a 30 s budget: the plan cannot finish; the
     # watchdog must flush a verified best-so-far line well before the
     # 120 s hard kill, carrying both degraded markers' lineage
@@ -66,7 +66,7 @@ def test_deadline_flushes_best_so_far_under_slow_relay():
             STORMTPU_TEST_DISPATCH_TAX_S="1.0",
             STORMTPU_BENCH_DEADLINE_S="30",
         ),
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, cwd=str(tmp_path),
     )
     elapsed = time.monotonic() - t0
     out = _parse_single_json_line(p.stdout)
@@ -80,7 +80,7 @@ def test_deadline_flushes_best_so_far_under_slow_relay():
     assert elapsed < 110, "watchdog did not fire near the deadline"
 
 
-def test_sigterm_flushes_best_so_far():
+def test_sigterm_flushes_best_so_far(tmp_path):
     # the driver's `timeout` sends SIGTERM before SIGKILL: bench must
     # trap it and flush (a long internal deadline guarantees the TERM
     # arrives first)
@@ -91,6 +91,7 @@ def test_sigterm_flushes_best_so_far():
             STORMTPU_BENCH_DEADLINE_S="600",
         ),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path),
     )
     time.sleep(20)  # enough for import + probe + first stages
     p.send_signal(signal.SIGTERM)
