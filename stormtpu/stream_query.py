@@ -162,12 +162,14 @@ class _StripeStore:
 def _superblock_occupancy(bm: BitMatrix, n_pad: int, sb: int) -> Optional[np.ndarray]:
     """Per-superblock K-group occupancy bool [n_super, G] (the C8 summary
     OR-reduced per superblock, wk=128-word groups — same statistic as the
-    clustered streaming driver). None for degenerate shapes."""
+    clustered streaming driver). None for degenerate (empty) shapes.
+    A single-group summary (small M) is still load-bearing: it skips
+    stripes between entirely EMPTY superblocks — at N=262,144 × 512 bits
+    with two occupied bands, 2077 of 2080 stripes (measured: the old
+    ``G < 2`` guard silently walked them all)."""
     if not (bm.n and bm.n_words):
         return None
     occ_rows = bm.block_summary(block_bits=128 * 32).astype(bool)
-    if occ_rows.shape[1] < 2:
-        return None
     occ = np.zeros((n_pad, occ_rows.shape[1]), dtype=bool)
     occ[: bm.n] = occ_rows
     return occ.reshape(n_pad // sb, sb, -1).any(axis=1)
