@@ -42,6 +42,7 @@ def _parse_single_json_line(stdout: str) -> dict:
     return json.loads(lines[0])
 
 
+@pytest.mark.heavy
 def test_smoke_emits_one_json_line(tmp_path):
     p = subprocess.run(
         [sys.executable, BENCH, "--smoke"], env=_bench_env(),
@@ -55,6 +56,7 @@ def test_smoke_emits_one_json_line(tmp_path):
     assert "degraded" not in out
 
 
+@pytest.mark.heavy
 def test_deadline_flushes_best_so_far_under_slow_relay(tmp_path):
     # 1 s per dispatch + a 30 s budget: the plan cannot finish; the
     # watchdog must flush a verified best-so-far line well before the
@@ -80,6 +82,7 @@ def test_deadline_flushes_best_so_far_under_slow_relay(tmp_path):
     assert elapsed < 110, "watchdog did not fire near the deadline"
 
 
+@pytest.mark.heavy
 def test_sigterm_flushes_best_so_far(tmp_path):
     # the driver's `timeout` sends SIGTERM before SIGKILL: bench must
     # trap it and flush (a long internal deadline guarantees the TERM

@@ -3,6 +3,7 @@ satisfy on arbitrary inputs, mirroring the reference's randomized
 cross-check philosophy but with adversarial shrinking."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from stormtpu import BitMatrix, intersect_count_matrix
@@ -70,6 +71,7 @@ def test_count_invariant_under_column_permutation(dense, seed):
     )
 
 
+@pytest.mark.heavy
 @given(bit_matrices())
 @settings(max_examples=8, deadline=None)
 def test_all_strategies_agree(dense):
@@ -172,6 +174,7 @@ def boundary_matrices(draw):
     return dense
 
 
+@pytest.mark.heavy
 @given(boundary_matrices())
 @settings(max_examples=6, deadline=None)
 def test_all_strategies_agree_across_tile_boundaries(dense):
@@ -232,6 +235,7 @@ def test_topk_property_across_tile_boundaries(dense, k):
 
 @given(boundary_matrices(), st.integers(min_value=1, max_value=5),
        st.integers(min_value=1, max_value=60))
+@pytest.mark.heavy
 @settings(max_examples=4, deadline=None)
 def test_stream_queries_property(dense, k, threshold):
     """Streaming queries equal the oracle for arbitrary matrices whose
@@ -263,6 +267,7 @@ def test_stream_queries_property(dense, k, threshold):
     np.testing.assert_array_equal(vv, want[wi, wj])
 
 
+@pytest.mark.heavy
 @given(bit_matrices(), bit_matrices(), st.integers(1, 5))
 @settings(max_examples=12, deadline=None)
 def test_cross_queries_property(da, db, k):
@@ -292,6 +297,7 @@ def test_cross_queries_property(da, db, k):
     np.testing.assert_array_equal(vv, c[wi, wj])
 
 
+@pytest.mark.heavy
 @given(bit_matrices(), st.integers(0, 2**60 - 1))
 @settings(max_examples=12, deadline=None)
 def test_complete_similarity_property(dense, mask_seed):

@@ -214,6 +214,7 @@ def test_pairs_above_dense_screen_fallback(data):
     np.testing.assert_array_equal(counts, want[ii, jj])
 
 
+@pytest.mark.heavy
 def test_pairs_above_sparse_dispatch_branch():
     """At extreme sparsity the screen follows D1 dispatch to the host
     sparse path (no device screen); results must match the dense-path

@@ -1,6 +1,7 @@
 """Streaming driver: stripes exact, resume skips completed shards."""
 
 import numpy as np
+import pytest
 
 from conftest import random_bitmatrix
 from stormtpu.config import EngineConfig
@@ -397,6 +398,7 @@ def test_checksum_sinks_agree_below_tile_rows():
         assert int(v) == int(want[gi, gj])
 
 
+@pytest.mark.heavy
 def test_checksum_sink_repads_small_n(tmp_path):
     """n < k2_tile_rows shrinks the tile geometry; a caller who padded
     xd per the old 'multiple of superblock_rows' contract must still get

@@ -17,6 +17,7 @@ def cache(tmp_path, monkeypatch):
     return path
 
 
+@pytest.mark.heavy
 def test_tune_writes_cache_and_dispatch_uses_it(cache):
     logs = []
     result = tuning.tune(n=32, m_bits=1024, reps=1, log=logs.append)
@@ -80,6 +81,7 @@ def test_shape_aware_buckets_route_differently(cache):
     assert tuning.measured_dense_winner() in ("popcount", "pallas_mxu")
 
 
+@pytest.mark.heavy
 def test_single_shape_tune_merges_into_grid_cache(cache):
     import jax
 
@@ -114,6 +116,7 @@ def test_single_shape_tune_merges_into_grid_cache(cache):
     assert set(out["dense_pairs_per_s"]) >= {"popcount", "pallas_dense"}
 
 
+@pytest.mark.heavy
 def test_grid_tune_never_writes_legacy_shape_fields(cache):
     # multi-bucket runs (incl. their first one-bucket checkpoint) must not
     # carry the round-1 single-shape fields (ADVICE r2 tuning.py:428: a
@@ -166,6 +169,7 @@ def test_k4_cost_model_from_cache(cache, monkeypatch):
     assert choose_strategy(2048, 1 << 20, 1e-5) == "sparse_outer"
 
 
+@pytest.mark.heavy
 def test_tune_refits_k4_model(cache):
     from stormtpu.native import HAVE_NATIVE
 
