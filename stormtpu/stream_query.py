@@ -412,31 +412,46 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
     return total, materialize
 
 
+def _coo_rank_topk(
+    ii: np.ndarray, jj: np.ndarray, vv: np.ndarray, sb: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k of COO candidates via rank-within-row: lexsort by
+    (row, -value), subtract each row's start offset, keep rank < k.
+    O(E log E) in the stripe's NONZERO count — at the densities that
+    choose K4 that is ~100× fewer cells than the dense [sb, sb] buffer
+    (measured at 131k × 1M d=1e-5: the dense argpartition form spent
+    0.46 s/stripe ranking 16.7M cells of which ~163k were nonzero).
+    Rows with fewer than k candidates pad with -1 (no partner)."""
+    order = np.lexsort((-vv, ii))
+    i_s, j_s, v_s = ii[order], jj[order], vv[order]
+    starts = np.flatnonzero(np.r_[True, i_s[1:] != i_s[:-1]])
+    counts = np.diff(np.r_[starts, i_s.size])
+    rank = np.arange(i_s.size) - np.repeat(starts, counts)
+    keep = rank < k
+    cand_v = np.full((sb, k), -1, dtype=np.int64)
+    cand_i = np.zeros((sb, k), dtype=np.int32)
+    cand_v[i_s[keep], rank[keep]] = v_s[keep]
+    cand_i[i_s[keep], rank[keep]] = j_s[keep]
+    return cand_v, cand_i
+
+
 def _stripe_topk_candidates_k4(
     stripe: np.ndarray, k: int, *, diagonal: bool
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Host top-k of one K4 stripe's dense local counts, both
-    orientations (the off-diagonal transpose reuses the same buffer).
-    Self pairs rank as -1, matching the device stripe's mask; padded
-    rows/cols carry zero counts and are masked by the caller's final
-    ``idx < n`` rule, exactly like the device path."""
+    """Host top-k of one K4 stripe's counts, both orientations, from the
+    stripe's COO (zero cells can never beat the -1/no-partner padding's
+    final ``max(vals, 0)`` contract, so only nonzeros rank). Self pairs
+    are dropped on diagonal stripes, matching the device stripe's mask;
+    padded rows/cols carry zero counts and never appear in the COO."""
+    li, lj = np.nonzero(stripe)
+    vv = stripe[li, lj]
     if diagonal:
-        stripe = stripe.copy()
-        np.fill_diagonal(stripe, -1)
-    kk = min(k, stripe.shape[1])
-
-    def row_topk(s):
-        sel = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-        v = np.take_along_axis(s, sel, axis=1)
-        if kk < k:  # superblock smaller than k: pad with no-partner
-            v = np.pad(v, ((0, 0), (0, k - kk)), constant_values=-1)
-            sel = np.pad(sel, ((0, 0), (0, k - kk)))
-        return v, sel.astype(np.int32)
-
-    vi, ii = row_topk(stripe)
+        nz = li != lj
+        li, lj, vv = li[nz], lj[nz], vv[nz]
+    vi, ii = _coo_rank_topk(li, lj, vv, stripe.shape[0], k)
     if diagonal:
         return vi, ii, None, None
-    vj, ij = row_topk(stripe.T)
+    vj, ij = _coo_rank_topk(lj, li, vv, stripe.shape[1], k)
     return vi, ii, vj, ij
 
 
