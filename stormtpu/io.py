@@ -16,7 +16,13 @@ import numpy as np
 
 from stormtpu.layout import BitMatrix
 
-__all__ = ["save_bitmatrix", "load_bitmatrix", "load_plink_bed"]
+__all__ = [
+    "save_bitmatrix",
+    "load_bitmatrix",
+    "save_bitmatrix_mmap",
+    "load_bitmatrix_mmap",
+    "load_plink_bed",
+]
 
 _FORMAT_VERSION = 1
 
@@ -35,6 +41,52 @@ def save_bitmatrix(bm: BitMatrix, path: str) -> None:
         m_bits=bm.m_bits,
         **extra,
     )
+
+
+def save_bitmatrix_mmap(bm: BitMatrix, path: str) -> None:
+    """Out-of-core twin of :func:`save_bitmatrix`: an UNCOMPRESSED
+    ``.npy`` of the packed words (memory-mappable — zip members of an
+    ``.npz`` are not) plus a tiny ``<path>.json`` metadata sidecar.
+    With :func:`load_bitmatrix_mmap` this extends the streaming drivers'
+    bound from host RAM to DISK: the superblock walks (stream.py /
+    stream_query.py, reference C11's driver) slice operands
+    sequentially, so a panel larger than memory pages through the OS
+    cache one superblock at a time."""
+    import json
+
+    np.save(path, np.ascontiguousarray(bm.packed))
+    meta = {"format_version": _FORMAT_VERSION, "m_bits": bm.m_bits,
+            "n": bm.n}
+    real = path if path.endswith(".npy") else path + ".npy"
+    with open(real + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_bitmatrix_mmap(path: str, *, mmap: bool = True) -> BitMatrix:
+    """Load a :func:`save_bitmatrix_mmap` pair; ``mmap=True`` (default)
+    keeps ``packed`` as a read-only ``np.memmap`` — construction pays
+    one streaming pass (row popcounts + tail-bit validation), after
+    which superblock slices read from disk on demand. Everything
+    downstream treats ``packed`` as read-only, so the view is safe to
+    share; single-shot device routes that would materialize the whole
+    panel are already guarded by the device-budget refusals."""
+    import json
+
+    real = path if path.endswith(".npy") else path + ".npy"
+    with open(real + ".json") as f:
+        meta = json.load(f)
+    if int(meta["format_version"]) > _FORMAT_VERSION:
+        raise ValueError(
+            f"{real}: format version {meta['format_version']} is newer "
+            f"than supported ({_FORMAT_VERSION})"
+        )
+    packed = np.load(real, mmap_mode="r" if mmap else None)
+    bm = BitMatrix.from_packed(packed, m_bits=int(meta["m_bits"]))
+    if bm.n != int(meta["n"]):
+        raise ValueError(
+            f"{real}: payload has {bm.n} rows, sidecar says {meta['n']}"
+        )
+    return bm
 
 
 # PLINK1 .bed 2-bit genotype codes (SNP-major; sample j of a variant

@@ -32,6 +32,60 @@ def test_bitmatrix_roundtrip(tmp_path):
     assert got.m_bits == bm.m_bits
 
 
+def test_bitmatrix_mmap_roundtrip_drives_streaming(tmp_path):
+    """Out-of-core pair: the loaded matrix stays a read-only memmap (no
+    full-panel RAM copy) and drives the streaming walk + queries
+    exactly — C11's driver with a DISK-bounded operand."""
+    from stormtpu.config import EngineConfig
+    from stormtpu.io import load_bitmatrix_mmap, save_bitmatrix_mmap
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stream import load_streamed_matrix, stream_count_matrix
+    from stormtpu.stream_query import stream_topk_neighbors
+
+    bm = random_bitmatrix(52, 700, 0.25, seed=82)
+    p = str(tmp_path / "panel.npy")
+    save_bitmatrix_mmap(bm, p)
+    got = load_bitmatrix_mmap(p)
+    # np.asarray in from_packed strips the memmap SUBCLASS but must stay
+    # a zero-copy view of the file mapping
+    assert not got.packed.flags.owndata
+    assert not got.packed.flags.writeable
+    base = got.packed
+    while getattr(base, "base", None) is not None:
+        base = base.base
+    import mmap as _mmap
+
+    assert isinstance(base, (np.memmap, _mmap.mmap)), type(base)
+    np.testing.assert_array_equal(np.asarray(got.packed), bm.packed)
+    np.testing.assert_array_equal(got.row_nnz, bm.row_nnz)
+
+    cfg = EngineConfig(k1_tile_rows=8, k1_tile_words=128,
+                       k2_tile_rows=8, k2_tile_words=8)
+    out = str(tmp_path / "stripes")
+    stream_count_matrix(got, out, superblock_rows=16, kernel="xla_int8",
+                        config=cfg, interpret=True)
+    want = oracle_count_matrix(bm.packed)
+    np.testing.assert_array_equal(load_streamed_matrix(out), want)
+
+    vals, _ = stream_topk_neighbors(got, 3, superblock_rows=16,
+                                    config=cfg, interpret=True)
+    cm = want.astype(np.int64).copy()
+    np.fill_diagonal(cm, -1)
+    np.testing.assert_array_equal(
+        vals, np.maximum(-np.sort(-cm, axis=1)[:, :3], 0))
+
+    # mmap=False materializes; sidecar mismatch raises
+    full = load_bitmatrix_mmap(p, mmap=False)
+    assert not isinstance(full.packed, np.memmap)
+    import json
+
+    meta = json.loads(open(p + ".json").read())
+    meta["n"] = 9
+    open(p + ".json", "w").write(json.dumps(meta))
+    with pytest.raises(ValueError):
+        load_bitmatrix_mmap(p)
+
+
 def test_plink_bed_decode_all_encodings(tmp_path):
     rng = np.random.default_rng(82)
     v, n = 9, 13  # n % 4 != 0: pad bits in the last byte must be ignored
