@@ -55,6 +55,7 @@ from stormtpu.setops import (
 )
 from stormtpu.query import pair_counts, pairs_above, topk_neighbors
 from stormtpu.cross import cross_pairs_above, cross_topk_neighbors
+from stormtpu.clump import ClumpResult, clump, clump_from_pairs
 
 __version__ = "0.1.0"
 
@@ -79,5 +80,8 @@ __all__ = [
     "topk_neighbors",
     "cross_pairs_above",
     "cross_topk_neighbors",
+    "ClumpResult",
+    "clump",
+    "clump_from_pairs",
     "__version__",
 ]
