@@ -242,6 +242,39 @@ def cmd_screen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clump(args: argparse.Namespace) -> int:
+    from stormtpu.clump import clump, clump_from_pairs
+
+    bm = _load_matrix(args.infile)
+    _log(f"loaded {bm}")
+    if args.stat:
+        stat = np.load(args.stat)
+    else:
+        # without an association statistic, lead with the densest rows
+        stat = bm.row_nnz.astype(np.float64)
+        _log("no --stat given: using row cardinalities as significance")
+    if args.stream:
+        from stormtpu.stream_query import stream_pairs_above
+
+        ii, jj, _ = stream_pairs_above(
+            bm, args.threshold, measure=args.measure,
+            superblock_rows=args.superblock,
+            out_dir=args.ckpt_dir or None,
+        )
+        res = clump_from_pairs(ii, jj, stat, n=bm.n)
+    else:
+        res = clump(bm, stat, args.threshold, measure=args.measure)
+    np.savez(args.out, leader=res.leader, leaders=res.leaders,
+             sizes=res.sizes())
+    _log(f"wrote {args.out}: {res.n_clumps} clumps over {bm.n} rows "
+         f"({args.measure} >= {args.threshold})")
+    for lead in res.leaders[: args.print_clumps]:
+        mem = res.members(int(lead))
+        print(f"{lead}\t{mem.size}\t{' '.join(map(str, mem[:16]))}"
+              f"{' ...' if mem.size > 16 else ''}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="stormtpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -358,6 +391,32 @@ def main(argv=None) -> int:
     sp.add_argument("--ckpt-dir", default="",
                     help="with --stream: per-stripe hit files, resumable")
     sp.set_defaults(fn=cmd_screen)
+
+    sp = sub.add_parser(
+        "clump",
+        help="greedy leader clumping over a similarity screen "
+        "(PLINK --clump shape)",
+    )
+    sp.add_argument("--in", dest="infile", required=True,
+                    help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
+    sp.add_argument("--out", required=True,
+                    help="output .npz (leader, leaders, sizes)")
+    sp.add_argument("--threshold", type=float, required=True)
+    sp.add_argument("--measure", default="r2",
+                    choices=("count", "jaccard", "dice", "cosine",
+                             "overlap", "phi", "r2"))
+    sp.add_argument("--stat", default="",
+                    help=".npy with one significance per row (higher = "
+                    "leads first); default: row cardinalities")
+    sp.add_argument("--print-clumps", type=int, default=0, metavar="K",
+                    help="also print the first K clumps to stdout")
+    sp.add_argument("--stream", action="store_true",
+                    help="screen via the operand-streaming stripe walk "
+                    "(N beyond HBM)")
+    sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--ckpt-dir", default="",
+                    help="with --stream: per-stripe hit files, resumable")
+    sp.set_defaults(fn=cmd_clump)
 
     args = p.parse_args(argv)
     return args.fn(args)

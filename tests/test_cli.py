@@ -225,3 +225,40 @@ def test_cli_ckpt_dir_requires_stream(tmp_path):
     with pytest.raises(SystemExit, match="requires --stream"):
         main(["screen", "--in", str(f), "--out", str(tmp_path / "o.npz"),
               "--threshold", "1", "--ckpt-dir", str(tmp_path / "ck")])
+
+
+def test_cli_clump(tmp_path, rng):
+    # planted near-duplicate block of 4 rows must land in one clump, and
+    # the single-shot and --stream routes must agree
+    n, m = 24, 512
+    dense = (rng.random((n, m)) < 0.3).astype(np.uint8)
+    base = (rng.random(m) < 0.3).astype(np.uint8)
+    for r in range(4):
+        row = base.copy()
+        row[rng.random(m) < 0.02] ^= 1
+        dense[r] = row
+    infile = tmp_path / "in.npy"
+    statfile = tmp_path / "stat.npy"
+    np.save(infile, dense)
+    np.save(statfile, rng.random(n))
+    out1 = tmp_path / "clumps.npz"
+    rc = main(["clump", "--in", str(infile), "--out", str(out1),
+               "--threshold", "0.5", "--measure", "r2",
+               "--stat", str(statfile)])
+    assert rc == 0
+    z1 = np.load(out1)
+    block = z1["leader"][:4]
+    assert (block == block[0]).all()
+    assert z1["sizes"].sum() == n
+    out2 = tmp_path / "clumps_stream.npz"
+    rc = main(["clump", "--in", str(infile), "--out", str(out2),
+               "--threshold", "0.5", "--measure", "r2",
+               "--stat", str(statfile), "--stream", "--superblock", "8"])
+    assert rc == 0
+    z2 = np.load(out2)
+    np.testing.assert_array_equal(z1["leader"], z2["leader"])
+    np.testing.assert_array_equal(z1["leaders"], z2["leaders"])
+    # default stat (row cardinalities) also runs
+    out3 = tmp_path / "clumps_nostat.npz"
+    assert main(["clump", "--in", str(infile), "--out", str(out3),
+                 "--threshold", "20", "--measure", "count"]) == 0
