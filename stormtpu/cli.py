@@ -174,6 +174,12 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
+    if args.measure != "count" and (args.against or args.stream):
+        raise SystemExit(
+            "--measure similarities rank via the single-shot route only; "
+            "the cross/streaming walks rank exact counts (screen with "
+            "'stormtpu screen --measure ...' at those scales)"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -192,9 +198,10 @@ def cmd_topk(args: argparse.Namespace) -> int:
     else:
         from stormtpu import topk_neighbors
 
-        vals, idx = topk_neighbors(bm, args.k)
+        vals, idx = topk_neighbors(bm, args.k, measure=args.measure)
     np.savez(args.out, counts=vals, indices=idx)
-    _log(f"wrote {args.out}: counts/indices int32 [{bm.n}, {args.k}]")
+    _log(f"wrote {args.out}: counts ({vals.dtype}) / indices int32 "
+         f"[{bm.n}, {args.k}]")
     return 0
 
 
@@ -359,6 +366,11 @@ def main(argv=None) -> int:
                     help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
     sp.add_argument("--out", required=True, help="output .npz (counts, indices)")
     sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--measure", default="count",
+                    choices=("count", "jaccard", "dice", "cosine",
+                             "overlap", "phi", "r2"),
+                    help="ranking score; similarities rank exact float64 "
+                    "scores (single-shot route only, N <= 32768)")
     sp.add_argument("--against", default="",
                     help="reference panel file: rank each input row "
                     "against THIS matrix's rows (cross-set form)")

@@ -151,7 +151,8 @@ def _topk_blocks(packed: jax.Array, k: int, block_rows: int):
 
 
 def topk_neighbors(
-    x: MatrixLike, k: int, *, block_rows: Optional[int] = None
+    x: MatrixLike, k: int, *, measure: str = "count",
+    block_rows: Optional[int] = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count (self excluded).
 
@@ -162,10 +163,50 @@ def topk_neighbors(
     used at MXU shapes merges in tile order). ``block_rows`` tunes the
     block route only — the tile route derives its tiling from
     ``EngineConfig`` and ignores it.
+
+    ``measure``: "count" (default, any N the device budget admits) or a
+    similarity from :func:`stormtpu.setops.similarity_matrix` ("jaccard",
+    "dice", "cosine", "overlap", "phi", "r2") — then the return is
+    (values float64 [N, k], indices int32 [N, k]), exact (float64 scores
+    derived from exact integer counts; ties break toward lower index).
+    Similarity ranking materializes the N×N score matrix on host, so it
+    carries the same N ≤ 32768 ceiling as the other host-C routes — for
+    bigger panels screen with ``pairs_above(measure=...)`` (1 bit/pair
+    off-device) instead of ranking.
     """
     bm = _as_bitmatrix(x)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    if measure != "count":
+        if bm.n > 32768:
+            raise ValueError(
+                f"measure={measure!r} top-k materializes the N² score "
+                f"matrix on host (N ≤ 32768; got N={bm.n}) — screen with "
+                f"pairs_above(measure=...) at this scale"
+            )
+        from stormtpu.setops import similarity_matrix
+
+        sim = similarity_matrix(bm, measure=measure)
+        np.fill_diagonal(sim, -np.inf)
+        kk = min(k, bm.n - 1)
+        idx = np.argpartition(-sim, kk - 1, axis=1)[:, :k]
+        vals = np.take_along_axis(sim, idx, axis=1)
+        # argpartition picks arbitrarily among scores TIED at the k-th
+        # place (integer-derived similarities tie often); the contract is
+        # lower-index-first, so rows whose boundary value occurs beyond
+        # the selection are re-resolved over their full candidate set
+        vk = vals.min(axis=1)
+        tied = np.flatnonzero((sim >= vk[:, None]).sum(axis=1) > kk)
+        for r in tied:
+            cand = np.flatnonzero(sim[r] >= vk[r])
+            cand = cand[np.lexsort((cand, -sim[r, cand]))][:k]
+            idx[r] = cand
+            vals[r] = sim[r, cand]
+        # sort candidates by (-value, index): stable exact order
+        order = np.lexsort((idx, -vals), axis=1)
+        vals = np.take_along_axis(vals, order, axis=1)
+        idx = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+        return vals, idx
     from stormtpu.stream import require_device_budget
 
     if bm.n > 2:

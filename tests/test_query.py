@@ -297,3 +297,47 @@ def test_topk_tile_route(monkeypatch, data):
     )
     vtb, _ = topk_neighbors(bm, bm.n - 1)
     np.testing.assert_array_equal(vtb, v1b)
+
+
+@pytest.mark.parametrize("measure", ["jaccard", "r2", "cosine"])
+def test_topk_neighbors_measure(measure):
+    from stormtpu.setops import similarity_matrix
+
+    bm = random_bitmatrix(37, 600, 0.25, seed=71)
+    k = 5
+    vals, idx = topk_neighbors(bm, k, measure=measure)
+    sim = np.asarray(similarity_matrix(bm, measure=measure))
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        row = sim[r]
+        want_order = np.lexsort((np.arange(bm.n), -row))[:k]
+        np.testing.assert_allclose(vals[r], row[want_order], rtol=0, atol=0)
+        # indices must agree where values are distinct; on exact ties the
+        # contract is lower-index-first, which lexsort reproduces
+        np.testing.assert_array_equal(idx[r], want_order)
+    assert vals.dtype == np.float64 and idx.dtype == np.int32
+
+
+def test_topk_neighbors_measure_ceiling_and_default():
+    bm = random_bitmatrix(10, 128, 0.3, seed=72)
+    # count path unchanged (int32 counts)
+    vals, idx = topk_neighbors(bm, 3)
+    assert vals.dtype == np.int32
+    with pytest.raises(ValueError):
+        topk_neighbors(bm, 3, measure="nonsense")
+
+
+def test_topk_neighbors_measure_boundary_ties():
+    # tiny M makes integer-ratio similarities collide constantly, so the
+    # k-th place is routinely tied: argpartition alone picks arbitrarily
+    # there (caught by verification); the contract is lower-index-first
+    from stormtpu.setops import similarity_matrix
+
+    bm = random_bitmatrix(40, 64, 0.5, seed=73)
+    vals, idx = topk_neighbors(bm, 7, measure="jaccard")
+    sim = np.asarray(similarity_matrix(bm, measure="jaccard"))
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = np.lexsort((np.arange(bm.n), -sim[r]))[:7]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
