@@ -83,3 +83,16 @@ vals, idx = cross_topk_neighbors(queries, carriers, k=3)
 print("query-panel lookup (top-3 reference variants per query):")
 for r in range(queries.n):
     print(f"  query {r}: partners {idx[r].tolist()} counts {vals[r].tolist()}")
+
+# --- clumping: collapse the screen into leader-led LD clumps ------------
+# (PLINK --clump shape: most significant unassigned variant leads, absorbs
+# every unassigned partner above the threshold)
+from stormtpu import clump
+
+stat = rng.random(n_variants) * 8          # stand-in assoc -log10 p
+stat[12] = 9.0                             # make a planted-block row lead
+res = clump(carriers, stat, 0.8, measure="r2")
+lead = int(res.leaders[0])
+print(f"clumps: {res.n_clumps} over {n_variants} variants; "
+      f"top clump led by {lead} with members {res.members(lead).tolist()}")
+assert lead == 12 and set(range(10, 15)) <= set(res.members(lead).tolist())
