@@ -47,6 +47,14 @@ ii, jj, r2 = distributed_pairs_above(bm, 0.9, measure="r2", mesh=mesh)
 assert (3, 100) in set(zip(ii.tolist(), jj.tolist()))
 print(f"r² ≥ 0.9 screen ✓ ({ii.size} pair(s), found the planted duplicate)")
 
+# the mesh screen's pair list feeds the same clumping pass as the
+# single-chip one (host logic — no mesh surface needed)
+from stormtpu import clump_from_pairs
+
+res = clump_from_pairs(ii, jj, stat=np.arange(bm.n)[::-1], n=bm.n)
+assert res.leader[100] == 3  # the planted duplicate joins row 3's clump
+print(f"clumped mesh screen ✓ ({res.n_clumps} clumps)")
+
 ac = distributed_column_counts(bm, mesh=mesh)
 assert np.array_equal(ac, dense.sum(axis=0).astype(np.int32))
 print(f"column counts exact ✓ (max {int(ac.max())})")
