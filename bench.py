@@ -102,9 +102,15 @@ class _DeadlineHit(Exception):
 class BenchRun:
     """Best-so-far state with a crash-/kill-/deadline-proof single flush.
 
-    The JSON line is PREBUILT on every update so the watchdog thread and
-    the SIGTERM handler only ever print a ready string — no allocation,
-    no formatting, no device calls on the emergency path."""
+    The JSON line is PREBUILT on every update; the emergency paths
+    (watchdog thread, SIGTERM handler) rebuild it only to stamp a
+    degraded marker, and every build/mutation of the shared candidate
+    dict happens under one REENTRANT lock — reentrant because the signal
+    handler runs on the main thread and may interrupt a frame that
+    already holds it (a plain Lock would deadlock the flush), while the
+    watchdog is a real second thread that must not iterate the dict
+    mid-insert. No device calls ever happen under the lock, so the
+    emergency paths cannot block on a hung relay."""
 
     def __init__(self, deadline_s: float, smoke: bool,
                  n: int, m_bits: int) -> None:
@@ -118,8 +124,16 @@ class BenchRun:
         self.baseline_pairs_s: float | None = None
         self.skipped: list[str] = []
         self._line: str | None = None
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         self._flushed = False
+
+    def record_candidate(self, name: str, d: dict) -> None:
+        """Insert under the lock: the watchdog iterates ``candidates``
+        while flushing, and a concurrent insert would blow up exactly
+        when the emergency line is being built."""
+        with self._lock:
+            self.candidates[name] = d
+        self.update()
 
     def _metric_name(self) -> str:
         suffix = "_SMOKE" if self.smoke else ""
@@ -197,16 +211,16 @@ class BenchRun:
     def update(self) -> None:
         """Rebuild the emergency line and persist details (incremental
         artifact: a partial run is a valid run)."""
-        line = self._build_line()
         with self._lock:
-            self._line = line
-        self.details["candidates"] = self.candidates
-        self.details["skipped_stages"] = self.skipped
-        if self.degraded:
-            self.details["degraded"] = self.degraded
+            self._line = self._build_line()
+            self.details["candidates"] = self.candidates
+            self.details["skipped_stages"] = self.skipped
+            if self.degraded:
+                self.details["degraded"] = self.degraded
+            payload = json.dumps(self.details, indent=2)
         try:
             with open("bench_details.json", "w") as f:
-                json.dump(self.details, f, indent=2)
+                f.write(payload)
         except OSError:
             pass
 
@@ -445,14 +459,13 @@ def main() -> None:
         else:
             dt_rt = _timeit_per_dispatch(f)
             dt_s = timeit_sustained(f, xds, c1=c1, c2=c2)
-        run.candidates[name] = {
+        run.record_candidate(name, {
             "seconds_sustained": dt_s,
             **({"seconds_per_dispatch": dt_rt} if dt_rt is not None else {}),
             "pairs_per_s": pairs_tri / dt_s,
             "stage_seconds": time.monotonic() - t_start,
             "verified": f"sampled-{n_samples}-exact",
-        }
-        run.update()
+        })
         log(f"[{name:>14}] "
             f"{run.candidates[name]['pairs_per_s'] / 1e9:.6f} G-pairs/s "
             f"sustained ({dt_s * 1e3:.1f} ms)")

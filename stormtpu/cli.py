@@ -252,6 +252,12 @@ def cmd_screen(args: argparse.Namespace) -> int:
 def cmd_clump(args: argparse.Namespace) -> int:
     from stormtpu.clump import clump, clump_from_pairs
 
+    if args.ckpt_dir and not args.stream:
+        raise SystemExit(
+            "--ckpt-dir requires --stream: only the stripe walk "
+            "checkpoints (a silent no-op here would lose a crashed "
+            "multi-hour run)"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.stat:

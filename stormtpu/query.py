@@ -186,6 +186,12 @@ def topk_neighbors(
             )
         from stormtpu.setops import similarity_matrix
 
+        if bm.n == 1:
+            # k=1 is admitted at N=1 (matching the count path); there is
+            # no partner, so return the (0, 0) no-partner convention
+            # rather than leaking the -inf diagonal sentinel
+            return (np.zeros((1, k), dtype=np.float64),
+                    np.zeros((1, k), dtype=np.int32))
         sim = similarity_matrix(bm, measure=measure)
         np.fill_diagonal(sim, -np.inf)
         kk = min(k, bm.n - 1)

@@ -327,6 +327,16 @@ def stream_count_matrix(
             f"'sparse_outer')"
         )
     if kernel == "sparse_outer":
+        # forced request (auto only picks this when HAVE_NATIVE): without
+        # the native tier the walk dies mid-run on an opaque np.nonzero —
+        # refuse up front like stream_query._sparse_mode_for does
+        from stormtpu.native import HAVE_NATIVE
+
+        if not HAVE_NATIVE:
+            raise RuntimeError(
+                "kernel='sparse_outer' needs the native C++ tier "
+                "(stormtpu/native build failed or was disabled)"
+            )
         return _stream_sparse_outer(
             bm, out_dir, superblock_rows=superblock_rows, config=cfg,
             resume=resume, compress=compress, interpret=bool(interpret),
@@ -577,11 +587,20 @@ def _superblock_coo(
         cols_s = indices.astype(np.int64)
         order = np.lexsort((rows_s, cols_s))
         cols_s, rows_s = cols_s[order], rows_s[order]
+    # one stable pass instead of a full boolean mask per superblock
+    # (O(n_super · nnz) host work bit at 262k-row panels): bucketing by
+    # superblock with a stable argsort preserves the (col, row) order
+    # within each bucket
+    sup = rows_s // superblock_rows
+    order_b = np.argsort(sup, kind="stable")
+    cols_b, rows_b = cols_s[order_b], rows_s[order_b]
+    bounds = np.zeros(n_super + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sup, minlength=n_super), out=bounds[1:])
     subs = []
     for i in range(n_super):
-        lo = i * superblock_rows
-        mask = (rows_s >= lo) & (rows_s < lo + superblock_rows)
-        subs.append((cols_s[mask], (rows_s[mask] - lo).astype(np.int32)))
+        lo, hi = bounds[i], bounds[i + 1]
+        subs.append((cols_b[lo:hi],
+                     (rows_b[lo:hi] - i * superblock_rows).astype(np.int32)))
     return subs
 
 
@@ -609,6 +628,21 @@ class _SparseStripePlan:
             self._sb2 * bm.m_bits / fit["k2_int8_ops_per_s"]
             + fit["dispatch_floor_s"]
         )
+        # a dense OFF-diagonal stripe also uploads its j-superblock slice
+        # (the i slice amortizes across its stripe row; diagonal stripes
+        # reuse it) — through the relay that upload dominates the MXU
+        # compute (measured 2026-08-19: 512 MB slice in 13.2 s ≈ 39 MB/s,
+        # scripts/measure_k4_stream_131k.py), so omitting it biased the
+        # per-stripe dispatch toward the device walk by orders of
+        # magnitude at exactly the shapes this plan exists for. The rate
+        # comes from the tune cache when fitted; the CPU backend's
+        # "upload" is a local copy and keeps the old model.
+        from stormtpu.utils.backend import is_tpu_backend
+
+        h2d = fit.get("h2d_bytes_per_s") or (
+            39e6 if is_tpu_backend() else 4e9
+        )
+        self._est_upload_s = superblock_rows * bm.n_words * 4 / h2d
 
     def emissions(self, i: int, j: int) -> int:
         """Exact K4 emission count for stripe (i, j), from the column
@@ -623,13 +657,15 @@ class _SparseStripePlan:
         return int(cnt_i[ia].astype(np.int64) @ cnt_j[ja])
 
     def use_k4(self, i: int, j: int, extra_emissions: int = 0) -> bool:
-        """Fitted cost model: K4 emission vs the dense MXU stripe.
+        """Fitted cost model: K4 emission vs the dense MXU stripe (whose
+        cost includes the j-slice H2D upload off the diagonal).
         ``extra_emissions`` charges caller-side per-candidate host work
         (e.g. the r2 zero-intersection staircase) at the emission rate."""
         cost = self._c_n2 * self._sb2 + self._c_emit * (
             self.emissions(i, j) + extra_emissions
         )
-        return cost < self._est_dense_s
+        dense = self._est_dense_s + (self._est_upload_s if i != j else 0.0)
+        return cost < dense
 
     def stripe_counts(self, i: int, j: int) -> np.ndarray:
         """Dense [sb, sb] int32 local counts of stripe (i, j) via the
@@ -720,6 +756,14 @@ def _stream_sparse_outer(
     for i, j in _superblock_pairs(n_super):
         path = stripe_path(out_dir, i, j)
         if resume and os.path.exists(path):
+            # account the resumed stripe by what is ON DISK (the member
+            # list distinguishes the formats without decompressing), so
+            # a resumed run's k4/dense split stays truthful
+            import zipfile
+
+            with zipfile.ZipFile(path) as zf:
+                kind = "k4" if "coo_i.npy" in zf.namelist() else "dense"
+            manifest["stripe_kernels"][kind] += 1
             manifest["completed"].append([i, j])
             done += 1
             continue

@@ -262,3 +262,15 @@ def test_cli_clump(tmp_path, rng):
     out3 = tmp_path / "clumps_nostat.npz"
     assert main(["clump", "--in", str(infile), "--out", str(out3),
                  "--threshold", "20", "--measure", "count"]) == 0
+
+
+def test_cli_clump_ckpt_dir_requires_stream(tmp_path, rng):
+    dense = (rng.random((8, 128)) < 0.3).astype(np.uint8)
+    infile = tmp_path / "in.npy"
+    np.save(infile, dense)
+    import pytest
+
+    with pytest.raises(SystemExit, match="requires --stream"):
+        main(["clump", "--in", str(infile), "--out",
+              str(tmp_path / "o.npz"), "--threshold", "0.5",
+              "--ckpt-dir", str(tmp_path / "ck")])

@@ -341,3 +341,12 @@ def test_topk_neighbors_measure_boundary_ties():
         want = np.lexsort((np.arange(bm.n), -sim[r]))[:7]
         np.testing.assert_array_equal(idx[r], want)
         np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_topk_neighbors_measure_single_row():
+    # N=1 admits k=1; no partner exists — the (0, 0) convention, not the
+    # -inf diagonal sentinel
+    bm = random_bitmatrix(1, 128, 0.3, seed=74)
+    vals, idx = topk_neighbors(bm, 1, measure="jaccard")
+    assert vals.shape == (1, 1) and idx.shape == (1, 1)
+    assert vals[0, 0] == 0.0 and idx[0, 0] == 0

@@ -140,13 +140,31 @@ def test_sparse_outer_resume(tmp_path, k4_cache):
     )
     os.remove(stripe_path(str(out), 0, 1))
     calls = []
-    stream_count_matrix(
+    man = stream_count_matrix(
         bm, str(out), superblock_rows=16, kernel="sparse_outer",
         config=_small_cfg(), interpret=True,
         progress=lambda d, t: calls.append((d, t)),
     )
     got = load_streamed_matrix(str(out))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+    # resumed stripes are accounted from what is on disk: the kernel
+    # split must cover every completed stripe, not just the re-run one
+    total = man["n_super"] * (man["n_super"] + 1) // 2
+    assert len(man["completed"]) == total
+    assert (man["stripe_kernels"]["k4"]
+            + man["stripe_kernels"]["dense"]) == total
+
+
+def test_sparse_outer_forced_without_native_refuses(tmp_path, monkeypatch):
+    import stormtpu.native as native
+
+    monkeypatch.setattr(native, "HAVE_NATIVE", False)
+    bm = random_bitmatrix(24, 512, 0.01, seed=77)
+    with pytest.raises(RuntimeError, match="native C\\+\\+ tier"):
+        stream_count_matrix(
+            bm, str(tmp_path / "s"), superblock_rows=16,
+            kernel="sparse_outer", config=_small_cfg(), interpret=True,
+        )
 
 
 @pytest.mark.skipif(
