@@ -361,16 +361,38 @@ def refit_k4_constants(log=print) -> Optional[dict]:
     c_emit = max(total_b - c_sort * nnz_b - c_n2 * n * n, 0.0) / max(
         emissions_b, 1)
 
+    # h2d: the per-stripe K4-vs-dense model charges dense off-diagonal
+    # stripes their j-slice upload (stream._SparseStripePlan) — measure
+    # the actual host→device rate with a 64 MB put drained by a tiny
+    # fetch (the relay queues transfers and block_until_ready returns
+    # early; the 1-element fetch is the honest completion point). The
+    # payload is salted per repeat so nothing upstream can memoize it.
+    import jax
+
+    h2d_bytes = 64 << 20
+    arr = rng.integers(0, 2**32, h2d_bytes // 4, dtype=np.uint32)
+    salt = [0]
+
+    def upload():
+        salt[0] += 1
+        arr[0] = salt[0]
+        d = jax.device_put(arr)
+        np.asarray(d[:1])
+
+    upload()  # warm the d[:1] executable out of the timed path
+    h2d_rate = h2d_bytes / min_time(upload, repeats=2)
+
     fitted = {
         "c_sort_s_per_nnz": c_sort,
         "c_n2_s_per_elem": c_n2,
         "c_emit_s_per_emission": c_emit,
+        "h2d_bytes_per_s": h2d_rate,
         "probe": {"n": n, "m_bits": m,
                   "k4_total_s": [total_a, total_b]},
     }
     log(f"k4 refit: sort {c_sort:.2e} s/nnz, n2 {c_n2:.2e} s/elem, "
-        f"emit {c_emit:.2e} s/emission (probes {total_a*1e3:.0f}/"
-        f"{total_b*1e3:.0f} ms)")
+        f"emit {c_emit:.2e} s/emission, h2d {h2d_rate/1e6:.0f} MB/s "
+        f"(probes {total_a*1e3:.0f}/{total_b*1e3:.0f} ms)")
     return fitted
 
 
