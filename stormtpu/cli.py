@@ -174,11 +174,11 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
-    if args.measure != "count" and (args.against or args.stream):
+    if args.measure != "count" and args.stream:
         raise SystemExit(
-            "--measure similarities rank via the single-shot route only; "
-            "the cross/streaming walks rank exact counts (screen with "
-            "'stormtpu screen --measure ...' at those scales)"
+            "--measure similarities rank via the single-shot and cross "
+            "routes only; the streaming walk ranks exact counts (screen "
+            "with 'stormtpu screen --measure ...' at that scale)"
         )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
@@ -187,7 +187,8 @@ def cmd_topk(args: argparse.Namespace) -> int:
 
         panel = _load_matrix(args.against)
         _log(f"against panel {panel}")
-        vals, idx = cross_topk_neighbors(bm, panel, args.k)
+        vals, idx = cross_topk_neighbors(bm, panel, args.k,
+                                         measure=args.measure)
     elif args.stream:
         from stormtpu.stream_query import stream_topk_neighbors
 
@@ -376,7 +377,7 @@ def main(argv=None) -> int:
                     choices=("count", "jaccard", "dice", "cosine",
                              "overlap", "phi", "r2"),
                     help="ranking score; similarities rank exact float64 "
-                    "scores (single-shot route only, N <= 32768)")
+                    "scores (single-shot route N <= 32768, or --against)")
     sp.add_argument("--against", default="",
                     help="reference panel file: rank each input row "
                     "against THIS matrix's rows (cross-set form)")

@@ -111,7 +111,8 @@ def _cross_topk_block(a_pad, b_pad, r0, nb_valid, *, k: int, bl: int):
 
 
 def cross_topk_neighbors(
-    a, b, k: int, *, config: Optional[EngineConfig] = None
+    a, b, k: int, *, measure: str = "count",
+    config: Optional[EngineConfig] = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per row of A, the top-k rows of B by exact intersection count.
 
@@ -121,12 +122,23 @@ def cross_topk_neighbors(
     BitMatrices or {0,1} dense arrays over the same bit universe. B
     beyond the device budget is walked in resident chunks and merged on
     host (host-RAM-bounded, like the streaming queries).
+
+    ``measure``: "count" (default) or a similarity ("jaccard", "dice",
+    "cosine", "overlap", "phi", "r2") — then the return is (values
+    float64 [Na, k], indices int32 [Na, k]), EXACT: the device extracts
+    float32-ranked candidates with their integer counts, the host
+    rescores in float64, and a per-chunk certification (the k-th
+    candidate must clear the excluded columns' float32 bound plus slack)
+    escalates the candidate width until the true top-k is provably
+    inside — ties break toward the lower B index.
     """
     bm_a, bm_b = _operands(a, b)
     cfg = config or default_config()
     cfg.validate(bm_a.m_bits)
     if not 1 <= k <= bm_b.n:
         raise ValueError(f"k must be in [1, Nb], got k={k}, Nb={bm_b.n}")
+    if measure != "count":
+        return _cross_topk_measure(bm_a, bm_b, k, measure)
     from stormtpu.stream import _host_superblock
 
     w = bm_a.n_words
@@ -166,6 +178,124 @@ def cross_topk_neighbors(
     idx = np.take_along_axis(best_i, order, axis=1)
     # nb >= k real columns exist, so every kept entry is a real count
     return vals.astype(np.int32), idx.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("measure", "bl", "kk"))
+def _cross_topk_measure_block(a_pad, b_pad, nnz_a_pad, nnz_b, r0, nb_valid,
+                              m_f, *, measure: str, bl: int, kk: int):
+    """Top-``kk`` candidate columns per A-row by float32 similarity, with
+    their exact integer counts (for the float64 host rescore)."""
+    from stormtpu.kernels import count_block_auto
+    from stormtpu.query import _screen_vals
+
+    a_blk = jax.lax.dynamic_slice_in_dim(a_pad, r0, bl)
+    nnz_a = jax.lax.dynamic_slice_in_dim(nnz_a_pad, r0, bl)
+    c = count_block_auto(a_blk, b_pad)
+    s = _screen_vals(c, nnz_a, nnz_b, m_f, measure)
+    col = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    s = jnp.where(col < nb_valid, s, -jnp.inf)
+    svals, idx = jax.lax.top_k(s, kk)
+    cvals = jnp.take_along_axis(c, idx, axis=1)
+    return svals, idx.astype(jnp.int32), cvals
+
+
+# Certification margin for the measure top-k: float32 screen values of
+# the [0,1]-range measures sit within ~1e-4 of the float64 truth (the
+# screens' threshold slack; phi/r2's in-kernel num inflation keeps its
+# score an over-estimate, so the bound holds one-sidedly there too).
+# Any column the device did NOT return scores ≤ s_cut in float32, hence
+# ≤ s_cut + slack in truth — a candidate set whose k-th float64 value
+# strictly clears that bound provably contains the true top-k.
+_MEASURE_TOPK_SLACK = 2e-4
+
+
+def _cross_topk_measure(bm_a, bm_b, k: int, measure: str):
+    """Certified-exact similarity top-k over the B-chunk walk: float32
+    candidate extraction on device, float64 rescore on host, per-chunk
+    certification with escalation (kk doubles — pow2-bucketed compiles —
+    until the boundary clears or the chunk is fully enumerated)."""
+    from stormtpu.query import _validate_screen
+    from stormtpu.setops import derive_similarity
+    from stormtpu.stream import _host_superblock
+
+    _validate_screen(measure, 1.0)  # validates the measure name
+    w = bm_a.n_words
+    bl, na_pad = _block_plan(bm_a.n)
+    cb = _b_chunk_rows(bm_b.n, w, bl, na_pad, bitmap=False)
+    if k > cb:
+        raise ValueError(
+            f"k={k} exceeds the {cb}-row B chunk the device budget "
+            f"allows: each chunk ranks only its own rows; reduce k or "
+            f"raise STORMTPU_DEVICE_REFUSE_BUDGET_BYTES"
+        )
+    nb_walk = round_up(bm_b.n, cb)
+    single = nb_walk == cb
+    m_f = jnp.float32(bm_a.m_bits)
+    a_dev = bm_a.device_padded(na_pad)
+    nnz_a_dev = bm_a.device_nnz(na_pad)
+    nnz_a_host = np.zeros(na_pad, dtype=np.int64)
+    nnz_a_host[: bm_a.n] = bm_a.row_nnz
+    nnz_b_pad = np.zeros(nb_walk, dtype=np.int64)
+    nnz_b_pad[: bm_b.n] = bm_b.row_nnz
+    kk0 = int(min(next_pow2(max(2 * k, k + 8)), cb))
+    chunk_vals: list[np.ndarray] = []
+    chunk_idx: list[np.ndarray] = []
+    for b0 in range(0, nb_walk, cb):
+        if single:
+            b_dev = bm_b.device_padded(cb)
+            nnz_b_dev = bm_b.device_nnz(cb)
+        else:
+            b_dev = jnp.asarray(_host_superblock(bm_b.packed, bm_b.n, cb,
+                                                 w, b0 // cb))
+            nnz_b_dev = jnp.asarray(
+                nnz_b_pad[b0 : b0 + cb].astype(np.int32))
+        nb_valid = min(bm_b.n - b0, cb)
+        kk = kk0
+        while True:
+            f_rows, g_rows, cut_rows = [], [], []
+            for r0 in range(0, na_pad, bl):
+                sv, ix, cv = _cross_topk_measure_block(
+                    a_dev, b_dev, nnz_a_dev, nnz_b_dev, jnp.int32(r0),
+                    jnp.int32(nb_valid), m_f, measure=measure, bl=bl,
+                    kk=kk,
+                )
+                sv = np.asarray(sv)
+                ix = np.asarray(ix).astype(np.int64)
+                cv = np.asarray(cv)
+                valid = sv > -np.inf
+                f = derive_similarity(
+                    cv, nnz_a_host[r0 : r0 + bl, None],
+                    nnz_b_pad[b0 + ix], bm_a.m_bits, measure,
+                )
+                f = np.where(valid, f, -np.inf)
+                g = np.where(valid, ix + b0, np.int64(2**62))
+                f_rows.append(f)
+                g_rows.append(g)
+                cut_rows.append(sv[:, -1])
+            f_all = np.concatenate(f_rows)
+            g_all = np.concatenate(g_rows)
+            s_cut = np.concatenate(cut_rows)
+            order = np.lexsort((g_all, -f_all), axis=1)
+            f_all = np.take_along_axis(f_all, order, axis=1)
+            g_all = np.take_along_axis(g_all, order, axis=1)
+            if nb_valid <= kk:
+                break  # every valid column is a candidate
+            # real rows must clear the exclusion bound at the k-th place
+            real = np.arange(na_pad) < bm_a.n
+            ok = f_all[:, k - 1] > s_cut + _MEASURE_TOPK_SLACK
+            if bool(np.all(ok | ~real)) or kk >= cb:
+                break
+            kk = int(min(kk * 2, cb))
+        chunk_vals.append(f_all[:, :k])
+        chunk_idx.append(g_all[:, :k])
+    # merge the per-chunk certified top-k lists (global top-k is inside
+    # their union); ties break toward the lower global index
+    f_m = np.concatenate(chunk_vals, axis=1)
+    g_m = np.concatenate(chunk_idx, axis=1)
+    order = np.lexsort((g_m, -f_m), axis=1)
+    f_m = np.take_along_axis(f_m, order, axis=1)[: bm_a.n, :k]
+    g_m = np.take_along_axis(g_m, order, axis=1)[: bm_a.n, :k]
+    return f_m, g_m.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "bl"))

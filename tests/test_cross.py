@@ -6,6 +6,7 @@ import pytest
 
 from conftest import random_bitmatrix
 from stormtpu import cross_pairs_above, cross_topk_neighbors
+from stormtpu.layout import unpack_bits
 from stormtpu.oracle import oracle_count_block
 from stormtpu.setops import derive_similarity
 
@@ -191,3 +192,104 @@ def test_distributed_cross_2d_mesh():
         np.testing.assert_array_equal(ii, ii1, err_msg=f"{rr}x{rb}")
         np.testing.assert_array_equal(jj, jj1, err_msg=f"{rr}x{rb}")
         np.testing.assert_array_equal(vv, vv1, err_msg=f"{rr}x{rb}")
+
+
+@pytest.mark.parametrize("measure", ["jaccard", "r2"])
+def test_cross_topk_measure_exact(measure):
+    from stormtpu.setops import derive_similarity
+
+    a = random_bitmatrix(30, 700, 0.25, seed=81)
+    b = random_bitmatrix(90, 700, 0.3, seed=82)
+    k = 6
+    vals, idx = cross_topk_neighbors(a, b, k, measure=measure)
+    inter = (unpack_bits(a.packed, a.m_bits).astype(np.int64)
+             @ unpack_bits(b.packed, b.m_bits).astype(np.int64).T)
+    sim = derive_similarity(inter, a.row_nnz[:, None], b.row_nnz[None, :],
+                            a.m_bits, measure)
+    for r in range(a.n):
+        want = np.lexsort((np.arange(b.n), -sim[r]))[:k]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
+    assert vals.dtype == np.float64 and idx.dtype == np.int32
+
+
+def test_cross_topk_measure_tie_heavy():
+    # tiny M: integer-ratio similarities collide, exercising both the
+    # certification escalation and the lower-index tie contract
+    from stormtpu.setops import derive_similarity
+
+    a = random_bitmatrix(16, 64, 0.5, seed=83)
+    b = random_bitmatrix(120, 64, 0.5, seed=84)
+    vals, idx = cross_topk_neighbors(a, b, 10, measure="jaccard")
+    inter = (unpack_bits(a.packed, a.m_bits).astype(np.int64)
+             @ unpack_bits(b.packed, b.m_bits).astype(np.int64).T)
+    sim = derive_similarity(inter, a.row_nnz[:, None], b.row_nnz[None, :],
+                            a.m_bits, "jaccard")
+    for r in range(a.n):
+        want = np.lexsort((np.arange(b.n), -sim[r]))[:10]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_cross_topk_measure_count_path_unchanged():
+    a = random_bitmatrix(8, 256, 0.3, seed=85)
+    b = random_bitmatrix(20, 256, 0.3, seed=86)
+    v1, i1 = cross_topk_neighbors(a, b, 3)
+    v2, i2 = cross_topk_neighbors(a, b, 3, measure="count")
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+    assert v1.dtype == np.int32
+    with pytest.raises(ValueError):
+        cross_topk_neighbors(a, b, 3, measure="bogus")
+
+
+def test_cross_topk_measure_chunked_walk(monkeypatch):
+    """Forced multi-chunk B walk: the certified per-chunk candidate sets
+    must merge to the exact global similarity top-k."""
+    from stormtpu.cross import _b_chunk_rows
+
+    a = random_bitmatrix(20, 512, 0.35, seed=87)
+    b = random_bitmatrix(150, 512, 0.3, seed=88)
+    bl, w = 32, a.n_words
+    budget = 4 * (32 * w + bl * w) + 70 * (4 * (w + bl) + bl // 8)
+    monkeypatch.setenv("STORMTPU_DEVICE_REFUSE_BUDGET_BYTES", str(budget))
+    cb = _b_chunk_rows(b.n, w, bl, 32, bitmap=False)
+    assert cb < b.n, "budget did not force chunking"
+
+    vals, idx = cross_topk_neighbors(a, b, 5, measure="jaccard")
+    inter = (unpack_bits(a.packed, a.m_bits).astype(np.int64)
+             @ unpack_bits(b.packed, b.m_bits).astype(np.int64).T)
+    sim = derive_similarity(inter, a.row_nnz[:, None], b.row_nnz[None, :],
+                            a.m_bits, "jaccard")
+    for r in range(a.n):
+        want = np.lexsort((np.arange(b.n), -sim[r]))[:5]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_cross_topk_measure_escalation(monkeypatch):
+    """Force certification failure (huge slack) so kk escalates to the
+    full chunk; the enumerated result must still be exact."""
+    import stormtpu.cross as cross
+
+    monkeypatch.setattr(cross, "_MEASURE_TOPK_SLACK", 1.0)
+    kks = []
+    orig = cross._cross_topk_measure_block
+
+    def spy(*a, **kw):
+        kks.append(kw["kk"])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cross, "_cross_topk_measure_block", spy)
+    a = random_bitmatrix(10, 256, 0.3, seed=89)
+    b = random_bitmatrix(100, 256, 0.3, seed=90)
+    vals, idx = cross_topk_neighbors(a, b, 4, measure="jaccard")
+    assert max(kks) > min(kks), "escalation never fired"
+    inter = (unpack_bits(a.packed, a.m_bits).astype(np.int64)
+             @ unpack_bits(b.packed, b.m_bits).astype(np.int64).T)
+    sim = derive_similarity(inter, a.row_nnz[:, None], b.row_nnz[None, :],
+                            a.m_bits, "jaccard")
+    for r in range(a.n):
+        want = np.lexsort((np.arange(b.n), -sim[r]))[:4]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
