@@ -247,7 +247,10 @@ def distributed_topk_neighbors(
     shard_axis: str = "rows",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count, computed
-    sharded over ``mesh`` (self excluded). Returns (counts int32 [N, k],
+    sharded over ``mesh`` (self excluded). Ranking is by COUNT at mesh
+    scale (similarity ranking: ``query.topk_neighbors(measure=...)``
+    single-chip, ``cross_topk_neighbors(measure=...)`` cross-set; here,
+    screen with ``distributed_pairs_above(measure=...)`` instead). Returns (counts int32 [N, k],
     indices int32 [N, k]) like the single-chip form; values are identical
     to it, tie order among equal counts may differ.
 
