@@ -205,6 +205,158 @@ def _topk_fn(mesh: Mesh, n_loc: int, k: int, block_rows: int):
     )
 
 
+def _ring_topk_measure_local(axis: str, r: int, n_loc: int, kk: int,
+                             block_rows: int, measure: str,
+                             psum_axis: Optional[str] = None):
+    """Per-device ring loop maintaining running top-``kk`` CANDIDATES for
+    the local rows by float32 similarity, carrying each candidate's exact
+    integer count for the host's float64 rescore (the mesh-scale twin of
+    cross.py's certified measure top-k). Merge correctness mirrors
+    ``_ring_topk_local``: a global top-kk column is within its own
+    shard's top-min(kk, n_loc), so per-step top-min(kk, n_loc) into a
+    running top-kk merge loses nothing. Self pairs and padding columns
+    (global col ≥ n_real) are −inf."""
+    from stormtpu.query import _screen_vals
+
+    kk_step = min(kk, n_loc)
+    nb = n_loc // block_rows
+
+    def local_fn(x_local, nnz_local, nnz_all, m_f, n_real):
+        my = jax.lax.axis_index(axis)
+        buf = x_local
+        best_s = jnp.full((n_loc, kk), -jnp.inf, dtype=jnp.float32)
+        best_c = jnp.zeros((n_loc, kk), dtype=jnp.int32)
+        best_i = jnp.zeros((n_loc, kk), dtype=jnp.int32)
+        blocks = x_local.reshape(nb, block_rows, x_local.shape[1])
+        nnz_blocks = nnz_local.reshape(nb, block_rows)
+        base = jnp.arange(nb, dtype=jnp.int32) * block_rows
+        for s in range(r):
+            partner = (my + s) % r
+            c0 = partner * n_loc
+            nnz_cols = jax.lax.dynamic_slice(nnz_all, (c0,), (n_loc,))
+
+            def step_block(args):
+                blk, b0, nzb, bs, bc, bi = args
+                counts = count_block_auto(blk, buf).astype(jnp.int32)
+                if psum_axis is not None:
+                    counts = jax.lax.psum(counts, psum_axis)
+                scores = _screen_vals(counts, nzb, nnz_cols, m_f, measure)
+                row_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
+                    + my * n_loc + b0
+                )
+                col_g = (
+                    jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1)
+                    + c0
+                )
+                scores = jnp.where(
+                    (row_g == col_g) | (col_g >= n_real),
+                    -jnp.inf, scores,
+                )
+                v, i = jax.lax.top_k(scores, kk_step)
+                cg = jnp.take_along_axis(counts, i, axis=1)
+                gi = i.astype(jnp.int32) + c0
+                ns, sel = jax.lax.top_k(
+                    jnp.concatenate([bs, v], axis=1), kk)
+                nc = jnp.take_along_axis(
+                    jnp.concatenate([bc, cg], axis=1), sel, axis=1)
+                ni = jnp.take_along_axis(
+                    jnp.concatenate([bi, gi], axis=1), sel, axis=1)
+                return ns, nc, ni
+
+            bs = best_s.reshape(nb, block_rows, kk)
+            bc = best_c.reshape(nb, block_rows, kk)
+            bi = best_i.reshape(nb, block_rows, kk)
+            ns, nc, ni = jax.lax.map(
+                step_block, (blocks, base, nnz_blocks, bs, bc, bi))
+            best_s = ns.reshape(n_loc, kk)
+            best_c = nc.reshape(n_loc, kk)
+            best_i = ni.reshape(n_loc, kk)
+            if s < r - 1:
+                buf = jax.lax.ppermute(
+                    buf, axis, [(i, (i - 1) % r) for i in range(r)]
+                )
+        return best_s, best_c, best_i
+
+    return local_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _topk_measure_fn(mesh: Mesh, n_loc: int, kk: int, block_rows: int,
+                     measure: str):
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
+    r = mesh.shape[axis]
+    return jax.jit(
+        shard_map(
+            _ring_topk_measure_local(axis, r, n_loc, kk, block_rows,
+                                     measure, psum_axis=bit_axis),
+            mesh=mesh,
+            in_specs=(P(axis, bit_axis), P(axis), P(), P(), P()),
+            out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+    )
+
+
+def _distributed_topk_measure(bm, k: int, measure: str, mesh: Mesh,
+                              block_rows: Optional[int]):
+    """Certified-exact similarity top-k over the rows ring (and the 2-D
+    rows×bits mesh): float32 candidates + exact counts from the ring,
+    float64 rescore on host, escalation doubles the candidate width
+    until the k-th value strictly clears the excluded columns' float32
+    bound plus slack (cross.py's certification, at mesh scale)."""
+    from stormtpu.cross import _MEASURE_TOPK_SLACK
+    from stormtpu.query import _validate_screen
+    from stormtpu.setops import derive_similarity
+
+    _validate_screen(measure, 1.0)  # validates the measure name
+    axis = mesh.axis_names[0]
+    r = mesh.shape[axis]
+    if block_rows is None:
+        block_rows = _default_block_rows(bm.m_bits, -(-bm.n // r))
+    n_pad = round_up(max(bm.n, r), r * block_rows)
+    n_loc = n_pad // r
+    x_sharded, nnz_loc, nnz_all = _sharded_operands(bm, mesh, n_pad)
+    m_f = jnp.float32(bm.m_bits)
+    n_real = jnp.int32(bm.n)
+    nnz_host = np.zeros(n_pad, dtype=np.int64)
+    nnz_host[: bm.n] = bm.row_nnz
+    real = np.arange(n_pad) < bm.n
+    kk = int(_next_pow2(max(2 * k, k + 8)))
+    kk_cap = int(min(n_pad, max(4096, 64 * k)))
+    while True:
+        kk_run = min(kk, n_pad)
+        s32_d, cc_d, gi_d = _topk_measure_fn(
+            mesh, n_loc, kk_run, block_rows, measure
+        )(x_sharded, nnz_loc, nnz_all, m_f, n_real)
+        s32 = np.asarray(fetch_global(s32_d))
+        cc = np.asarray(fetch_global(cc_d))
+        gi = np.asarray(fetch_global(gi_d)).astype(np.int64)
+        valid = s32 > -np.inf
+        f = derive_similarity(cc, nnz_host[:, None], nnz_host[gi],
+                              bm.m_bits, measure)
+        f = np.where(valid, f, -np.inf)
+        g = np.where(valid, gi, np.int64(2**62))
+        order = np.lexsort((g, -f), axis=1)
+        f = np.take_along_axis(f, order, axis=1)
+        g = np.take_along_axis(g, order, axis=1)
+        if kk_run >= bm.n:
+            break  # every real column was a candidate
+        s_cut = s32[:, -1]
+        ok = f[:, k - 1] > s_cut + _MEASURE_TOPK_SLACK
+        if bool(np.all(ok | ~real)):
+            break
+        if kk >= kk_cap:
+            raise RuntimeError(
+                f"measure top-k certification did not converge by "
+                f"kk={kk} (pathologically tie-dense scores) — screen "
+                f"with distributed_pairs_above(measure=...) instead"
+            )
+        kk *= 2
+    return f[: bm.n, :k], g[: bm.n, :k].astype(np.int32)
+
+
 @functools.lru_cache(maxsize=64)
 def _kshard_topk_fn(
     mesh: Mesh, ti: int, wk: int, k: int, interpret: bool, variant: str
@@ -245,14 +397,22 @@ def distributed_topk_neighbors(
     mesh: Optional[Mesh] = None,
     block_rows: Optional[int] = None,
     shard_axis: str = "rows",
+    measure: str = "count",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count, computed
-    sharded over ``mesh`` (self excluded). Ranking is by COUNT at mesh
-    scale (similarity ranking: ``query.topk_neighbors(measure=...)``
-    single-chip, ``cross_topk_neighbors(measure=...)`` cross-set; here,
-    screen with ``distributed_pairs_above(measure=...)`` instead). Returns (counts int32 [N, k],
+    sharded over ``mesh`` (self excluded). Returns (counts int32 [N, k],
     indices int32 [N, k]) like the single-chip form; values are identical
     to it, tie order among equal counts may differ.
+
+    ``measure``: "count" (default) or a similarity ("jaccard", "dice",
+    "cosine", "overlap", "phi", "r2") — then the return is (values
+    float64 [N, k], indices int32 [N, k]), certified exact like
+    ``cross_topk_neighbors(measure=...)``: the ring extracts
+    float32-ranked candidates with their exact integer counts, the host
+    rescores in float64 and escalates the candidate width until the true
+    top-k is provably inside (ties toward the lower index). Rides the
+    rows ring (1-D rows or 2-D rows×bits mesh); ``shard_axis="bits"`` on
+    a 1-D mesh is count-only.
 
     ``shard_axis="rows"``: row-sharded X, square ring (the default
     layout; scales N). ``shard_axis="bits"``: word-sharded X, psum of
@@ -269,6 +429,14 @@ def distributed_topk_neighbors(
         raise ValueError(f"shard_axis must be 'rows' or 'bits', got {shard_axis!r}")
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    if measure != "count":
+        if shard_axis == "bits" and len(mesh.axis_names) == 1:
+            raise ValueError(
+                "measure ranking rides the rows ring (1-D rows mesh or "
+                "2-D rows×bits mesh); shard_axis='bits' ranks exact "
+                "counts only — use measure='count' or a rows/2-D mesh"
+            )
+        return _distributed_topk_measure(bm, k, measure, mesh, block_rows)
     if (shard_axis == "bits" and len(mesh.axis_names) == 1
             and bm.n_words >= r * 128):
         from stormtpu.config import default_config

@@ -491,8 +491,9 @@ def stream_topk_neighbors(
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
     indices int32 [N, k]) sorted descending — same values as
     ``query.topk_neighbors``. Ranking is by COUNT only at this scale
-    (similarity ranking lives in ``query.topk_neighbors(measure=...)``
-    and ``cross.cross_topk_neighbors(measure=...)``; here, screen with
+    (similarity ranking lives in ``query.topk_neighbors(measure=...)``,
+    ``cross.cross_topk_neighbors(measure=...)``, and
+    ``parallel.distributed_topk_neighbors(measure=...)``; here, screen with
     ``stream_pairs_above(measure=...)`` instead); tie order among equal counts is
     route-dependent there too, and zero-count entries may carry the
     (0, 0) "no partner" convention where the summary skip proved a whole

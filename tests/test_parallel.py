@@ -457,3 +457,54 @@ def test_distributed_setops_inherit_2d_mesh():
     np.testing.assert_array_equal(
         distributed_pairwise_cardinality(bm, "union", mesh=mesh), want_u,
     )
+
+
+@pytest.mark.parametrize("measure", ["jaccard", "r2"])
+def test_distributed_topk_measure(measure):
+    from stormtpu.parallel import distributed_topk_neighbors
+    from stormtpu.setops import derive_similarity
+
+    bm = random_bitmatrix(70, 700, 0.25, seed=91)
+    mesh = make_row_mesh()
+    vals, idx = distributed_topk_neighbors(bm, 5, mesh=mesh,
+                                           measure=measure)
+    from stormtpu.oracle import oracle_count_matrix
+
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, measure)
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = np.lexsort((np.arange(bm.n), -sim[r]))[:5]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
+    assert vals.dtype == np.float64 and idx.dtype == np.int32
+
+
+def test_distributed_topk_measure_2d_mesh():
+    from stormtpu.parallel import distributed_topk_neighbors
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.parallel import make_grid_mesh
+    from stormtpu.setops import derive_similarity
+
+    bm = random_bitmatrix(40, 2048, 0.3, seed=92)
+    mesh = make_grid_mesh(4, 2)
+    vals, idx = distributed_topk_neighbors(bm, 4, mesh=mesh,
+                                           measure="jaccard")
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, "jaccard")
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = np.lexsort((np.arange(bm.n), -sim[r]))[:4]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_distributed_topk_measure_bits_1d_refuses():
+    from stormtpu.parallel import distributed_topk_neighbors
+
+    bm = random_bitmatrix(32, 8192, 0.3, seed=93)
+    with pytest.raises(ValueError, match="rows ring"):
+        distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(),
+                                   shard_axis="bits", measure="r2")
