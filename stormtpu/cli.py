@@ -174,12 +174,6 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
-    if args.measure != "count" and args.stream:
-        raise SystemExit(
-            "--measure similarities rank via the single-shot and cross "
-            "routes only; the streaming walk ranks exact counts (screen "
-            "with 'stormtpu screen --measure ...' at that scale)"
-        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -194,7 +188,7 @@ def cmd_topk(args: argparse.Namespace) -> int:
 
         vals, idx = stream_topk_neighbors(
             bm, args.k, superblock_rows=args.superblock,
-            out_dir=args.ckpt_dir or None,
+            measure=args.measure, out_dir=args.ckpt_dir or None,
         )
     else:
         from stormtpu import topk_neighbors
@@ -377,7 +371,8 @@ def main(argv=None) -> int:
                     choices=("count", "jaccard", "dice", "cosine",
                              "overlap", "phi", "r2"),
                     help="ranking score; similarities rank exact float64 "
-                    "scores (single-shot route N <= 32768, or --against)")
+                    "scores on every route (single-shot, --against, "
+                    "--stream)")
     sp.add_argument("--against", default="",
                     help="reference panel file: rank each input row "
                     "against THIS matrix's rows (cross-set form)")

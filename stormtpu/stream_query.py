@@ -325,6 +325,63 @@ def _stripe_topk(
     return vals_i, idx_i.astype(jnp.int32), vals_j, idx_j.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("measure", "kk", "tps", "ti", "wk", "interpret",
+                     "kernel", "variant", "diagonal"),
+)
+def _stripe_topk_measure(
+    xi: jax.Array,
+    xj: jax.Array,
+    nnz_i: jax.Array,
+    nnz_j: jax.Array,
+    row0_i: jax.Array,
+    row0_j: jax.Array,
+    n: jax.Array,
+    m_f: jax.Array,
+    *,
+    measure: str,
+    kk: int,
+    tps: int,
+    ti: int,
+    wk: int,
+    interpret: bool,
+    kernel: str,
+    variant: str,
+    diagonal: bool,
+):
+    """Per-row top-``kk`` similarity CANDIDATES of one stripe (both
+    orientations off the diagonal), each with its exact integer count for
+    the host's float64 rescore — the streaming twin of cross.py's
+    certified measure extraction. Invalid cells (self pairs, padding)
+    rank as −inf."""
+    from stormtpu.query import _screen_vals
+
+    counts = (
+        _stripe_diag_counts(xi, tps, ti, wk, interpret, kernel, variant)
+        if diagonal
+        else _stripe_square_counts(xi, xj, tps, ti, wk, interpret, kernel,
+                                   variant)
+    )
+    scores = _screen_vals(counts, nnz_i, nnz_j, m_f, measure)
+    row_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0) + row0_i
+    )
+    col_g = (
+        jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + row0_j
+    )
+    valid = (row_g < n) & (col_g < n) & (row_g != col_g)
+    masked = jnp.where(valid, scores, -jnp.inf)
+    sv_i, ix_i = jax.lax.top_k(masked, kk)
+    cv_i = jnp.take_along_axis(counts, ix_i, axis=1)
+    if diagonal:
+        return sv_i, ix_i.astype(jnp.int32), cv_i, None, None, None
+    sv_j, ix_j = jax.lax.top_k(masked.T, kk)
+    cv_j = jnp.take_along_axis(counts.T, ix_j, axis=1)
+    return (sv_i, ix_i.astype(jnp.int32), cv_i,
+            sv_j, ix_j.astype(jnp.int32), cv_j)
+
+
 def _merge_topk(
     best_v: np.ndarray,
     best_i: np.ndarray,
@@ -413,7 +470,8 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
 
 
 def _coo_rank_topk(
-    ii: np.ndarray, jj: np.ndarray, vv: np.ndarray, sb: int, k: int
+    ii: np.ndarray, jj: np.ndarray, vv: np.ndarray, sb: int, k: int,
+    fill: float = -1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k of COO candidates via rank-within-row: lexsort by
     (row, -value), subtract each row's start offset, keep rank < k.
@@ -421,14 +479,18 @@ def _coo_rank_topk(
     choose K4 that is ~100× fewer cells than the dense [sb, sb] buffer
     (measured at 131k × 1M d=1e-5: the dense argpartition form spent
     0.46 s/stripe ranking 16.7M cells of which ~163k were nonzero).
-    Rows with fewer than k candidates pad with -1 (no partner)."""
+    Rows with fewer than k candidates pad with ``fill`` (no partner);
+    float ``vv`` (measure scores) ranks in float64, integer counts in
+    int64."""
     order = np.lexsort((-vv, ii))
     i_s, j_s, v_s = ii[order], jj[order], vv[order]
     starts = np.flatnonzero(np.r_[True, i_s[1:] != i_s[:-1]])
     counts = np.diff(np.r_[starts, i_s.size])
     rank = np.arange(i_s.size) - np.repeat(starts, counts)
     keep = rank < k
-    cand_v = np.full((sb, k), -1, dtype=np.int64)
+    dtype = (np.float64 if np.issubdtype(np.asarray(vv).dtype, np.floating)
+             else np.int64)
+    cand_v = np.full((sb, k), fill, dtype=dtype)
     cand_i = np.zeros((sb, k), dtype=np.int32)
     cand_v[i_s[keep], rank[keep]] = v_s[keep]
     cand_i[i_s[keep], rank[keep]] = j_s[keep]
@@ -482,6 +544,7 @@ def stream_topk_neighbors(
     *,
     superblock_rows: int = 4096,
     kernel: str = "auto",
+    measure: str = "count",
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
     out_dir: Optional[str] = None,
@@ -490,14 +553,25 @@ def stream_topk_neighbors(
     """Per-row top-k partners by exact intersection count at streaming
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
     indices int32 [N, k]) sorted descending — same values as
-    ``query.topk_neighbors``. Ranking is by COUNT only at this scale
-    (similarity ranking lives in ``query.topk_neighbors(measure=...)``,
-    ``cross.cross_topk_neighbors(measure=...)``, and
-    ``parallel.distributed_topk_neighbors(measure=...)``; here, screen with
-    ``stream_pairs_above(measure=...)`` instead); tie order among equal counts is
+    ``query.topk_neighbors``; tie order among equal counts is
     route-dependent there too, and zero-count entries may carry the
     (0, 0) "no partner" convention where the summary skip proved a whole
     stripe zero.
+
+    ``measure``: "count" (default) or a similarity ("jaccard", "dice",
+    "cosine", "overlap", "phi", "r2") — then the return is (values
+    float64 [N, k], indices int32 [N, k]), exact: dense stripes extract
+    float32-ranked candidates with their integer counts and the host
+    rescores in float64 with per-stripe certification + escalation
+    (cross.py's contract); sparse K4 stripes rank their exact COO scores
+    directly (zero-intersection pairs score 0 for these measures, like
+    the count route's no-partner convention — tie order among equal
+    scores is merge-order-dependent). EXCEPTIONS for phi/r2, which score
+    zero-intersection pairs: the sparse route refuses them (force the
+    dense walk with ``kernel="mxu"`` or screen with
+    ``stream_pairs_above``, whose cardinality staircase recovers those
+    pairs), and the dense walk disables the summary skip for them (a
+    co-empty stripe still scores).
 
     ``kernel="auto"`` routes extreme-sparsity inputs to per-superblock
     K4 host emission (no device round-trip per sparse stripe; the
@@ -533,14 +607,30 @@ def stream_topk_neighbors(
             f"k={k} exceeds superblock_rows={sb}: each stripe "
             f"ranks only one superblock of partners; raise superblock_rows"
         )
+    if measure != "count":
+        from stormtpu.query import _validate_screen
+
+        _validate_screen(measure, 1.0)  # validates the measure name
+        if plan is not None and measure in ("phi", "r2"):
+            raise ValueError(
+                f"measure={measure!r} scores ZERO-intersection pairs, "
+                f"which the sparse stripe route never materializes — "
+                f"force the dense walk (kernel='mxu') or screen with "
+                f"stream_pairs_above(measure=...)"
+            )
     tps = sb // ti
 
-    best_v = np.full((n_pad, k), -1, dtype=np.int64)
+    if measure == "count":
+        best_v = np.full((n_pad, k), -1, dtype=np.int64)
+    else:
+        best_v = np.full((n_pad, k), -np.inf, dtype=np.float64)
     best_i = np.zeros((n_pad, k), dtype=np.int32)
     start_i = 0
     ckpt = os.path.join(out_dir, "topk_ckpt.npz") if out_dir else None
     params = _topk_ckpt_params(
         bm, k, sb, f"sparse_outer+{kernel}" if plan is not None else kernel)
+    if measure != "count":
+        params["measure"] = measure
     if ckpt and resume and os.path.exists(ckpt):
         with np.load(ckpt, allow_pickle=False) as z:
             got = json.loads(str(z["params"]))
@@ -554,7 +644,66 @@ def stream_topk_neighbors(
     elif out_dir:
         os.makedirs(out_dir, exist_ok=True)
     n_dev = jnp.int32(bm.n)
-    occ_sb = _superblock_occupancy(bm, n_pad, sb)
+    # phi/r2 score co-empty stripes (zero intersection ≠ zero score), so
+    # the C8 summary skip is only sound for count and the measures that
+    # send zero intersections to 0
+    occ_sb = (None if measure in ("phi", "r2")
+              else _superblock_occupancy(bm, n_pad, sb))
+    nnz_pad = np.zeros(n_pad, dtype=np.int64)
+    nnz_pad[: bm.n] = bm.row_nnz
+    m_f = jnp.float32(bm.m_bits)
+    if measure != "count":
+        from stormtpu.cross import _MEASURE_TOPK_SLACK
+        from stormtpu.setops import derive_similarity
+        from stormtpu.utils import next_pow2 as _np2
+
+        kk0 = int(min(_np2(max(2 * k, k + 8)), sb))
+
+    def _measure_stripe_device(i, j, xi_d, xj_d):
+        """Certified per-stripe measure candidates: float64 rescore of
+        the device's float32 top-kk; escalate kk until the stripe's own
+        top-k provably sits inside (at kk=sb the stripe is enumerated)."""
+        ni_d = jnp.asarray(nnz_pad[i * sb:(i + 1) * sb].astype(np.int32))
+        nj_d = jnp.asarray(nnz_pad[j * sb:(j + 1) * sb].astype(np.int32))
+        n_valid_j = max(0, min(bm.n - j * sb, sb)) - (1 if i == j else 0)
+        n_valid_i = max(0, min(bm.n - i * sb, sb)) - (1 if i == j else 0)
+        kk = kk0
+        while True:
+            out = _stripe_topk_measure(
+                xi_d, xj_d, ni_d, nj_d, jnp.int32(i * sb),
+                jnp.int32(j * sb), n_dev, m_f, measure=measure, kk=kk,
+                tps=tps, ti=ti, wk=wk, interpret=bool(interpret),
+                kernel=kernel, variant=variant, diagonal=i == j,
+            )
+            sides = []
+            certified = True
+            for (sv, ix, cv, r0, c0, n_valid) in (
+                (out[0], out[1], out[2], i, j, n_valid_j),
+                (out[3], out[4], out[5], j, i, n_valid_i),
+            ):
+                if sv is None:
+                    sides.append(None)
+                    continue
+                sv = np.asarray(sv)
+                ix = np.asarray(ix).astype(np.int64)
+                cv = np.asarray(cv)
+                valid = sv > -np.inf
+                f = derive_similarity(
+                    cv, nnz_pad[r0 * sb:(r0 + 1) * sb, None],
+                    nnz_pad[c0 * sb + ix], bm.m_bits, measure,
+                )
+                f = np.where(valid, f, -np.inf)
+                sides.append((f, (ix + c0 * sb).astype(np.int32)))
+                if n_valid > kk:
+                    kth = -np.partition(-f, k - 1, axis=1)[:, k - 1]
+                    rows_real = (np.arange(sb) + r0 * sb) < bm.n
+                    ok = kth > sv[:, -1] + _MEASURE_TOPK_SLACK
+                    if not bool(np.all(ok | ~rows_real)):
+                        certified = False
+            if certified or kk >= sb:
+                return sides
+            kk = int(min(kk * 2, sb))
+
     xi_d, xi_idx = None, -1
     for i in range(start_i, n_super):
         dirty = False
@@ -568,14 +717,35 @@ def stream_topk_neighbors(
             dirty = True
             if plan is not None and plan.use_k4(i, j):
                 # sparse stripe: host K4 emission, no device round-trip
-                vi_h, ii_h, vj_h, ij_h = _stripe_topk_candidates_k4(
-                    plan.stripe_counts(i, j), k, diagonal=i == j)
+                if measure == "count":
+                    vi_h, ii_h, vj_h, ij_h = _stripe_topk_candidates_k4(
+                        plan.stripe_counts(i, j), k, diagonal=i == j)
+                    vi_h = vi_h.astype(np.int64)
+                    vj_h = None if vj_h is None else vj_h.astype(np.int64)
+                else:
+                    # exact COO scores (zero-intersection pairs score 0
+                    # for these measures — phi/r2 were refused above)
+                    stripe = plan.stripe_counts(i, j)
+                    li, lj = np.nonzero(stripe)
+                    vv = stripe[li, lj]
+                    if i == j:
+                        nz = li != lj
+                        li, lj, vv = li[nz], lj[nz], vv[nz]
+                    scores = derive_similarity(
+                        vv, nnz_pad[i * sb + li], nnz_pad[j * sb + lj],
+                        bm.m_bits, measure,
+                    )
+                    vi_h, ii_h = _coo_rank_topk(li, lj, scores, sb, k,
+                                                fill=-np.inf)
+                    vj_h, ij_h = ((None, None) if i == j else
+                                  _coo_rank_topk(lj, li, scores, sb, k,
+                                                 fill=-np.inf))
                 _merge_topk(best_v, best_i, slice(i * sb, (i + 1) * sb),
-                            vi_h.astype(np.int64), ii_h + j * sb, k)
+                            vi_h, ii_h + j * sb, k)
                 if i != j:
                     _merge_topk(best_v, best_i,
                                 slice(j * sb, (j + 1) * sb),
-                                vj_h.astype(np.int64), ij_h + i * sb, k)
+                                vj_h, ij_h + i * sb, k)
                 continue
             if xi_idx != i:
                 xi_d = jnp.asarray(
@@ -585,6 +755,15 @@ def stream_topk_neighbors(
             xj_d = xi_d if i == j else jnp.asarray(
                 _host_superblock(bm.packed, bm.n, sb, w_pad, j)
             )
+            if measure != "count":
+                side_i, side_j = _measure_stripe_device(i, j, xi_d, xj_d)
+                _merge_topk(best_v, best_i, slice(i * sb, (i + 1) * sb),
+                            side_i[0], side_i[1], k)
+                if side_j is not None:
+                    _merge_topk(best_v, best_i,
+                                slice(j * sb, (j + 1) * sb),
+                                side_j[0], side_j[1], k)
+                continue
             vi, ii, vj, ij = _stripe_topk(
                 xi_d, xj_d, jnp.int32(i * sb), jnp.int32(j * sb), n_dev,
                 k=k, tps=tps, ti=ti, wk=wk, interpret=bool(interpret),
@@ -615,6 +794,12 @@ def stream_topk_neighbors(
     vals = np.take_along_axis(best_v, order, axis=1)
     idx = np.take_along_axis(best_i, order, axis=1)
     # same post-rule as query.topk_neighbors: only real partners survive
+    if measure != "count":
+        valid = np.isfinite(vals) & (idx < bm.n)
+        return (
+            np.where(valid, vals, 0.0),
+            np.where(valid, idx, 0).astype(np.int32),
+        )
     valid = (vals >= 0) & (idx < bm.n)
     return (
         np.where(valid, vals, 0).astype(np.int32),

@@ -486,3 +486,87 @@ def test_stream_complete_resume(tmp_path, monkeypatch):
             kernel="dense", config=_small_cfg(), interpret=True,
             out_dir=str(tmp_path),
         )
+
+
+@pytest.mark.parametrize("measure", ["jaccard", "r2"])
+def test_stream_topk_measure_dense_walk(measure):
+    """Dense stripe walk measure ranking: values must equal the exact
+    float64 similarity top-k (set + values; tie ORDER among equal scores
+    is merge-order-dependent, like the count route)."""
+    from stormtpu.setops import derive_similarity
+    from stormtpu.oracle import oracle_count_matrix
+
+    bm = random_bitmatrix(70, 1024, 0.3, seed=95)
+    vals, idx = stream_topk_neighbors(bm, 6, superblock_rows=16,
+                                      measure=measure)
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, measure)
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = -np.sort(-sim[r])[:6]
+        np.testing.assert_array_equal(np.sort(vals[r])[::-1],
+                                      np.sort(want)[::-1])
+        np.testing.assert_array_equal(vals[r], sim[r][idx[r]])
+    assert vals.dtype == np.float64
+
+def test_stream_topk_measure_r2_zero_stripes_score():
+    """phi/r2 disable the summary skip: a row pair with NO co-occupied
+    superblock still gets its (anti-correlation) score."""
+    from stormtpu.setops import derive_similarity
+    from stormtpu.oracle import oracle_count_matrix
+
+    rng = np.random.default_rng(98)
+    dense = np.zeros((32, 4096), dtype=np.uint8)
+    dense[:16, :2000] = (rng.random((16, 2000)) < 0.5).astype(np.uint8)
+    dense[16:, 2100:] = (rng.random((16, 1996)) < 0.5).astype(np.uint8)
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(dense)
+    vals, idx = stream_topk_neighbors(bm, 3, superblock_rows=16,
+                                      measure="r2")
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, "r2")
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = -np.sort(-sim[r])[:3]
+        np.testing.assert_array_equal(np.sort(vals[r])[::-1],
+                                      np.sort(want)[::-1])
+        np.testing.assert_array_equal(vals[r], sim[r][idx[r]])
+
+
+def test_stream_topk_measure_escalation(monkeypatch):
+    """Force certification failure (huge slack) at kk < sb: the stripe
+    escalates to full enumeration and stays exact."""
+    import stormtpu.cross as cross
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.setops import derive_similarity
+
+    monkeypatch.setattr(cross, "_MEASURE_TOPK_SLACK", 1.0)
+    import stormtpu.stream_query as sq
+
+    kks = []
+    orig = sq._stripe_topk_measure
+
+    def spy(*a, **kw):
+        kks.append(kw["kk"])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_topk_measure", spy)
+    bm = random_bitmatrix(130, 1024, 0.3, seed=99)
+    vals, idx = stream_topk_neighbors(bm, 2, superblock_rows=64,
+                                      measure="jaccard")
+    # superblock_rows rounds up to the tile size, so the walk is one
+    # stripe; the huge slack forces kk to double from 16 all the way to
+    # the full stripe width (enumeration)
+    assert min(kks) < max(kks), kks
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, "jaccard")
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = -np.sort(-sim[r])[:2]
+        np.testing.assert_array_equal(np.sort(vals[r])[::-1],
+                                      np.sort(want)[::-1])
+        np.testing.assert_array_equal(vals[r], sim[r][idx[r]])

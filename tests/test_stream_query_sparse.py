@@ -188,3 +188,32 @@ def test_stream_topk_sparse_checkpoint_resume(tmp_path, k4_cache):
     np.testing.assert_array_equal(v_a, v_b)
     np.testing.assert_array_equal(i_a, i_b)
     np.testing.assert_array_equal(v_a, _oracle_topk_vals(bm, 4))
+
+
+def test_stream_topk_measure_sparse_route(k4_cache):
+    """Sparse K4 stripes rank exact COO scores; zero-intersection pairs
+    score 0 for jaccard (the no-partner convention)."""
+    _force_k4(k4_cache)
+    from stormtpu.setops import derive_similarity
+    from stormtpu.oracle import oracle_count_matrix
+
+    bm = random_bitmatrix(60, 2048, 0.004, seed=96)
+    vals, idx = stream_topk_neighbors(bm, 4, superblock_rows=16,
+                                      kernel="sparse_outer",
+                                      measure="jaccard")
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, "jaccard")
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = np.maximum(-np.sort(-sim[r])[:4], 0.0)
+        np.testing.assert_array_equal(np.sort(vals[r])[::-1],
+                                      np.sort(want)[::-1])
+
+
+def test_stream_topk_measure_phi_r2_sparse_refuses(k4_cache):
+    _force_k4(k4_cache)
+    bm = random_bitmatrix(40, 2048, 0.004, seed=97)
+    with pytest.raises(ValueError, match="ZERO-intersection"):
+        stream_topk_neighbors(bm, 3, superblock_rows=16,
+                              kernel="sparse_outer", measure="r2")
