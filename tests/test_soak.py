@@ -86,6 +86,24 @@ def test_public_api_agreement_soak():
                                       interpret=True)
         assert np.array_equal(sv, want_topk), f"{ctx} stream topk"
 
+        # measure ranking: single-chip, streaming, and distributed routes
+        # all return the identical exact float64 value set (indices are
+        # tie-order-dependent; these measures are >= 0 so the streaming
+        # no-partner 0.0 convention coincides with true zero scores)
+        meas = str(rng.choice(["jaccard", "cosine", "r2"]))
+        simm = derive_similarity(c, bm.row_nnz[:, None],
+                                 bm.row_nnz[None, :], m, meas)
+        np.fill_diagonal(simm, -np.inf)
+        want_mv = np.maximum(-np.sort(-simm, axis=1)[:, :k], 0.0)
+        mv, _ = topk_neighbors(bm, k, measure=meas)
+        assert np.array_equal(mv, want_mv), f"{ctx} measure topk {meas}"
+        smv, _ = stream_topk_neighbors(bm, k, superblock_rows=32,
+                                       interpret=True, measure=meas)
+        assert np.array_equal(smv, want_mv), f"{ctx} stream measure {meas}"
+        dmv, _ = distributed_topk_neighbors(bm, k, mesh=make_row_mesh(8),
+                                            block_rows=8, measure=meas)
+        assert np.array_equal(dmv, want_mv), f"{ctx} dist measure {meas}"
+
         thr = max(1, int(np.percentile(c[np.triu_indices(n, 1)], 90)))
         wi, wj = np.nonzero(np.triu(c, 1) >= thr)
         for fn, tag in ((pairs_above, "screen"),
@@ -115,6 +133,11 @@ def test_public_api_agreement_soak():
         xv, xi = cross_topk_neighbors(bm, bq, kx)
         assert np.array_equal(xv, -np.sort(-cx, axis=1)[:, :kx]), \
             f"{ctx} cross topk"
+        cxs = derive_similarity(cx, bm.row_nnz[:, None], bq.row_nnz[None, :],
+                                m, meas)
+        cmv, _ = cross_topk_neighbors(bm, bq, kx, measure=meas)
+        assert np.array_equal(cmv, -np.sort(-cxs, axis=1)[:, :kx]), \
+            f"{ctx} cross measure {meas}"
         thx = max(1, int(cx.max()) - 1)
         xii, xjj, xvv = cross_pairs_above(bm, bq, thx)
         xwi, xwj = np.nonzero(cx >= thx)
