@@ -547,15 +547,36 @@ CONFIGS = {
 }
 
 
+def _relay_health() -> dict:
+    """Stamp the run's relay condition into the artifact: wall-clock
+    numbers on this stack track the per-dispatch floor (measured 26 ms
+    healthy, 55+ ms degraded — BASELINE.md), so a reader comparing
+    acceptance runs across rounds needs the floor alongside them."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.int32)
+    f(x).block_until_ready()  # compile outside the timed probes
+    floors = []
+    for i in range(3):
+        t0 = time.time()
+        np.asarray(f(x + i))  # distinct executions; fetch drains the queue
+        floors.append(time.time() - t0)
+    return {"dispatch_floor_ms": round(min(floors) * 1e3, 1)}
+
+
 def run_acceptance(
     configs: Optional[list[int]] = None,
     full: bool = False,
     log=print,
     out_path: str = "acceptance.json",
 ) -> list[dict]:
+    health = _relay_health()
+    log(f"[health] dispatch floor {health['dispatch_floor_ms']} ms")
     results = []
     for cid in configs or sorted(CONFIGS):
-        results.append(CONFIGS[cid](full, log))
+        results.append({**CONFIGS[cid](full, log), **health})
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {out_path}")

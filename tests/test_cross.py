@@ -293,3 +293,39 @@ def test_cross_topk_measure_escalation(monkeypatch):
         want = np.lexsort((np.arange(b.n), -sim[r]))[:4]
         np.testing.assert_array_equal(idx[r], want)
         np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_cross_queries_on_memmap_panel(tmp_path):
+    """Disk-resident reference panels (io.save_bitmatrix_mmap) feed the
+    cross queries directly — the B walk slices the memmap per chunk, so
+    the panel is disk-bounded, not RAM-bounded."""
+    from stormtpu.io import load_bitmatrix_mmap, save_bitmatrix_mmap
+
+    a = random_bitmatrix(12, 512, 0.3, seed=94)
+    b = random_bitmatrix(64, 512, 0.3, seed=95)
+    path = tmp_path / "panel"
+    save_bitmatrix_mmap(b, str(path))
+    b_mm = load_bitmatrix_mmap(str(path))
+    # from_packed re-bases the memmap to a plain ndarray VIEW (subok
+    # normalization) — assert it still shares the mapped file buffer,
+    # i.e. no copy was made
+    import mmap as _mmap
+
+    assert not b_mm.packed.flags.owndata
+    assert b_mm.packed.flags.writeable is False
+    base = b_mm.packed
+    while getattr(base, "base", None) is not None:
+        base = base.base
+    assert isinstance(base, _mmap.mmap)  # the buffer IS the mapped file
+    v1, i1 = cross_topk_neighbors(a, b, 4)
+    v2, i2 = cross_topk_neighbors(a, b_mm, 4)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(i1, i2)
+    mv1, mi1 = cross_topk_neighbors(a, b, 4, measure="jaccard")
+    mv2, mi2 = cross_topk_neighbors(a, b_mm, 4, measure="jaccard")
+    np.testing.assert_array_equal(mv1, mv2)
+    np.testing.assert_array_equal(mi1, mi2)
+    s1 = cross_pairs_above(a, b, 30)
+    s2 = cross_pairs_above(a, b_mm, 30)
+    for x, y in zip(s1, s2):
+        np.testing.assert_array_equal(x, y)
