@@ -328,3 +328,36 @@ def test_complete_similarity_property(dense, mask_seed):
         wi, wj = np.nonzero(np.triu(got, 1) >= 0.5)
         np.testing.assert_array_equal(ii, wi)
         np.testing.assert_array_equal(jj, wj)
+
+
+@given(bit_matrices(), st.integers(min_value=1, max_value=4),
+       st.sampled_from(["jaccard", "cosine", "r2"]))
+@settings(max_examples=12, deadline=None)
+def test_measure_topk_property(dense, k, measure):
+    """Similarity top-k on arbitrary inputs: the single-chip and
+    streaming routes must return the exact float64 top-k value set of
+    the derived similarity matrix (indices tie-order-dependent; these
+    measures are >= 0, so the streaming no-partner 0.0 convention
+    coincides with true zero scores)."""
+    from stormtpu.query import topk_neighbors
+    from stormtpu.setops import derive_similarity
+    from stormtpu.stream_query import stream_topk_neighbors
+
+    n = dense.shape[0]
+    if n < 2:
+        return
+    k = min(k, n - 1)
+    bm = BitMatrix.from_dense(dense)
+    sim = derive_similarity(
+        oracle_count_matrix(bm.packed), bm.row_nnz[:, None],
+        bm.row_nnz[None, :], bm.m_bits, measure)
+    np.fill_diagonal(sim, -np.inf)
+    want = np.maximum(-np.sort(-sim, axis=1)[:, :k], 0.0)
+    vals, idx = topk_neighbors(bm, k, measure=measure)
+    np.testing.assert_array_equal(vals, want)
+    # returned values must be the true scores at the returned indices
+    rows = np.arange(n)[:, None]
+    np.testing.assert_array_equal(vals, np.maximum(sim[rows, idx], 0.0))
+    svals, _ = stream_topk_neighbors(bm, k, superblock_rows=32,
+                                     interpret=True, measure=measure)
+    np.testing.assert_array_equal(svals, want)
