@@ -410,9 +410,10 @@ def distributed_topk_neighbors(
     ``cross_topk_neighbors(measure=...)``: the ring extracts
     float32-ranked candidates with their exact integer counts, the host
     rescores in float64 and escalates the candidate width until the true
-    top-k is provably inside (ties toward the lower index). Rides the
-    rows ring (1-D rows or 2-D rows×bits mesh); ``shard_axis="bits"`` on
-    a 1-D mesh is count-only.
+    top-k is provably inside (ties toward the lower index) on the rows
+    ring (1-D rows or 2-D rows×bits mesh); ``shard_axis="bits"`` on a
+    1-D mesh instead psums the exact count tiles and ranks float64 on
+    host (the single-chip contract, same N ≤ 32768 ceiling).
 
     ``shard_axis="rows"``: row-sharded X, square ring (the default
     layout; scales N). ``shard_axis="bits"``: word-sharded X, psum of
@@ -431,11 +432,28 @@ def distributed_topk_neighbors(
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
     if measure != "count":
         if shard_axis == "bits" and len(mesh.axis_names) == 1:
-            raise ValueError(
-                "measure ranking rides the rows ring (1-D rows mesh or "
-                "2-D rows×bits mesh); shard_axis='bits' ranks exact "
-                "counts only — use measure='count' or a rows/2-D mesh"
-            )
+            # the K-dim regime: M huge, N modest — psum the exact count
+            # tiles over the word shards and rank float64 on host (the
+            # single-chip measure contract, same N ceiling)
+            from stormtpu.parallel.allpairs import distributed_count_matrix
+            from stormtpu.query import _rank_similarity_topk, _validate_screen
+            from stormtpu.setops import derive_similarity
+
+            _validate_screen(measure, 1.0)
+            if bm.n > 32768:
+                raise ValueError(
+                    f"measure={measure!r} on shard_axis='bits' ranks the "
+                    f"N² score matrix on host (N ≤ 32768; got N={bm.n}) "
+                    f"— use a rows/2-D mesh (certified ring ranking) at "
+                    f"this N"
+                )
+            c = distributed_count_matrix(bm.packed, mesh=mesh,
+                                         shard_axis="bits")
+            sim = derive_similarity(c, bm.row_nnz[:, None],
+                                    bm.row_nnz[None, :], bm.m_bits,
+                                    measure)
+            return _rank_similarity_topk(np.asarray(sim, dtype=np.float64),
+                                         k)
         return _distributed_topk_measure(bm, k, measure, mesh, block_rows)
     if (shard_axis == "bits" and len(mesh.axis_names) == 1
             and bm.n_words >= r * 128):

@@ -193,26 +193,7 @@ def topk_neighbors(
             return (np.zeros((1, k), dtype=np.float64),
                     np.zeros((1, k), dtype=np.int32))
         sim = similarity_matrix(bm, measure=measure)
-        np.fill_diagonal(sim, -np.inf)
-        kk = min(k, bm.n - 1)
-        idx = np.argpartition(-sim, kk - 1, axis=1)[:, :k]
-        vals = np.take_along_axis(sim, idx, axis=1)
-        # argpartition picks arbitrarily among scores TIED at the k-th
-        # place (integer-derived similarities tie often); the contract is
-        # lower-index-first, so rows whose boundary value occurs beyond
-        # the selection are re-resolved over their full candidate set
-        vk = vals.min(axis=1)
-        tied = np.flatnonzero((sim >= vk[:, None]).sum(axis=1) > kk)
-        for r in tied:
-            cand = np.flatnonzero(sim[r] >= vk[r])
-            cand = cand[np.lexsort((cand, -sim[r, cand]))][:k]
-            idx[r] = cand
-            vals[r] = sim[r, cand]
-        # sort candidates by (-value, index): stable exact order
-        order = np.lexsort((idx, -vals), axis=1)
-        vals = np.take_along_axis(vals, order, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1).astype(np.int32)
-        return vals, idx
+        return _rank_similarity_topk(sim, k)
     from stormtpu.stream import require_device_budget
 
     if bm.n > 2:
@@ -278,6 +259,34 @@ def topk_neighbors(
     valid = idx < bm.n
     vals = np.where(valid, vals, 0)
     idx = np.where(valid, idx, 0)
+    return vals, idx
+
+
+def _rank_similarity_topk(sim: np.ndarray, k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row top-k of a float64 similarity matrix, ties toward
+    the lower index (shared by the single-chip measure route and the
+    bits-axis distributed one). Mutates ``sim``'s diagonal to −inf."""
+    n = sim.shape[0]
+    np.fill_diagonal(sim, -np.inf)
+    kk = min(k, n - 1)
+    idx = np.argpartition(-sim, kk - 1, axis=1)[:, :k]
+    vals = np.take_along_axis(sim, idx, axis=1)
+    # argpartition picks arbitrarily among scores TIED at the k-th
+    # place (integer-derived similarities tie often); the contract is
+    # lower-index-first, so rows whose boundary value occurs beyond
+    # the selection are re-resolved over their full candidate set
+    vk = vals.min(axis=1)
+    tied = np.flatnonzero((sim >= vk[:, None]).sum(axis=1) > kk)
+    for r in tied:
+        cand = np.flatnonzero(sim[r] >= vk[r])
+        cand = cand[np.lexsort((cand, -sim[r, cand]))][:k]
+        idx[r] = cand
+        vals[r] = sim[r, cand]
+    # sort candidates by (-value, index): stable exact order
+    order = np.lexsort((idx, -vals), axis=1)
+    vals = np.take_along_axis(vals, order, axis=1)
+    idx = np.take_along_axis(idx, order, axis=1).astype(np.int32)
     return vals, idx
 
 

@@ -501,10 +501,22 @@ def test_distributed_topk_measure_2d_mesh():
         np.testing.assert_array_equal(vals[r], sim[r][want])
 
 
-def test_distributed_topk_measure_bits_1d_refuses():
+def test_distributed_topk_measure_bits_1d():
+    """Bits-axis 1-D mesh measure ranking: exact psum'd tiles + the
+    single-chip host ranking contract (lower-index ties)."""
+    from stormtpu.oracle import oracle_count_matrix
     from stormtpu.parallel import distributed_topk_neighbors
+    from stormtpu.setops import derive_similarity
 
-    bm = random_bitmatrix(32, 8192, 0.3, seed=93)
-    with pytest.raises(ValueError, match="rows ring"):
-        distributed_topk_neighbors(bm, 3, mesh=make_row_mesh(),
-                                   shard_axis="bits", measure="r2")
+    bm = random_bitmatrix(48, 8192, 0.3, seed=93)
+    vals, idx = distributed_topk_neighbors(bm, 4, mesh=make_row_mesh(8),
+                                           shard_axis="bits",
+                                           measure="r2")
+    sim = derive_similarity(oracle_count_matrix(bm.packed),
+                            bm.row_nnz[:, None], bm.row_nnz[None, :],
+                            bm.m_bits, "r2")
+    np.fill_diagonal(sim, -np.inf)
+    for r in range(bm.n):
+        want = np.lexsort((np.arange(bm.n), -sim[r]))[:4]
+        np.testing.assert_array_equal(idx[r], want)
+        np.testing.assert_array_equal(vals[r], sim[r][want])
