@@ -142,6 +142,21 @@ _WRAPPER_WORKER = textwrap.dedent(
     Cm = C.copy(); np.fill_diagonal(Cm, -1)
     assert np.array_equal(vals, -np.sort(-Cm, axis=1)[:, :4])
 
+    # measure ranking across the process boundary: THREE row-sharded ring
+    # outputs (scores/counts/indices) come back through fetch_global, the
+    # host rescores float64 and certifies
+    from stormtpu.setops import derive_similarity
+    mv, mi = distributed_topk_neighbors(bm, 4, mesh=mesh,
+                                        measure="jaccard")
+    sim = derive_similarity(C, bm.row_nnz[:, None], bm.row_nnz[None, :],
+                            bm.m_bits, "jaccard")
+    np.fill_diagonal(sim, -np.inf)
+    for rr in range(bm.n):
+        order = np.lexsort((np.arange(bm.n), -sim[rr]))[:4]
+        assert np.array_equal(mi[rr], order), "measure topk idx multihost"
+        assert np.array_equal(mv[rr], sim[rr][order]), \
+            "measure topk vals multihost"
+
     ac = distributed_column_counts(bm, mesh=mesh)
     assert np.array_equal(ac, dense.sum(0).astype(np.int32))
 
