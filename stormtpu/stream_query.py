@@ -469,6 +469,61 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
     return total, materialize
 
 
+def _k4_zero_topk(
+    stripe: np.ndarray,
+    nnz_a: np.ndarray,
+    nnz_b: np.ndarray,
+    m_bits: int,
+    measure: str,
+    k: int,
+    *,
+    diagonal: bool,
+    valid_a: int,
+    valid_b: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k ZERO-intersection candidates of one K4 stripe for
+    the measures that score them (phi/r2) — the top-k twin of the
+    screens' ``_r2_zero_plan`` staircase. At zero intersection the score
+    is a function of cardinalities alone: r2 = g(ca)·g(cb) and
+    phi = −√(g(ca)·g(cb)) with g(c) = c/(m−c) monotone on (0, m) and
+    c ∈ {0, m} scoring exactly 0 (``derive_similarity`` maps zero
+    denominators to 0) — so for a fixed row the zero-intersection
+    partners rank by g(cb) alone: descending for r2, ascending for phi
+    (whose zero-intersection scores are ≤ 0, best at g = 0). Walking the
+    first k + P_a + 1 partners of that order per row — P_a the row's
+    nonzero-partner count, the only entries the stripe-count filter can
+    drop, +1 for the diagonal self — provably contains the row's true
+    zero-intersection top-k; every kept candidate is then scored by the
+    same ``derive_similarity`` float64 the nonzero COO pass uses, so the
+    merge is exact, not heuristic. Padded rows (beyond ``valid_b``) are
+    excluded up front: their cb = 0 would score 0, which for phi would
+    outrank true negative partners. Returns ([sb, k] float64 scores
+    filled −inf, [sb, k] int32 local partner indices)."""
+    from stormtpu.setops import derive_similarity
+
+    sb_a = stripe.shape[0]
+    cand_v = np.full((sb_a, k), -np.inf, dtype=np.float64)
+    cand_i = np.zeros((sb_a, k), dtype=np.int32)
+    if valid_a <= 0 or valid_b <= 0:
+        return cand_v, cand_i
+    m = float(m_bits)
+    cb = nnz_b[:valid_b].astype(np.float64)
+    gb = np.where((cb > 0) & (cb < m), cb / np.maximum(m - cb, 1.0), 0.0)
+    order = np.argsort(gb if measure == "phi" else -gb, kind="stable")
+    p = np.count_nonzero(stripe[:valid_a, :valid_b], axis=1)
+    t = np.minimum(k + p + (1 if diagonal else 0), valid_b)
+    rows = np.repeat(np.arange(valid_a), t)
+    offs = np.arange(rows.size) - np.repeat(np.cumsum(t) - t, t)
+    cols = order[offs]
+    keep = stripe[rows, cols] == 0
+    if diagonal:
+        keep &= rows != cols
+    rows, cols = rows[keep], cols[keep]
+    scores = derive_similarity(0, nnz_a[rows], nnz_b[cols], m_bits, measure)
+    return _coo_rank_topk(rows, cols.astype(np.int64), scores, sb_a, k,
+                          fill=-np.inf)
+
+
 def _coo_rank_topk(
     ii: np.ndarray, jj: np.ndarray, vv: np.ndarray, sb: int, k: int,
     fill: float = -1,
@@ -566,12 +621,13 @@ def stream_topk_neighbors(
     (cross.py's contract); sparse K4 stripes rank their exact COO scores
     directly (zero-intersection pairs score 0 for these measures, like
     the count route's no-partner convention — tie order among equal
-    scores is merge-order-dependent). EXCEPTIONS for phi/r2, which score
-    zero-intersection pairs: the sparse route refuses them (force the
-    dense walk with ``kernel="mxu"`` or screen with
-    ``stream_pairs_above``, whose cardinality staircase recovers those
-    pairs), and the dense walk disables the summary skip for them (a
-    co-empty stripe still scores).
+    scores is merge-order-dependent). phi/r2 — which score
+    zero-intersection pairs the K4 emission never sees — additionally
+    merge per-row zero-intersection candidates from the cardinality
+    staircase (``_k4_zero_topk``, the top-k twin of the screens'
+    ``_r2_zero_plan``), scored by the same float64 formula, so the
+    sparse route stays exact for every measure; the dense walk disables
+    the summary skip for them (a co-empty stripe still scores).
 
     ``kernel="auto"`` routes extreme-sparsity inputs to per-superblock
     K4 host emission (no device round-trip per sparse stripe; the
@@ -611,13 +667,6 @@ def stream_topk_neighbors(
         from stormtpu.query import _validate_screen
 
         _validate_screen(measure, 1.0)  # validates the measure name
-        if plan is not None and measure in ("phi", "r2"):
-            raise ValueError(
-                f"measure={measure!r} scores ZERO-intersection pairs, "
-                f"which the sparse stripe route never materializes — "
-                f"force the dense walk (kernel='mxu') or screen with "
-                f"stream_pairs_above(measure=...)"
-            )
     tps = sb // ti
 
     if measure == "count":
@@ -715,7 +764,14 @@ def stream_topk_neighbors(
                 # emits anyway, so the stripe never touches the device
                 continue
             dirty = True
-            if plan is not None and plan.use_k4(i, j):
+            # phi/r2's zero-intersection staircase is caller-side host
+            # work — charge its candidate count to the cost model, like
+            # the screens charge _r2_zero_plan's total
+            z_extra = 0
+            if plan is not None and measure in ("phi", "r2"):
+                z_extra = (1 if i == j else 2) * (
+                    sb * (k + 1) + plan.emissions(i, j))
+            if plan is not None and plan.use_k4(i, j, extra_emissions=z_extra):
                 # sparse stripe: host K4 emission, no device round-trip
                 if measure == "count":
                     vi_h, ii_h, vj_h, ij_h = _stripe_topk_candidates_k4(
@@ -724,7 +780,8 @@ def stream_topk_neighbors(
                     vj_h = None if vj_h is None else vj_h.astype(np.int64)
                 else:
                     # exact COO scores (zero-intersection pairs score 0
-                    # for these measures — phi/r2 were refused above)
+                    # for jaccard/dice/cosine/overlap; phi/r2 recover
+                    # theirs from the staircase candidates below)
                     stripe = plan.stripe_counts(i, j)
                     li, lj = np.nonzero(stripe)
                     vv = stripe[li, lj]
@@ -746,6 +803,25 @@ def stream_topk_neighbors(
                     _merge_topk(best_v, best_i,
                                 slice(j * sb, (j + 1) * sb),
                                 vj_h, ij_h + i * sb, k)
+                if measure in ("phi", "r2"):
+                    va = max(0, min(bm.n - i * sb, sb))
+                    vb = max(0, min(bm.n - j * sb, sb))
+                    zv, zi = _k4_zero_topk(
+                        stripe, nnz_pad[i * sb:(i + 1) * sb],
+                        nnz_pad[j * sb:(j + 1) * sb], bm.m_bits, measure,
+                        k, diagonal=i == j, valid_a=va, valid_b=vb)
+                    _merge_topk(best_v, best_i,
+                                slice(i * sb, (i + 1) * sb),
+                                zv, zi + j * sb, k)
+                    if i != j:
+                        zv, zi = _k4_zero_topk(
+                            stripe.T, nnz_pad[j * sb:(j + 1) * sb],
+                            nnz_pad[i * sb:(i + 1) * sb], bm.m_bits,
+                            measure, k, diagonal=False, valid_a=vb,
+                            valid_b=va)
+                        _merge_topk(best_v, best_i,
+                                    slice(j * sb, (j + 1) * sb),
+                                    zv, zi + i * sb, k)
                 continue
             if xi_idx != i:
                 xi_d = jnp.asarray(

@@ -331,14 +331,16 @@ def test_complete_similarity_property(dense, mask_seed):
 
 
 @given(bit_matrices(), st.integers(min_value=1, max_value=4),
-       st.sampled_from(["jaccard", "cosine", "r2"]))
+       st.sampled_from(["jaccard", "cosine", "r2", "phi"]))
 @settings(max_examples=12, deadline=None)
 def test_measure_topk_property(dense, k, measure):
     """Similarity top-k on arbitrary inputs: the single-chip and
     streaming routes must return the exact float64 top-k value set of
-    the derived similarity matrix (indices tie-order-dependent; these
-    measures are >= 0, so the streaming no-partner 0.0 convention
-    coincides with true zero scores)."""
+    the derived similarity matrix (indices tie-order-dependent; the
+    nonnegative measures' no-partner 0.0 convention coincides with true
+    zero scores, so the expectation clamps; phi returns true NEGATIVE
+    scores unclamped — with k <= n-1 every slot holds a real partner,
+    since phi disables the summary skip)."""
     from stormtpu.query import topk_neighbors
     from stormtpu.setops import derive_similarity
     from stormtpu.stream_query import stream_topk_neighbors
@@ -352,12 +354,16 @@ def test_measure_topk_property(dense, k, measure):
         oracle_count_matrix(bm.packed), bm.row_nnz[:, None],
         bm.row_nnz[None, :], bm.m_bits, measure)
     np.fill_diagonal(sim, -np.inf)
-    want = np.maximum(-np.sort(-sim, axis=1)[:, :k], 0.0)
+    want = -np.sort(-sim, axis=1)[:, :k]
+    if measure != "phi":
+        want = np.maximum(want, 0.0)
     vals, idx = topk_neighbors(bm, k, measure=measure)
     np.testing.assert_array_equal(vals, want)
     # returned values must be the true scores at the returned indices
     rows = np.arange(n)[:, None]
-    np.testing.assert_array_equal(vals, np.maximum(sim[rows, idx], 0.0))
+    at_idx = sim[rows, idx]
+    np.testing.assert_array_equal(
+        vals, at_idx if measure == "phi" else np.maximum(at_idx, 0.0))
     svals, _ = stream_topk_neighbors(bm, k, superblock_rows=32,
                                      interpret=True, measure=measure)
     np.testing.assert_array_equal(svals, want)

@@ -211,9 +211,48 @@ def test_stream_topk_measure_sparse_route(k4_cache):
                                       np.sort(want)[::-1])
 
 
-def test_stream_topk_measure_phi_r2_sparse_refuses(k4_cache):
+def _oracle_measure_topk(bm, k, measure):
+    from stormtpu.setops import derive_similarity
+
+    inter = oracle_count_matrix(bm.packed)
+    sim = derive_similarity(inter, bm.row_nnz[:, None],
+                            bm.row_nnz[None, :], bm.m_bits, measure)
+    np.fill_diagonal(sim, -np.inf)
+    want = -np.sort(-sim, axis=1)[:, :k]
+    # the route's no-partner convention: -inf slots surface as 0.0
+    return np.where(np.isfinite(want), want, 0.0)
+
+
+@pytest.mark.parametrize("measure", ["phi", "r2"])
+def test_stream_topk_measure_phi_r2_sparse_route(k4_cache, measure):
+    """phi/r2 rank zero-intersection pairs the K4 emission never sees —
+    the staircase candidates (_k4_zero_topk) must recover them exactly.
+    Adversarial rows: complementary halves (inter=0, r2=1.0 — the top
+    partner is invisible to the COO pass), an all-zero row, a full row,
+    and for phi a panel where most partners score NEGATIVE (so a padded
+    row leaking a 0.0 score would corrupt the ranking)."""
     _force_k4(k4_cache)
-    bm = random_bitmatrix(40, 2048, 0.004, seed=97)
-    with pytest.raises(ValueError, match="ZERO-intersection"):
-        stream_topk_neighbors(bm, 3, superblock_rows=16,
-                              kernel="sparse_outer", measure="r2")
+    rng = np.random.default_rng(97)
+    m = 512
+    dense01 = (rng.random((45, m)) < 0.01).astype(np.uint8)
+    dense01[0, :] = 0
+    dense01[0, :256] = 1          # complementary halves: inter=0,
+    dense01[1, :] = 0             # r2 = 1.0, phi = -1.0
+    dense01[1, 256:] = 1
+    dense01[2, :] = 0             # empty row: every score 0
+    dense01[3, :] = 1             # full row: zero denominator, score 0
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(dense01)  # ragged: 45 rows, sb=16 → pad
+    vals, idx = stream_topk_neighbors(
+        bm, 3, superblock_rows=16, kernel="sparse_outer",
+        config=_small_cfg(), interpret=True, measure=measure,
+    )
+    np.testing.assert_array_equal(vals, _oracle_measure_topk(bm, 3, measure))
+    assert np.all(idx < bm.n) and np.all(idx >= 0)
+    # values must also agree with the single-chip route (tie indices may
+    # differ; exact float64 scores may not)
+    from stormtpu.query import topk_neighbors
+
+    v1, _ = topk_neighbors(bm, 3, measure=measure)
+    np.testing.assert_array_equal(vals, v1)
