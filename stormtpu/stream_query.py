@@ -457,11 +457,14 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
     cnt = np.searchsorted(-gbs, -lim, side="right")
     total = int(cnt.sum())
 
-    def materialize(stripe: np.ndarray, diagonal: bool):
+    def materialize(stripe: Optional[np.ndarray], diagonal: bool):
         offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         rows = np.repeat(np.arange(cnt.size), cnt)
         cols = order_b[offs]
-        keep = stripe[rows, cols] == 0
+        # stripe=None: a summary-zero stripe — every pair's count is
+        # exactly zero, so no filter is needed (the C8 skip's r2 form)
+        keep = (np.ones(rows.size, dtype=bool) if stripe is None
+                else stripe[rows, cols] == 0)
         if diagonal:
             keep &= rows < cols
         return rows[keep], cols[keep]
@@ -470,7 +473,7 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
 
 
 def _k4_zero_topk(
-    stripe: np.ndarray,
+    stripe: Optional[np.ndarray],
     nnz_a: np.ndarray,
     nnz_b: np.ndarray,
     m_bits: int,
@@ -480,6 +483,7 @@ def _k4_zero_topk(
     diagonal: bool,
     valid_a: int,
     valid_b: int,
+    sb_rows: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k ZERO-intersection candidates of one K4 stripe for
     the measures that score them (phi/r2) — the top-k twin of the
@@ -497,11 +501,15 @@ def _k4_zero_topk(
     same ``derive_similarity`` float64 the nonzero COO pass uses, so the
     merge is exact, not heuristic. Padded rows (beyond ``valid_b``) are
     excluded up front: their cb = 0 would score 0, which for phi would
-    outrank true negative partners. Returns ([sb, k] float64 scores
+    outrank true negative partners. ``stripe=None`` means a summary-zero
+    (co-empty) stripe — every pair is zero-intersection, so P = 0 and no
+    count filter is needed; pass ``sb_rows``. This is how the C8 summary
+    skip stays sound for phi/r2, whose co-empty stripes still score but
+    never need the device. Returns ([sb, k] float64 scores
     filled −inf, [sb, k] int32 local partner indices)."""
     from stormtpu.setops import derive_similarity
 
-    sb_a = stripe.shape[0]
+    sb_a = sb_rows if stripe is None else stripe.shape[0]
     cand_v = np.full((sb_a, k), -np.inf, dtype=np.float64)
     cand_i = np.zeros((sb_a, k), dtype=np.int32)
     if valid_a <= 0 or valid_b <= 0:
@@ -510,12 +518,14 @@ def _k4_zero_topk(
     cb = nnz_b[:valid_b].astype(np.float64)
     gb = np.where((cb > 0) & (cb < m), cb / np.maximum(m - cb, 1.0), 0.0)
     order = np.argsort(gb if measure == "phi" else -gb, kind="stable")
-    p = np.count_nonzero(stripe[:valid_a, :valid_b], axis=1)
+    p = (np.zeros(valid_a, dtype=np.int64) if stripe is None
+         else np.count_nonzero(stripe[:valid_a, :valid_b], axis=1))
     t = np.minimum(k + p + (1 if diagonal else 0), valid_b)
     rows = np.repeat(np.arange(valid_a), t)
     offs = np.arange(rows.size) - np.repeat(np.cumsum(t) - t, t)
     cols = order[offs]
-    keep = stripe[rows, cols] == 0
+    keep = (np.ones(rows.size, dtype=bool) if stripe is None
+            else stripe[rows, cols] == 0)
     if diagonal:
         keep &= rows != cols
     rows, cols = rows[keep], cols[keep]
@@ -626,8 +636,10 @@ def stream_topk_neighbors(
     merge per-row zero-intersection candidates from the cardinality
     staircase (``_k4_zero_topk``, the top-k twin of the screens'
     ``_r2_zero_plan``), scored by the same float64 formula, so the
-    sparse route stays exact for every measure; the dense walk disables
-    the summary skip for them (a co-empty stripe still scores).
+    sparse route stays exact for every measure; summary-skipped
+    (co-empty) stripes — which phi/r2 still score — contribute the same
+    staircase candidates host-side, so the C8 skip holds for every
+    measure without device work.
 
     ``kernel="auto"`` routes extreme-sparsity inputs to per-superblock
     K4 host emission (no device round-trip per sparse stripe; the
@@ -693,11 +705,13 @@ def stream_topk_neighbors(
     elif out_dir:
         os.makedirs(out_dir, exist_ok=True)
     n_dev = jnp.int32(bm.n)
-    # phi/r2 score co-empty stripes (zero intersection ≠ zero score), so
-    # the C8 summary skip is only sound for count and the measures that
-    # send zero intersections to 0
-    occ_sb = (None if measure in ("phi", "r2")
-              else _superblock_occupancy(bm, n_pad, sb))
+    # the C8 summary skip holds for every measure: a co-empty stripe's
+    # counts are all exactly zero, so count/jaccard-family stripes
+    # contribute nothing, and phi/r2 stripes (zero intersection ≠ zero
+    # score) are pure zero-intersection — their exact contribution is
+    # the host-side staircase (_k4_zero_topk with stripe=None), still
+    # never touching the device
+    occ_sb = _superblock_occupancy(bm, n_pad, sb)
     nnz_pad = np.zeros(n_pad, dtype=np.int64)
     nnz_pad[: bm.n] = bm.row_nnz
     m_f = jnp.float32(bm.m_bits)
@@ -759,9 +773,32 @@ def stream_topk_neighbors(
         for j in range(i, n_super):
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 # C8 summary skip: every count in this stripe is exactly
-                # zero — zero-count partners can only surface as the
-                # (0, 0) "no partner" convention, which the final mask
-                # emits anyway, so the stripe never touches the device
+                # zero. For count and the nonnegative measures zero-count
+                # partners can only surface as the (0, 0) "no partner"
+                # convention, which the final mask emits anyway; phi/r2
+                # still score these pure zero-intersection stripes, via
+                # the host staircase — either way no device work
+                if measure in ("phi", "r2"):
+                    va = max(0, min(bm.n - i * sb, sb))
+                    vb = max(0, min(bm.n - j * sb, sb))
+                    zv, zi = _k4_zero_topk(
+                        None, nnz_pad[i * sb:(i + 1) * sb],
+                        nnz_pad[j * sb:(j + 1) * sb], bm.m_bits, measure,
+                        k, diagonal=i == j, valid_a=va, valid_b=vb,
+                        sb_rows=sb)
+                    _merge_topk(best_v, best_i,
+                                slice(i * sb, (i + 1) * sb),
+                                zv, zi + j * sb, k)
+                    if i != j:
+                        zv, zi = _k4_zero_topk(
+                            None, nnz_pad[j * sb:(j + 1) * sb],
+                            nnz_pad[i * sb:(i + 1) * sb], bm.m_bits,
+                            measure, k, diagonal=False, valid_a=vb,
+                            valid_b=va, sb_rows=sb)
+                        _merge_topk(best_v, best_i,
+                                    slice(j * sb, (j + 1) * sb),
+                                    zv, zi + i * sb, k)
+                    dirty = True
                 continue
             dirty = True
             # phi/r2's zero-intersection staircase is caller-side host
@@ -1014,10 +1051,12 @@ def stream_pairs_above(
 
     # C8 summary skip: a summary-zero stripe has all-zero counts, which
     # cannot pass a count screen (threshold >= 1) or a positive
-    # jaccard/dice/cosine/overlap threshold. phi/r2 DO score
-    # zero-intersection (anti-correlated) pairs, so they walk everything.
-    occ_sb = (None if measure in ("phi", "r2")
-              else _superblock_occupancy(bm, n_pad, sb))
+    # jaccard/dice/cosine/overlap threshold — and phi's zero-intersection
+    # scores are <= 0 < threshold, so it skips too. r2 DOES score
+    # zero-intersection (anti-correlated) pairs: a skipped stripe is PURE
+    # zero-intersection, so the staircase emits its hits host-side with
+    # no count filter (stripe=None) and no device work.
+    occ_sb = _superblock_occupancy(bm, n_pad, sb)
     empty64 = np.zeros(0, dtype=np.int64)
     xi_d, xi_idx = None, -1
     for i in range(n_super):
@@ -1030,6 +1069,17 @@ def stream_pairs_above(
                     out_c.append(done["counts"])
                 continue
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+                if measure == "r2":
+                    z_total, z_mat = _r2_zero_plan(
+                        nnz[i * sb : (i + 1) * sb],
+                        nnz[j * sb : (j + 1) * sb],
+                        bm.m_bits, threshold)
+                    if z_total:
+                        zr, zc = z_mat(None, i == j)
+                        _emit(i, j, zr.astype(np.int64) + i * sb,
+                              zc.astype(np.int64) + j * sb,
+                              np.zeros(zr.size, dtype=np.int64))
+                        continue
                 _emit(i, j, empty64, empty64, empty64)
                 continue
             if plan is not None:
@@ -1208,8 +1258,11 @@ def stream_pairs_above_complete(
     rows (float64 refine).
 
     The data-summary skip applies to jaccard/dice/cosine/overlap (a
-    data-co-empty stripe has inter = 0, which zeroes those measures);
-    phi/r2 score zero-intersection pairs and walk every stripe.
+    data-co-empty stripe has inter = 0, which zeroes those measures) and
+    to phi (its zero-intersection numerator is ≤ 0, below any valid
+    threshold); only r2 walks every stripe — its squared numerator can
+    pass, and the per-pair co-observed universe is not separable per
+    row, so the simple screen's cardinality staircase does not apply.
 
     ``out_dir``: persist per-stripe candidate pairs and skip completed
     stripes on re-run (the ``stream_pairs_above`` checkpoint contract:
@@ -1251,7 +1304,13 @@ def stream_pairs_above_complete(
         store.save(i, j, ii=gi, jj=gj)
 
     empty64 = np.zeros(0, dtype=np.int64)
-    occ_sb = (None if measure in ("phi", "r2")
+    # data-summary skip: a data-co-empty stripe has masked inter = 0,
+    # which zeroes jaccard/dice/cosine/overlap and makes phi's numerator
+    # −ca′·cb′ ≤ 0 < threshold — so phi skips too. Only r2 must walk:
+    # its squared numerator (ca′·cb′)² can pass, and the per-pair
+    # co-observed universe defeats the simple screen's cardinality
+    # staircase (the score is not separable per row here).
+    occ_sb = (None if measure == "r2"
               else _superblock_occupancy(bm_d, n_pad, sb))
     di_d = mi_d = None
     xi_idx = -1

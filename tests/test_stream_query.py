@@ -95,8 +95,9 @@ def test_stream_pairs_above_no_hits():
 def test_stream_queries_clustered_summary_skip():
     """Block-diagonal input: summary-zero stripes are skipped (count and
     jaccard screens; top-k) without changing any value; r2 — which
-    scores zero-intersection pairs — must NOT skip and must match the
-    single-chip screen exactly."""
+    scores zero-intersection pairs — skips them too, recovering their
+    hits from the host staircase, and must match the single-chip screen
+    exactly."""
     from stormtpu.query import pairs_above, topk_neighbors
     from test_clustered import block_diagonal_bitmatrix
 
@@ -117,6 +118,69 @@ def test_stream_queries_clustered_summary_skip():
         np.testing.assert_array_equal(ii_s, ii_1, err_msg=measure)
         np.testing.assert_array_equal(jj_s, jj_1, err_msg=measure)
         np.testing.assert_allclose(w_s, w_1, rtol=0, atol=0, err_msg=measure)
+
+
+def test_stream_queries_phi_r2_summary_skip_staircase(monkeypatch):
+    """Co-empty stripes are skipped for phi/r2 too: a skipped stripe is
+    PURE zero-intersection, so its exact contribution is the host
+    staircase. Adversarial content: two dense blocks on disjoint bit
+    halves, so every cross-block pair is anti-correlated with r2 ≈ 0.67
+    — ABOVE the screen threshold; a stripe that were merely dropped
+    (the count-style skip) would lose real hits, and a stripe that
+    walked the device would show in the upload count."""
+    import stormtpu.stream_query as sq
+    from stormtpu.query import pairs_above, topk_neighbors
+    from test_clustered import block_diagonal_bitmatrix
+
+    # bit split at 8192 aligns with the 4096-bit summary groups, so the
+    # cross stripe is summary-zero (a 12800/2 split would straddle one);
+    # N=64 with superblock_rows=32 because the screens' hit-bitmap
+    # packing resolves sb to >= 32 — smaller would fold everything into
+    # ONE stripe and the skip would never fire
+    bm = block_diagonal_bitmatrix(64, 16384, 2, 0.9, seed=179)
+    cfg = _small_cfg()
+    uploads = []
+    orig = sq._host_superblock
+    monkeypatch.setattr(
+        sq, "_host_superblock",
+        lambda *a: uploads.append(a[4]) or orig(*a))
+
+    for measure in ("phi", "r2"):
+        uploads.clear()
+        v_s, _ = stream_topk_neighbors(bm, 4, superblock_rows=32,
+                                       config=cfg, interpret=True,
+                                       measure=measure)
+        v_1, _ = topk_neighbors(bm, 4, measure=measure)
+        np.testing.assert_array_equal(v_s, v_1, err_msg=measure)
+        assert uploads == [0, 1], (measure, uploads)  # diagonal only
+        # at density 0.9 the cross-block r2 (g² ≈ 0.67) lands within
+        # jitter of the in-block r2, so the staircase candidates
+        # genuinely compete with the device candidates at equal scale
+
+    uploads.clear()
+    ii_s, jj_s, w_s = stream_pairs_above(
+        bm, 0.3, measure="r2", superblock_rows=32, config=cfg,
+        interpret=True)
+    ii_1, jj_1, w_1 = pairs_above(bm, 0.3, measure="r2")
+    np.testing.assert_array_equal(ii_s, ii_1)
+    np.testing.assert_array_equal(jj_s, jj_1)
+    np.testing.assert_allclose(w_s, w_1, rtol=0, atol=0)
+    assert uploads == [0, 1], uploads
+    # the adversarial content is real: cross-block hits from the
+    # SKIPPED stripe are present
+    assert ((ii_s < 32) & (jj_s >= 32)).any()
+
+    # phi: zero-intersection scores are <= 0 < threshold, so the skipped
+    # stripe emits nothing — and must still match the single-chip screen
+    uploads.clear()
+    ii_p, jj_p, w_p = stream_pairs_above(
+        bm, 0.2, measure="phi", superblock_rows=32, config=cfg,
+        interpret=True)
+    ii_q, jj_q, w_q = pairs_above(bm, 0.2, measure="phi")
+    np.testing.assert_array_equal(ii_p, ii_q)
+    np.testing.assert_array_equal(jj_p, jj_q)
+    np.testing.assert_allclose(w_p, w_q, rtol=0, atol=0)
+    assert uploads == [0, 1], uploads
 
 
 def test_stream_pairs_above_oracle_cross_check():
@@ -410,9 +474,11 @@ def test_stream_pairs_above_complete_matches_resident_form():
 
 def test_stream_complete_summary_skip_on_clustered_data():
     """Block-diagonal DATA with a full mask: the data-summary skip must
-    not drop any jaccard hit (inter=0 stripes are provably below any
-    positive threshold), and r2 — which scores anti-correlated
-    zero-intersection pairs — must match the matrix form exactly."""
+    not drop any jaccard or phi hit (inter=0 stripes are provably below
+    any positive threshold for both), and r2 — which scores
+    anti-correlated zero-intersection pairs and is the one measure that
+    still walks every stripe here — must match the matrix form
+    exactly."""
     from stormtpu import similarity_matrix_complete
     from stormtpu.layout import BitMatrix
     from stormtpu.stream_query import stream_pairs_above_complete
@@ -425,7 +491,7 @@ def test_stream_complete_summary_skip_on_clustered_data():
     )
     bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
     cfg = _small_cfg()
-    for measure, thr in (("jaccard", 0.2), ("r2", 0.3)):
+    for measure, thr in (("jaccard", 0.2), ("phi", 0.2), ("r2", 0.3)):
         full = similarity_matrix_complete(bm_d, bm_m, measure)
         wi, wj = np.nonzero(np.triu(full, 1) >= thr)
         ii, jj, vv = stream_pairs_above_complete(
