@@ -53,6 +53,7 @@ from stormtpu.setops import (
     similarity_matrix,
     similarity_matrix_complete,
 )
+from stormtpu.stats import count_histogram, count_row_sums
 from stormtpu.query import pair_counts, pairs_above, topk_neighbors
 from stormtpu.cross import cross_pairs_above, cross_topk_neighbors
 from stormtpu.clump import ClumpResult, clump, clump_from_pairs
@@ -75,6 +76,8 @@ __all__ = [
     "similarity_matrix",
     "similarity_matrix_complete",
     "pairs_above_complete",
+    "count_row_sums",
+    "count_histogram",
     "pair_counts",
     "pairs_above",
     "topk_neighbors",

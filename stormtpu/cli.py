@@ -162,6 +162,34 @@ def cmd_stream(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_hist(args: argparse.Namespace) -> int:
+    from stormtpu.stats import count_histogram, count_row_sums
+
+    bm = _load_matrix(args.infile)
+    _log(f"loaded {bm}")
+    man = count_histogram(
+        bm, n_bins=args.bins, bin_width=args.bin_width,
+        superblock_rows=args.superblock,
+        progress=lambda d, t: _log(f"stripe {d}/{t}"),
+    )
+    payload = {
+        "hist": man["hist"],
+        "bin_edges": man["bin_edges"],
+        "n": man["n"],
+        "m_bits": man["m_bits"],
+        "pairs": man["pairs"],
+    }
+    if args.row_sums:
+        payload["row_sums"] = count_row_sums(bm, include_self=False)
+    np.savez(args.out, **payload)
+    _log(
+        f"wrote {args.out}: {man['n_bins']} bins x width "
+        f"{man['bin_width']}, {man['pairs']} pairs"
+        + (", row_sums" if args.row_sums else "")
+    )
+    return 0
+
+
 def cmd_topk(args: argparse.Namespace) -> int:
     if args.against and args.stream:
         raise SystemExit(
@@ -361,6 +389,25 @@ def main(argv=None) -> int:
                     choices=("auto", "on", "off"),
                     help="keep only two superblock slices on device")
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser(
+        "hist",
+        help="exact histogram of off-diagonal pair counts (and optional "
+        "row marginals) without materializing the matrix",
+    )
+    sp.add_argument("--in", dest="infile", required=True,
+                    help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
+    sp.add_argument("--out", required=True,
+                    help="output .npz (hist, bin_edges[, row_sums])")
+    sp.add_argument("--bins", type=int, default=64)
+    sp.add_argument("--bin-width", type=int, default=None,
+                    help="override the uniform bin width (default covers "
+                    "[0, m_bits] in --bins bins)")
+    sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--row-sums", action="store_true",
+                    help="also write exact per-row count-sum marginals "
+                    "(self term excluded; O(N*M) identity, no pair walk)")
+    sp.set_defaults(fn=cmd_hist)
 
     sp = sub.add_parser("topk", help="per-row top-k partners by intersection count")
     sp.add_argument("--in", dest="infile", required=True,

@@ -29,6 +29,7 @@ __all__ = [
     "stream_count_matrix",
     "stream_count_checksums",
     "stream_count_checksums_clustered",
+    "stream_count_histogram",
     "load_streamed_matrix",
     "stripe_path",
 ]
@@ -1073,6 +1074,147 @@ def stream_count_checksums_clustered(
         "sample_ii": np.concatenate(sample_ii),
         "sample_jj": np.concatenate(sample_jj),
         "sample_vals": np.concatenate(sample_vals),
+    }
+
+
+def stream_count_histogram(
+    xd,
+    n: int,
+    m_bits: int,
+    *,
+    n_bins: int = 64,
+    bin_width: Optional[int] = None,
+    superblock_rows: int = 4096,
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> dict:
+    """Exact histogram of the off-diagonal pair counts C[i<j] — the
+    distribution sink for the K2 stripe walk (the reference's bench
+    harness prints per-density count tables, SURVEY §4.5; this is the
+    aggregate a user wants at scales where C itself can never be
+    materialized or fetched).
+
+    Same stripe walk as :func:`stream_count_checksums` (each unordered
+    pair visited exactly once: triangular tile list on diagonal
+    superblocks, square off-diagonal), but the per-stripe reduction is a
+    masked bin count — device→host traffic is ``n_bins`` int32 per
+    stripe. Bins are uniform: bin b counts pairs with
+    ``b*bin_width <= C[ij] < (b+1)*bin_width``, with the last bin
+    clamped to absorb the tail up to ``m_bits``. Integer binning of
+    exact int32 counts — the result is exact, and mass conservation
+    (``hist.sum() == n*(n-1)/2``) is asserted before returning.
+
+    ``xd`` contract is :func:`stream_count_checksums`'s: device uint32
+    [n_pad, w_pad], rows ≥ n zero, words beyond ceil(m_bits/32) zero.
+    """
+    import jax
+
+    from stormtpu.kernels.mxu import count_tiles_pallas_mxu
+    from stormtpu.tuning import tuned_variant
+
+    cfg = config or default_config()
+    cfg.validate(m_bits)
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if bin_width is None:
+        # cover [0, m_bits] (a pair count can equal m_bits) in n_bins
+        bin_width = max(1, -(-(m_bits + 1) // n_bins))
+    # identical tile geometry rule to stream_count_checksums (cross-sink
+    # comparability + the small-n diagonal-tile correctness note there)
+    tile_rows = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
+    tile_words = cfg.k2_tile_words
+    superblock_rows = round_up(superblock_rows, tile_rows)
+    n_pad, w_pad = xd.shape
+    if w_pad % tile_words:
+        raise ValueError("xd must be word-padded to a tile_words multiple")
+    if n_pad % superblock_rows:
+        grow = round_up(n_pad, superblock_rows) - n_pad
+        xd = jnp.concatenate(
+            [xd, jnp.zeros((grow, w_pad), dtype=xd.dtype)], axis=0
+        )
+        n_pad += grow
+    tiles_per_super = superblock_rows // tile_rows
+    n_super = n_pad // superblock_rows
+    variant = tuned_variant("k2", cfg.k2_variant)
+
+    @jax.jit
+    def stripe_fn(x, ibs, jbs):
+        # two executables total (diagonal / off-diagonal tile-list
+        # lengths), like the checksum sink
+        tiles = count_tiles_pallas_mxu(
+            x, ibs, jbs, tile_rows=tile_rows, tile_words=tile_words,
+            interpret=bool(interpret), variant=variant,
+        )
+        lane = jnp.arange(tile_rows, dtype=jnp.int32)
+        rows_g = ibs[:, None] * tile_rows + lane[None, :]
+        cols_g = jbs[:, None] * tile_rows + lane[None, :]
+        # strict upper triangle within n: gi < gj < n (gi < n follows);
+        # zero-padding rows/tiles fail it, diagonal tiles keep r < c once
+        valid = (rows_g[:, :, None] < cols_g[:, None, :]) & (
+            cols_g[:, None, :] < n
+        )
+        bins = jnp.minimum(
+            tiles // jnp.int32(bin_width), jnp.int32(n_bins - 1)
+        )
+
+        # per-bin full reduction instead of scatter-add: TPU scatter runs
+        # at ~2e5 adds/s (CLAUDE.md) — n_bins sequential VPU reduces over
+        # the stripe's tiles are bandwidth-cheap next to the matmul
+        def one(b, _):
+            h = jnp.sum(
+                jnp.where(valid & (bins == b), 1, 0), dtype=jnp.int32
+            )
+            return b + jnp.int32(1), h
+
+        _, hist = jax.lax.scan(one, jnp.int32(0), None, length=n_bins)
+        return hist
+
+    hist_total = np.zeros(n_bins, dtype=np.int64)
+    total = n_super * (n_super + 1) // 2
+    done = 0
+    for i, j in _superblock_pairs(n_super):
+        base_i, base_j = i * tiles_per_super, j * tiles_per_super
+        if i == j:
+            loc_i, loc_j = triangular_tile_ids(tiles_per_super)
+        else:
+            loc_i, loc_j = np.meshgrid(
+                np.arange(tiles_per_super, dtype=np.int32),
+                np.arange(tiles_per_super, dtype=np.int32),
+                indexing="ij",
+            )
+            loc_i, loc_j = loc_i.ravel(), loc_j.ravel()
+        ibs = (loc_i + base_i).astype(np.int32)
+        jbs = (loc_j + base_j).astype(np.int32)
+        hist = np.asarray(stripe_fn(xd, jnp.asarray(ibs), jnp.asarray(jbs)))
+        hist_total += hist.astype(np.int64)
+        done += 1
+        if progress is not None:
+            progress(done, total)
+    expect = n * (n - 1) // 2
+    got = int(hist_total.sum())
+    if got != expect:
+        raise AssertionError(
+            f"histogram mass {got} != n*(n-1)/2 = {expect} — a tile was "
+            "double-counted or dropped; this is a bug, not an input error"
+        )
+    edges = np.minimum(
+        np.arange(n_bins + 1, dtype=np.int64) * bin_width, m_bits + 1
+    )
+    return {
+        "n": n,
+        "m_bits": m_bits,
+        "superblock_rows": superblock_rows,
+        "n_super": n_super,
+        "kernel": "mxu",
+        "sink": "histogram",
+        "n_bins": n_bins,
+        "bin_width": int(bin_width),
+        "bin_edges": edges,
+        "hist": hist_total,
+        "pairs": got,
     }
 
 

@@ -274,3 +274,30 @@ def test_cli_clump_ckpt_dir_requires_stream(tmp_path, rng):
         main(["clump", "--in", str(infile), "--out",
               str(tmp_path / "o.npz"), "--threshold", "0.5",
               "--ckpt-dir", str(tmp_path / "ck")])
+
+
+def test_cli_hist(tmp_path, rng):
+    from stormtpu.layout import BitMatrix
+    from stormtpu.oracle import oracle_count_matrix
+
+    n, m = 30, 500
+    dense = (rng.random((n, m)) < 0.4).astype(np.uint8)
+    infile = tmp_path / "x.npy"
+    out = tmp_path / "hist.npz"
+    np.save(infile, dense)
+    rc = main(["hist", "--in", str(infile), "--out", str(out),
+               "--bins", "8", "--row-sums"])
+    assert rc == 0
+    c = oracle_count_matrix(BitMatrix.from_dense(dense).packed)
+    with np.load(out) as z:
+        assert z["pairs"] == n * (n - 1) // 2
+        iu = np.triu_indices(n, k=1)
+        vals = c[iu].astype(np.int64)
+        w = int(z["bin_edges"][1] - z["bin_edges"][0])
+        want = np.zeros(8, dtype=np.int64)
+        np.add.at(want, np.minimum(vals // w, 7), 1)
+        np.testing.assert_array_equal(z["hist"], want)
+        np.testing.assert_array_equal(
+            z["row_sums"],
+            c.astype(np.int64).sum(axis=1) - np.diag(c).astype(np.int64),
+        )

@@ -373,3 +373,32 @@ def test_stream_complete_screen_on_device(tpu_backend):
     np.testing.assert_array_equal(ii, wi)
     np.testing.assert_array_equal(jj, wj)
     np.testing.assert_allclose(vv, full[wi, wj], rtol=0, atol=0)
+
+
+def test_stats_aggregates_on_device(tpu_backend):
+    """count_histogram's stripe bin-reduce (new traced path: masked
+    per-bin VPU reductions over K2 tiles) + count_row_sums' identity,
+    exact vs the host oracle at a multi-stripe shape."""
+    from stormtpu import BitMatrix
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stats import count_histogram, count_row_sums
+
+    rng = np.random.default_rng(47)
+    n, w = 700, 2048  # 65536 bits, 3 superblock stripes at sb=256
+    packed = rng.integers(0, 2**32, (n, w), dtype=np.uint32)
+    packed[n - 3 :] = 0  # empty-row tail
+    bm = BitMatrix.from_packed(packed, m_bits=w * 32)
+
+    man = count_histogram(bm, n_bins=16, superblock_rows=256,
+                          interpret=False)
+    c = oracle_count_matrix(bm.packed)
+    iu = np.triu_indices(n, k=1)
+    vals = c[iu].astype(np.int64)
+    want = np.zeros(16, dtype=np.int64)
+    np.add.at(want, np.minimum(vals // man["bin_width"], 15), 1)
+    np.testing.assert_array_equal(man["hist"], want)
+    assert man["pairs"] == n * (n - 1) // 2
+
+    np.testing.assert_array_equal(
+        count_row_sums(bm), c.astype(np.int64).sum(axis=1)
+    )
