@@ -9,9 +9,14 @@ aggregates:
 
 - :func:`count_row_sums` — row marginals of C via the identity
   ``Σ_j popcount(xᵢ ∧ xⱼ) = Σ_k x[i,k] · colcount_k`` (C·1 = X·(Xᵀ·1)):
-  O(N·M) work instead of the pairwise O(N²·M), evaluated as an O(nnz)
-  int64 segment-sum over the CSR positions view — no device pass beyond
-  the existing :func:`stormtpu.setops.column_counts` reduction. Exact.
+  O(N·M) work instead of the pairwise O(N²·M). Density-aware evaluation:
+  at genotype sparsity an O(nnz) int64 segment-sum over the CSR
+  positions view; above a positions-memory budget a chunked bit-plane
+  walk over the PACKED words (never materializes positions or the dense
+  matrix — peak extra RSS is one row chunk plus ⌈log₂ range(colcount)⌉
+  packed plane masks, so the primary 100k×1M d≈0.5 shape runs in a few
+  hundred MB instead of the ~600 GB the CSR view would need). Exact in
+  both regimes.
 - :func:`count_histogram` — the distribution of off-diagonal pair counts,
   delegating to :func:`stormtpu.stream.stream_count_histogram`'s stripe
   walk (per-stripe masked bin reduce on device; D2H is n_bins ints per
@@ -30,16 +35,74 @@ import numpy as np
 
 from stormtpu.api import MatrixLike, _as_bitmatrix
 from stormtpu.config import EngineConfig, default_config
+from stormtpu.layout import pack_bits
 from stormtpu.setops import column_counts
 from stormtpu.utils import round_up
 
 __all__ = ["count_row_sums", "count_histogram"]
 
 
+#: CSR positions cost ≈12 bytes/nnz (int32 indices + int64 cumsum); above
+#: this budget the packed bit-plane route takes over. 256 MB ⇒ crossover at
+#: ~21 M set bits — every genotype-sparsity config stays on the O(nnz) path,
+#: dense panels never allocate positions.
+_POSITIONS_BUDGET_BYTES = 256 << 20
+
+
+def _row_sums_positions(bm, cc: np.ndarray) -> np.ndarray:
+    """O(nnz) segment-sum over the CSR positions view (sparse regime)."""
+    indptr, indices = bm.positions_csr()
+    csum = np.zeros(indices.size + 1, dtype=np.int64)
+    np.cumsum(cc[indices], out=csum[1:])
+    return csum[indptr[1:]] - csum[indptr[:-1]]
+
+
+def _row_sums_bitplanes(bm, cc: np.ndarray, chunk_bytes: int) -> np.ndarray:
+    """Dense-regime row marginals straight off the PACKED words.
+
+    Decompose the colcount weights bit-wise: with ``delta = cc − min(cc)``,
+
+        Σ_k x[i,k]·cc_k  =  min(cc)·|x_i|  +  Σ_t 2ᵗ · popcount(x_i ∧ m_t)
+
+    where ``m_t`` is the packed bitmask of bit t of ``delta`` across
+    columns — a weighted reduction becomes T = bit_length(max delta)
+    plain AND+popcount passes (the engine's native operation, C4/C8
+    lineage per SURVEY §3). For uniform-density panels the min-offset
+    keeps T near log₂ of the colcount *spread* (≈11 at 100k rows d=0.5),
+    not log₂ N. Row-chunked so peak extra memory is ~2·chunk_bytes + the
+    T×W planes; never touches positions or a dense unpack.
+    """
+    n, w = bm.packed.shape
+    sums = bm.row_nnz.astype(np.int64)  # copies; becomes base·|x_i| below
+    if w == 0 or n == 0 or cc.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    base = int(cc.min())
+    delta = cc - base
+    t_planes = int(delta.max()).bit_length()
+    sums *= base
+    if t_planes == 0:
+        return sums
+    shifts = np.arange(t_planes, dtype=np.int64)[:, None]
+    planes = pack_bits(((delta[None, :] >> shifts) & 1).astype(np.uint8))
+    rows_per_chunk = max(1, chunk_bytes // max(4 * w, 1))
+    for r0 in range(0, n, rows_per_chunk):
+        chunk = bm.packed[r0 : r0 + rows_per_chunk]
+        acc = np.zeros(chunk.shape[0], dtype=np.int64)
+        for t in range(t_planes):
+            acc += (
+                np.bitwise_count(chunk & planes[t]).sum(axis=1, dtype=np.int64)
+                << t
+            )
+        sums[r0 : r0 + chunk.shape[0]] += acc
+    return sums
+
+
 def count_row_sums(
     x: MatrixLike,
     *,
     include_self: bool = True,
+    positions_budget_bytes: int = _POSITIONS_BUDGET_BYTES,
+    chunk_bytes: int = 128 << 20,
 ) -> np.ndarray:
     """Exact row sums of the pair-count matrix, int64 [N]:
     ``out[i] = Σ_j popcount(x_i ∧ x_j)`` over all j (``include_self=False``
@@ -47,15 +110,21 @@ def count_row_sums(
 
     Identity: since x ∈ {0,1}, ``Σ_j popcount(x_i ∧ x_j)
     = Σ_k x[i,k] · colcount_k`` where ``colcount = column_counts(x)`` —
-    the row marginal of C costs one positional-popcount pass plus an
-    O(nnz) gather, never a pairwise walk. Values bounded by N·M < 2⁶³.
+    the row marginal of C never needs a pairwise walk. Route by density:
+    while the CSR positions view fits ``positions_budget_bytes``
+    (≈12 bytes/nnz) it is an O(nnz) gather+cumsum; denser panels use the
+    chunked packed bit-plane walk (:func:`_row_sums_bitplanes`), whose
+    extra RSS is bounded by ``chunk_bytes``-sized temporaries regardless
+    of nnz. Values bounded by N·M < 2⁶³. Exact in both regimes (tested
+    identical in tests/test_stats.py).
     """
     bm = _as_bitmatrix(x)
     cc = column_counts(bm).astype(np.int64)
-    indptr, indices = bm.positions_csr()
-    csum = np.zeros(indices.size + 1, dtype=np.int64)
-    np.cumsum(cc[indices], out=csum[1:])
-    sums = csum[indptr[1:]] - csum[indptr[:-1]]
+    nnz = int(bm.row_nnz.astype(np.int64).sum())
+    if 12 * nnz <= positions_budget_bytes:
+        sums = _row_sums_positions(bm, cc)
+    else:
+        sums = _row_sums_bitplanes(bm, cc, chunk_bytes)
     if not include_self:
         sums = sums - bm.row_nnz.astype(np.int64)
     return sums

@@ -38,6 +38,89 @@ def test_count_row_sums_empty_rows():
 
 
 @pytest.mark.parametrize(
+    "n,m,density,seed",
+    [
+        (25, 700, 0.3, 11),
+        (64, 64, 0.9, 12),
+        (37, 8193, 0.01, 13),
+        (300, 1000, 0.5, 14),
+        (300, 1000, 1.0, 15),   # colcount spread 0 → zero planes fast path
+    ],
+)
+def test_count_row_sums_bitplane_route_matches_positions(n, m, density, seed):
+    # positions_budget_bytes=0 forces the dense packed bit-plane walk;
+    # both routes must agree exactly (dispatch invariance, SURVEY §5.3)
+    bm = random_bitmatrix(n, m, density, seed=seed)
+    via_positions = count_row_sums(bm)
+    via_planes = count_row_sums(bm, positions_budget_bytes=0)
+    np.testing.assert_array_equal(via_planes, via_positions)
+    # tiny chunk_bytes → many row chunks, same answer
+    via_chunked = count_row_sums(bm, positions_budget_bytes=0, chunk_bytes=4096)
+    np.testing.assert_array_equal(via_chunked, via_positions)
+    np.testing.assert_array_equal(
+        count_row_sums(bm, include_self=False, positions_budget_bytes=0),
+        via_positions - bm.row_nnz.astype(np.int64),
+    )
+
+
+def test_count_row_sums_empty_matrix_planes_route():
+    from stormtpu.layout import BitMatrix
+
+    bm = BitMatrix.from_dense(np.zeros((4, 0), dtype=np.uint8))
+    np.testing.assert_array_equal(
+        count_row_sums(bm, positions_budget_bytes=0), np.zeros(4, np.int64)
+    )
+
+
+@pytest.mark.heavy
+def test_count_row_sums_dense_scale_bounded_rss():
+    """Dense panel whose CSR view would dwarf RAM budget: N=2048 × 1M bits
+    at d≈0.5 has ~1.07e9 set bits → ~12.9 GB of positions. The bit-plane
+    route must produce exact sums inside a subprocess whose peak RSS stays
+    within the packed matrix + bounded temporaries (VERDICT r3 weak #1)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import resource
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # conftest pattern: undo axon
+        import numpy as np
+        from stormtpu.layout import BitMatrix, unpack_bits
+        from stormtpu.stats import count_row_sums
+
+        rng = np.random.default_rng(7)
+        n, m = 2048, 1 << 20
+        packed = rng.integers(0, 1 << 32, size=(n, m // 32), dtype=np.uint32)
+        bm = BitMatrix.from_packed(packed, m)
+        sums = count_row_sums(bm, chunk_bytes=32 << 20)
+        # exact spot-check on 8 rows against the direct weighted reduction
+        cc = np.zeros(m, dtype=np.int64)
+        for r0 in range(0, n, 256):
+            cc += unpack_bits(packed[r0:r0+256], m).sum(axis=0, dtype=np.int64)
+        idx = [0, 1, 17, 500, 1000, 1500, 2040, 2047]
+        want = unpack_bits(packed[idx], m).astype(np.int64) @ cc
+        assert np.array_equal(sums[idx], want), (sums[idx], want)
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        # packed = 256 MB, CSR view would be ~12.9 GB; allow packed +
+        # planes + chunk temporaries + jax-cpu runtime < 2 GB
+        assert rss_mb < 2048, f"peak RSS {rss_mb:.0f} MB exceeds bound"
+        print("OK", rss_mb)
+        """
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    assert res.stdout.startswith("OK")
+
+
+@pytest.mark.parametrize(
     "n,m,density,n_bins,seed",
     [
         (25, 700, 0.3, 8, 21),
