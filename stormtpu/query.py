@@ -150,9 +150,17 @@ def _topk_blocks(packed: jax.Array, k: int, block_rows: int):
     )
 
 
+#: Host ceiling for routes that materialize the N×N score matrix on host
+#: (N² float64 = 8 GB at 32768). Above it, measure-ranked top-k
+#: auto-routes to the value-identical streaming walk (VERDICT r3 #7:
+#: routing, not refusing — D1's semantics-free dispatch stance).
+_MEASURE_HOST_N_CEILING = 32768
+
+
 def topk_neighbors(
     x: MatrixLike, k: int, *, measure: str = "count",
-    block_rows: Optional[int] = None
+    block_rows: Optional[int] = None,
+    on_host_limit: str = "stream",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count (self excluded).
 
@@ -169,21 +177,32 @@ def topk_neighbors(
     "dice", "cosine", "overlap", "phi", "r2") — then the return is
     (values float64 [N, k], indices int32 [N, k]), exact (float64 scores
     derived from exact integer counts; ties break toward lower index).
-    Similarity ranking materializes the N×N score matrix on host, so it
-    carries the same N ≤ 32768 ceiling as the other host-C routes — for
-    bigger panels screen with ``pairs_above(measure=...)`` (1 bit/pair
-    off-device) instead of ranking.
+    Similarity ranking materializes the N×N score matrix on host up to
+    N = 32768; above that it auto-routes to
+    :func:`stormtpu.stream_query.stream_topk_neighbors` (value-identical
+    certified streaming walk; tie order among equal scores is
+    route-dependent, like the count routes). ``on_host_limit="raise"``
+    restores the old hard error instead of the silent route change.
     """
     bm = _as_bitmatrix(x)
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
+    if on_host_limit not in ("stream", "raise"):
+        raise ValueError(
+            f"on_host_limit must be 'stream' or 'raise', got {on_host_limit!r}"
+        )
     if measure != "count":
-        if bm.n > 32768:
-            raise ValueError(
-                f"measure={measure!r} top-k materializes the N² score "
-                f"matrix on host (N ≤ 32768; got N={bm.n}) — screen with "
-                f"pairs_above(measure=...) at this scale"
-            )
+        if bm.n > _MEASURE_HOST_N_CEILING:
+            if on_host_limit == "raise":
+                raise ValueError(
+                    f"measure={measure!r} top-k materializes the N² score "
+                    f"matrix on host (N ≤ {_MEASURE_HOST_N_CEILING}; got "
+                    f"N={bm.n}) and on_host_limit='raise' — use "
+                    f"stream_topk_neighbors or on_host_limit='stream'"
+                )
+            from stormtpu.stream_query import stream_topk_neighbors
+
+            return stream_topk_neighbors(bm, k, measure=measure)
         from stormtpu.setops import similarity_matrix
 
         if bm.n == 1:
