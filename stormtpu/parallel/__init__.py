@@ -33,12 +33,18 @@ from stormtpu.parallel.setops import (
     distributed_pairwise_cardinality,
     distributed_similarity_matrix,
 )
+from stormtpu.parallel.stats import (
+    distributed_count_histogram,
+    distributed_count_row_sums,
+)
 
 __all__ = [
     "make_grid_mesh",
     "make_row_mesh",
     "distributed_count_matrix",
     "distributed_column_counts",
+    "distributed_count_histogram",
+    "distributed_count_row_sums",
     "distributed_cross_pairs_above",
     "distributed_cross_topk_neighbors",
     "distributed_stream_count_matrix",

@@ -160,6 +160,20 @@ _WRAPPER_WORKER = textwrap.dedent(
     ac = distributed_column_counts(bm, mesh=mesh)
     assert np.array_equal(ac, dense.sum(0).astype(np.int32))
 
+    # aggregate statistics across the process boundary: row sums (psum'd
+    # colcount shard partials + per-shard plane counts via fetch_global)
+    # and the ring histogram (per-step bin partials, int64 host sum)
+    from stormtpu.parallel import (
+        distributed_count_histogram, distributed_count_row_sums,
+    )
+    rs = distributed_count_row_sums(bm, mesh=mesh)
+    assert np.array_equal(rs, C.sum(axis=1)), "row sums INEXACT multihost"
+    man = distributed_count_histogram(bm, n_bins=8, mesh=mesh, block_rows=8)
+    iu = np.triu_indices(bm.n, 1)
+    want_h = np.zeros(8, dtype=np.int64)
+    np.add.at(want_h, np.minimum(C[iu] // man["bin_width"], 7), 1)
+    assert np.array_equal(man["hist"], want_h), "histogram INEXACT multihost"
+
     # bits-axis screen: psum of triangular count-tile partials crosses
     # the process boundary (needs >= 128 words per device)
     dense2 = (rng.random((24, 4 * 128 * 32 + 40)) < 0.1).astype(np.uint8)

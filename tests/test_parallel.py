@@ -520,3 +520,78 @@ def test_distributed_topk_measure_bits_1d():
         want = np.lexsort((np.arange(bm.n), -sim[r]))[:4]
         np.testing.assert_array_equal(idx[r], want)
         np.testing.assert_array_equal(vals[r], sim[r][want])
+
+
+def test_distributed_count_row_sums_matches_single_chip(mesh8):
+    from stormtpu.parallel import distributed_count_row_sums
+    from stormtpu.stats import count_row_sums
+
+    for n, m, d, seed in [(50, 700, 0.3, 81), (37, 1500, 0.01, 82),
+                          (64, 64, 0.9, 83)]:
+        bm = random_bitmatrix(n, m, d, seed=seed)
+        want = count_row_sums(bm)
+        got = distributed_count_row_sums(bm, mesh=make_row_mesh(8))
+        np.testing.assert_array_equal(got, want)
+        got_ns = distributed_count_row_sums(
+            bm, include_self=False, mesh=make_row_mesh(8)
+        )
+        np.testing.assert_array_equal(got_ns, want - bm.row_nnz.astype(np.int64))
+
+
+def test_distributed_count_row_sums_chunked_and_odd_mesh():
+    from stormtpu.parallel import distributed_count_row_sums
+    from stormtpu.stats import count_row_sums
+
+    bm = random_bitmatrix(41, 9000, 0.4, seed=84)  # W=282: several chunks
+    want = count_row_sums(bm)
+    got = distributed_count_row_sums(
+        bm, mesh=make_row_mesh(3), chunk_words=64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_distributed_count_row_sums_grid_mesh():
+    from stormtpu.parallel import distributed_count_row_sums, make_grid_mesh
+    from stormtpu.stats import count_row_sums
+
+    bm = random_bitmatrix(30, 2000, 0.35, seed=85)
+    want = count_row_sums(bm)
+    got = distributed_count_row_sums(bm, mesh=make_grid_mesh(4, 2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_distributed_count_histogram_matches_single_chip(mesh8):
+    from stormtpu.parallel import distributed_count_histogram
+    from stormtpu.stats import count_histogram
+
+    for n, m, d, n_bins, seed in [(50, 700, 0.3, 8, 91), (37, 900, 0.01, 4, 92),
+                                  (300, 256, 0.5, 16, 93)]:
+        bm = random_bitmatrix(n, m, d, seed=seed)
+        want = count_histogram(bm, n_bins=n_bins)
+        got = distributed_count_histogram(
+            bm, n_bins=n_bins, mesh=make_row_mesh(8), block_rows=32
+        )
+        np.testing.assert_array_equal(got["hist"], want["hist"])
+        assert got["bin_width"] == want["bin_width"]
+        np.testing.assert_array_equal(got["bin_edges"], want["bin_edges"])
+        assert got["pairs"] == n * (n - 1) // 2
+
+
+def test_distributed_count_histogram_grid_mesh_and_width():
+    from stormtpu.parallel import distributed_count_histogram, make_grid_mesh
+    from stormtpu.stats import count_histogram
+
+    bm = random_bitmatrix(60, 512, 0.4, seed=94)
+    want = count_histogram(bm, n_bins=97, bin_width=1)
+    got = distributed_count_histogram(
+        bm, n_bins=97, bin_width=1, mesh=make_grid_mesh(2, 4), block_rows=32
+    )
+    np.testing.assert_array_equal(got["hist"], want["hist"])
+
+
+def test_distributed_count_histogram_rejects_small_n(mesh8):
+    from stormtpu.parallel import distributed_count_histogram
+
+    bm = random_bitmatrix(1, 128, 0.5, seed=95)
+    with pytest.raises(ValueError):
+        distributed_count_histogram(bm, mesh=mesh8)
