@@ -1260,9 +1260,14 @@ def stream_pairs_above_complete(
     The data-summary skip applies to jaccard/dice/cosine/overlap (a
     data-co-empty stripe has inter = 0, which zeroes those measures) and
     to phi (its zero-intersection numerator is ≤ 0, below any valid
-    threshold); only r2 walks every stripe — its squared numerator can
-    pass, and the per-pair co-observed universe is not separable per
-    row, so the simple screen's cardinality staircase does not apply.
+    threshold). r2 — whose squared numerator can pass a data-co-empty
+    stripe — skips on the MASK summaries instead: a stripe whose
+    data×mask cross summaries are co-empty in either direction has
+    ca′ = 0 (or cb′ = 0) for every pair, zeroing the denominator → score
+    0, so the C8 skip holds for every measure here too (the cardinality
+    staircase still does not apply — per-pair universes — but it is not
+    needed: the skipped stripes contribute no hits at any positive
+    threshold).
 
     ``out_dir``: persist per-stripe candidate pairs and skip completed
     stripes on re-run (the ``stream_pairs_above`` checkpoint contract:
@@ -1306,12 +1311,31 @@ def stream_pairs_above_complete(
     empty64 = np.zeros(0, dtype=np.int64)
     # data-summary skip: a data-co-empty stripe has masked inter = 0,
     # which zeroes jaccard/dice/cosine/overlap and makes phi's numerator
-    # −ca′·cb′ ≤ 0 < threshold — so phi skips too. Only r2 must walk:
-    # its squared numerator (ca′·cb′)² can pass, and the per-pair
+    # −ca′·cb′ ≤ 0 < threshold — so phi skips too. r2's squared numerator
+    # (ca′·cb′)² can pass a data-co-empty stripe, and the per-pair
     # co-observed universe defeats the simple screen's cardinality
-    # staircase (the score is not separable per row here).
-    occ_sb = (None if measure == "r2"
-              else _superblock_occupancy(bm_d, n_pad, sb))
+    # staircase (the score is not separable per row) — but the MASK's own
+    # summaries close it (VERDICT r3 #5): if the data×mask cross
+    # summaries are co-empty in either direction, every pair in the
+    # stripe has ca′ = |X_a ∧ O_b| = 0 (or cb′ = 0), which zeroes r2's
+    # denominator ca′(m−ca′)·cb′(m−cb′) → score 0 < any valid threshold
+    # (strictly positive per _validate_screen). Since data ⊆ mask rowwise
+    # (_complete_operands invariant), mask-mask co-emptiness (m = 0)
+    # implies both cross conditions, so the cross test subsumes it.
+    occ_d = _superblock_occupancy(bm_d, n_pad, sb)
+    occ_m = (_superblock_occupancy(bm_m, n_pad, sb)
+             if measure == "r2" else None)
+
+    def _stripe_skippable(i: int, j: int) -> bool:
+        if occ_d is None:
+            return False
+        if measure == "r2":
+            if occ_m is None:
+                return False
+            return (not (occ_d[i] & occ_m[j]).any()
+                    or not (occ_m[i] & occ_d[j]).any())
+        return not (occ_d[i] & occ_d[j]).any()
+
     di_d = mi_d = None
     xi_idx = -1
     for i in range(n_super):
@@ -1322,7 +1346,7 @@ def stream_pairs_above_complete(
                     out_i.append(done["ii"])
                     out_j.append(done["jj"])
                 continue
-            if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
+            if _stripe_skippable(i, j):
                 _emit(i, j, empty64, empty64)
                 continue
             if xi_idx != i:
