@@ -144,8 +144,8 @@ def config2_allpairs_dense(full: bool, log) -> dict:
 
 def config3_sparse(full: bool, log) -> dict:
     """Sparse (<1% density) scattered positions, 10k × 1M bits (B:9) —
-    run at FULL spec size: sparse ingest from scattered positions, then
-    the full 10k×10k all-pairs matrix computed on device (tiles stay
+    at FULL spec size: sparse ingest from scattered positions, then the
+    full 10k×10k all-pairs matrix computed on device (tiles stay
     device-resident — the 400 MB matrix is the expensive thing to *move*,
     not to compute) with sampled entries gathered and checked exactly.
 
@@ -154,9 +154,22 @@ def config3_sparse(full: bool, log) -> dict:
     positions path (K3) is exercised explicitly on a row subset.
 
     Scaled mode (``full=False``, for CPU test runs) ingests 2k rows and
-    verifies sampled pair counts only — the full-size on-device all-pairs
-    needs the real chip.
-    """
+    verifies sampled pair counts only — and, on a real TPU backend,
+    ADDITIONALLY runs the full-spec pass and records it under the
+    ``full`` key (config 4's ``full_stream`` side-channel pattern,
+    VERDICT r3 #3: the committed artifact must carry spec-size evidence
+    alongside the CI-comparable scaled entry)."""
+    if full:
+        return _config3_body(10_000, log)
+    result = _config3_body(2_000, log)
+    from stormtpu.utils import is_tpu_backend
+
+    if is_tpu_backend():
+        result["full"] = _config3_body(10_000, log)
+    return result
+
+
+def _config3_body(n: int, log) -> dict:
     import jax.numpy as jnp
 
     from stormtpu import BitMatrix
@@ -170,7 +183,7 @@ def config3_sparse(full: bool, log) -> dict:
         triangular_tile_ids,
     )
 
-    n = 10_000 if full else 2_000
+    full = n >= 10_000
     m = 1_000_000
     density = 0.008
     rng = np.random.default_rng(103)
@@ -572,12 +585,29 @@ def run_acceptance(
     log=print,
     out_path: str = "acceptance.json",
 ) -> list[dict]:
+    """Run the requested configs and MERGE into ``out_path``: entries for
+    configs not in this run are preserved (a ``--config 3`` refresh no
+    longer clobbers the other four — the r3 refresh lost the r1 full-size
+    config-3 record exactly this way, VERDICT r3 missing #1). Returns the
+    entries run this time."""
+    import os
+
     health = _relay_health()
     log(f"[health] dispatch floor {health['dispatch_floor_ms']} ms")
-    results = []
+    ran: dict[int, dict] = {}
     for cid in configs or sorted(CONFIGS):
-        results.append({**CONFIGS[cid](full, log), **health})
+        ran[cid] = {**CONFIGS[cid](full, log), **health}
+    merged: dict[int, dict] = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                for entry in json.load(f):
+                    if isinstance(entry, dict) and "config" in entry:
+                        merged[int(entry["config"])] = entry
+        except (ValueError, OSError):  # unreadable artifact: overwrite
+            merged = {}
+    merged.update(ran)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump([merged[k] for k in sorted(merged)], f, indent=2)
     log(f"wrote {out_path}")
-    return results
+    return [ran[k] for k in sorted(ran)]

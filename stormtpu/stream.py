@@ -668,6 +668,64 @@ class _SparseStripePlan:
         dense = self._est_dense_s + (self._est_upload_s if i != j else 0.0)
         return cost < dense
 
+    def _segments(self, i: int, j: int):
+        """Shared-column segment descriptors for stripe (i, j):
+        (off_a, p, off_b, q) — start offset and length of each shared
+        column's row run in the two sub-COO lists (i == j: every occupied
+        column, both sides the same run)."""
+        cols_i, _ = self.subs[i]
+        cu_i, cnt_i = self.hists[i]
+        off_i = np.searchsorted(cols_i, cu_i).astype(np.int64)
+        if i == j:
+            return off_i, cnt_i.astype(np.int64), off_i, cnt_i.astype(np.int64)
+        cols_j, _ = self.subs[j]
+        cu_j, cnt_j = self.hists[j]
+        off_j = np.searchsorted(cols_j, cu_j).astype(np.int64)
+        _, ia, ja = np.intersect1d(cu_i, cu_j, return_indices=True,
+                                   assume_unique=True)
+        return (off_i[ia], cnt_i[ia].astype(np.int64),
+                off_j[ja], cnt_j[ja].astype(np.int64))
+
+    def emissions_square(self, i: int, j: int) -> int:
+        """Full-square emission count of stripe (i, j) — Σ_c p_c·q_c with
+        the diagonal NOT halved (what :meth:`stripe_coo` materializes;
+        :meth:`emissions` keeps the triangular count the cost model was
+        fitted on)."""
+        _, p, _, q = self._segments(i, j)
+        return int(p @ q)
+
+    def stripe_coo(self, i: int, j: int):
+        """(coo_i, coo_j, coo_v) int32 of stripe (i, j) WITHOUT the dense
+        sb² buffer: vectorized pair emission over shared-column row runs +
+        one ``np.unique`` aggregation — O(E log E) for E emissions.
+
+        At the 1M-row decade the dense path's sb² fill+scan (268 MB at
+        sb = 8192) dominates the whole ultra-sparse walk (~8.3k stripes ×
+        ~0.2 s of buffer traffic for a handful of emissions each), so
+        low-emission stripes take this path (discovered building the r4
+        N=1,048,576 rehearsal). Value-identical to the dense walk
+        (diagonal stripes emit the full square including self pairs,
+        matching the mirrored native stripe; property-tested)."""
+        oa, p, ob, q = self._segments(i, j)
+        _, rows_i = self.subs[i]
+        rows_j = rows_i if i == j else self.subs[j][1]
+        pq = p * q
+        e_tot = int(pq.sum())
+        if e_tot == 0:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, z
+        estart = np.zeros(pq.size + 1, dtype=np.int64)
+        np.cumsum(pq, out=estart[1:])
+        cid = np.repeat(np.arange(pq.size), pq)
+        e = np.arange(e_tot, dtype=np.int64) - estart[cid]
+        qq = q[cid]
+        a = rows_i[oa[cid] + e // qq].astype(np.int64)
+        b = rows_j[ob[cid] + e % qq].astype(np.int64)
+        key, counts = np.unique(a * self.sb + b, return_counts=True)
+        return ((key // self.sb).astype(np.int32),
+                (key % self.sb).astype(np.int32),
+                counts.astype(np.int32))
+
     def stripe_counts(self, i: int, j: int) -> np.ndarray:
         """Dense [sb, sb] int32 local counts of stripe (i, j) via the
         native inverted-index run walk (diagonal stripes mirrored to
@@ -771,11 +829,18 @@ def _stream_sparse_outer(
         tmp = path + ".tmp.npz"
         save = np.savez_compressed if compress else np.savez
         if plan.use_k4(i, j):
-            stripe = plan.stripe_counts(i, j)
-            nz_i, nz_j = np.nonzero(stripe)
-            save(tmp, coo_i=nz_i.astype(np.int32),
-                 coo_j=nz_j.astype(np.int32),
-                 coo_v=stripe[nz_i, nz_j], i=i, j=j)
+            if plan.emissions_square(i, j) * 8 <= plan._sb2:
+                # low-emission stripe: buffer-free COO emission — the
+                # dense sb² fill+scan would dominate the whole walk at
+                # N ≥ 10⁶ row counts (see stripe_coo)
+                nz_i, nz_j, nz_v = plan.stripe_coo(i, j)
+            else:
+                stripe = plan.stripe_counts(i, j)
+                nz_i, nz_j = np.nonzero(stripe)
+                nz_i = nz_i.astype(np.int32)
+                nz_j = nz_j.astype(np.int32)
+                nz_v = stripe[nz_i, nz_j]
+            save(tmp, coo_i=nz_i, coo_j=nz_j, coo_v=nz_v, i=i, j=j)
             manifest["stripe_kernels"]["k4"] += 1
         else:
             # dense device stripe (operand-streaming style: only the two

@@ -229,3 +229,47 @@ def test_sparse_outer_empty_and_duplicate_rows(tmp_path, k4_cache):
     )
     got = load_streamed_matrix(str(out))
     np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="needs the native K4 tier")
+def test_stripe_coo_matches_dense_run_walk():
+    """The buffer-free COO emission path (stripe_coo, added for the
+    N=1M rehearsal where the sb² fill+scan dominates) must equal the
+    native dense run walk's nonzeros on every stripe — diagonal
+    (mirrored full square incl. self counts) and cross."""
+    from stormtpu.stream import _SparseStripePlan
+
+    for n, m, d, sb, seed in [(300, 2048, 0.004, 64, 81),
+                              (140, 512, 0.02, 32, 82),
+                              (96, 4096, 0.0008, 32, 83)]:
+        bm = random_bitmatrix(n, m, d, seed=seed)
+        n_super = -(-n // sb)
+        plan = _SparseStripePlan(bm, sb, n_super)
+        for i in range(n_super):
+            for j in range(i, n_super):
+                dense = plan.stripe_counts(i, j)
+                ci, cj, cv = plan.stripe_coo(i, j)
+                wi, wj = np.nonzero(dense)
+                np.testing.assert_array_equal(ci, wi, err_msg=f"{i},{j}")
+                np.testing.assert_array_equal(cj, wj, err_msg=f"{i},{j}")
+                np.testing.assert_array_equal(cv, dense[wi, wj],
+                                              err_msg=f"{i},{j}")
+                assert plan.emissions_square(i, j) >= int(
+                    (dense > 0).sum()
+                )
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="needs the native K4 tier")
+def test_sparse_outer_stream_emission_path_end_to_end(tmp_path, k4_cache):
+    """End-to-end sparse walk where EVERY K4 stripe takes the
+    buffer-free emission path (tiny emissions ≪ sb²/8), vs oracle."""
+    from stormtpu.stream import load_streamed_matrix, stream_count_matrix
+
+    bm = random_bitmatrix(90, 8192, 0.0006, seed=84)
+    man = stream_count_matrix(
+        bm, str(tmp_path / "coo"), superblock_rows=32,
+        kernel="sparse_outer", compress=False,
+    )
+    assert man["stripe_kernels"]["k4"] > 0
+    got = load_streamed_matrix(str(tmp_path / "coo"))
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm.packed))
