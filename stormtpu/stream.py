@@ -657,14 +657,29 @@ class _SparseStripePlan:
                                    assume_unique=True)
         return int(cnt_i[ia].astype(np.int64) @ cnt_j[ja])
 
-    def use_k4(self, i: int, j: int, extra_emissions: int = 0) -> bool:
+    def emission_eligible(self, i: int, j: int) -> bool:
+        """True when stripe (i, j) may take the buffer-free COO emission
+        path (:meth:`stripe_coo`): emissions far below the sb² buffer."""
+        return self.emissions_square(i, j) * 8 <= self._sb2
+
+    def use_k4(self, i: int, j: int, extra_emissions: int = 0,
+               emission_path: bool = False) -> bool:
         """Fitted cost model: K4 emission vs the dense MXU stripe (whose
         cost includes the j-slice H2D upload off the diagonal).
         ``extra_emissions`` charges caller-side per-candidate host work
-        (e.g. the r2 zero-intersection staircase) at the emission rate."""
-        cost = self._c_n2 * self._sb2 + self._c_emit * (
-            self.emissions(i, j) + extra_emissions
-        )
+        (e.g. the r2 zero-intersection staircase) at the emission rate.
+
+        ``emission_path``: the caller consumes :meth:`stripe_coo` for
+        eligible stripes (the counts walk does; the query walks still
+        materialize the dense stripe), so K4's sb² buffer term vanishes —
+        without this the model routed ultra-sparse sb=8192 stripes to the
+        dense kernel at N=1M (c_n2·sb² ≈ 1.5 s estimated vs ~0.1 s dense)
+        and the whole point of the emission path was lost."""
+        cost_tail = self._c_emit * (self.emissions(i, j) + extra_emissions)
+        if emission_path and self.emission_eligible(i, j):
+            cost = cost_tail
+        else:
+            cost = self._c_n2 * self._sb2 + cost_tail
         dense = self._est_dense_s + (self._est_upload_s if i != j else 0.0)
         return cost < dense
 
@@ -828,8 +843,8 @@ def _stream_sparse_outer(
             continue
         tmp = path + ".tmp.npz"
         save = np.savez_compressed if compress else np.savez
-        if plan.use_k4(i, j):
-            if plan.emissions_square(i, j) * 8 <= plan._sb2:
+        if plan.use_k4(i, j, emission_path=True):
+            if plan.emission_eligible(i, j):
                 # low-emission stripe: buffer-free COO emission — the
                 # dense sb² fill+scan would dominate the whole walk at
                 # N ≥ 10⁶ row counts (see stripe_coo)

@@ -188,3 +188,186 @@ def test_scale_rehearsal_distributed_stream_n262144(tmp_path):
     )
     assert len(man2["completed"]) == len(man["completed"])
     assert time.time() - t0 < 60, "resume recomputed stripes"
+
+
+def _rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
+def test_scale_rehearsal_n1m_distributed_stream(tmp_path):
+    """VERDICT r3 #1: config 5's row count N=1,048,576 output-bounded
+    through the distributed streaming driver (8-device mesh, memmap-backed
+    panel): 128-superblock manifest (8256 stripes), sampled exact, resume
+    zero-recompute, wall/RSS recorded."""
+    import time
+
+    import jax
+
+    from stormtpu.io import load_bitmatrix_mmap, save_bitmatrix_mmap
+    from stormtpu.parallel import (
+        distributed_stream_count_matrix,
+        make_row_mesh,
+    )
+    from stormtpu.stream import stripe_path
+
+    assert len(jax.devices()) >= 8
+    mesh = make_row_mesh(8)
+    n, m, sb = 1_048_576, 512, 8192
+    packed = _banded_packed(n, m // 32, sb, seed=1048576)
+    from stormtpu.layout import BitMatrix
+
+    save_bitmatrix_mmap(BitMatrix.from_packed(packed, m_bits=m),
+                        str(tmp_path / "panel"))
+    bm = load_bitmatrix_mmap(str(tmp_path / "panel"))  # memmap tier
+    # from_packed strips the memmap SUBCLASS but the view stays
+    # disk-backed (test_io.py's base check)
+    import mmap as _mmap
+
+    assert isinstance(bm.packed.base, (np.memmap, _mmap.mmap))
+
+    out = str(tmp_path / "stripes1m")
+    t0 = time.time()
+    man = distributed_stream_count_matrix(
+        bm, out, superblock_rows=sb, mesh=mesh, compress=False,
+    )
+    wall = time.time() - t0
+    n_super = n // sb
+    assert man["n_super"] == n_super == 128
+    assert len(man["completed"]) == n_super * (n_super + 1) // 2  # 8256
+
+    rng = np.random.default_rng(13)
+    for (i, j) in ((0, 0), (0, n_super - 1), (n_super - 1, n_super - 1)):
+        with np.load(stripe_path(out, i, j)) as z:
+            stripe = z["counts"]
+        assert stripe.shape == (sb, sb)
+        for _ in range(32):
+            a, b = int(rng.integers(0, sb)), int(rng.integers(0, sb))
+            gi, gj = i * sb + a, j * sb + b
+            want = int(np.bitwise_count(packed[gi] & packed[gj]).sum())
+            assert stripe[a, b] == want, (gi, gj)
+    with np.load(stripe_path(out, 5, 99)) as z:  # summary-skipped stripe
+        assert z["tiles"].shape[0] == 0
+
+    t0 = time.time()
+    man2 = distributed_stream_count_matrix(
+        bm, out, superblock_rows=sb, mesh=mesh, compress=False,
+    )
+    resume_s = time.time() - t0
+    assert len(man2["completed"]) == len(man["completed"])
+    assert resume_s < 120, f"resume recomputed stripes ({resume_s:.0f}s)"
+    print(f"[scale1m] distributed stream: wall {wall:.1f}s, "
+          f"resume {resume_s:.1f}s, peak RSS {_rss_mb():.0f} MB")
+
+
+def test_scale_rehearsal_n1m_stream_topk_resume(tmp_path):
+    """VERDICT r3 #1: stream_topk_neighbors at N=1,048,576 (k=4, banded,
+    memmap-backed), checkpointed + resumed with zero recompute; running
+    best = 4M entries (the metadata decade the 262k test stopped short
+    of)."""
+    import time
+
+    from stormtpu.io import load_bitmatrix_mmap, save_bitmatrix_mmap
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream_query import stream_topk_neighbors
+
+    n, m, k, sb = 1_048_576, 512, 4, 8192
+    packed = _banded_packed(n, m // 32, sb, seed=2097152)
+    save_bitmatrix_mmap(BitMatrix.from_packed(packed, m_bits=m),
+                        str(tmp_path / "panel"))
+    bm = load_bitmatrix_mmap(str(tmp_path / "panel"))
+    out = str(tmp_path / "topk1m")
+
+    t0 = time.time()
+    vals, idx = stream_topk_neighbors(bm, k, superblock_rows=sb,
+                                      out_dir=out)
+    wall = time.time() - t0
+    assert vals.shape == (n, k) and idx.shape == (n, k)
+
+    band_rows = np.concatenate([np.arange(sb), np.arange(n - sb, n)])
+    band = packed[band_rows]
+    rng = np.random.default_rng(7)
+    for r in map(int, rng.choice(band_rows, 32, replace=False)):
+        c = np.bitwise_count(band & packed[r]).sum(axis=1, dtype=np.int64)
+        c[band_rows == r] = -1
+        want = np.maximum(-np.sort(-c)[:k], 0)
+        np.testing.assert_array_equal(vals[r], want, err_msg=f"row {r}")
+    assert not vals[sb : n - sb].any() and not idx[sb : n - sb].any()
+
+    t0 = time.time()
+    vals2, idx2 = stream_topk_neighbors(bm, k, superblock_rows=sb,
+                                        out_dir=out)
+    resume_s = time.time() - t0
+    assert resume_s < 120, f"resume recomputed stripes ({resume_s:.0f}s)"
+    np.testing.assert_array_equal(vals, vals2)
+    np.testing.assert_array_equal(idx, idx2)
+    print(f"[scale1m] stream topk: wall {wall:.1f}s, resume {resume_s:.1f}s, "
+          f"peak RSS {_rss_mb():.0f} MB")
+
+
+def test_scale_rehearsal_n1m_sparse_k4_walk(tmp_path):
+    """VERDICT r3 #1: the per-superblock K4 walk at N=1,048,576 extreme
+    sparsity (~0.05 set bits/row — the d≈1e-5-class regime scaled to the
+    512-bit universe). Every occupied stripe takes the buffer-free COO
+    emission path (the r4 fix: the dense sb² fill+scan would cost the
+    8256-stripe walk ~30 min of pure buffer traffic); the full emitted
+    COO set is verified against an independent per-column pair count."""
+    import time
+    from collections import defaultdict
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.stream import stream_count_matrix, stripe_path
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+
+    n, m, sb = 1_048_576, 512, 8192
+    rng = np.random.default_rng(31415)
+    nnz = 52_000
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, m, nnz)
+    bm = BitMatrix.from_positions(rows, cols, n, m)
+
+    out = str(tmp_path / "sparse1m")
+    t0 = time.time()
+    man = stream_count_matrix(
+        bm, out, superblock_rows=sb, kernel="sparse_outer", compress=False,
+    )
+    wall = time.time() - t0
+    n_super = n // sb
+    assert man["n_super"] == n_super
+    assert man["stripe_kernels"]["k4"] == n_super * (n_super + 1) // 2
+
+    # independent expectation: per-column row lists -> pair co-occurrence
+    want: dict = defaultdict(int)
+    by_col = defaultdict(list)
+    dedup = set(zip(rows.tolist(), cols.tolist()))
+    for r, c in dedup:
+        by_col[c].append(r)
+    for c, rs in by_col.items():
+        rs.sort()
+        for x in range(len(rs)):
+            for y in range(x, len(rs)):
+                want[(rs[x], rs[y])] += 1
+
+    got: dict = {}
+    for i, j in man["completed"]:
+        with np.load(stripe_path(out, i, j)) as z:
+            for a, b, v in zip(z["coo_i"], z["coo_j"], z["coo_v"]):
+                gi, gj = i * sb + int(a), j * sb + int(b)
+                if gi <= gj:  # diagonal stripes carry the mirrored square
+                    got[(gi, gj)] = int(v)
+    assert got == dict(want), (
+        f"COO mismatch: {len(got)} got vs {len(want)} want"
+    )
+
+    t0 = time.time()
+    stream_count_matrix(bm, out, superblock_rows=sb,
+                        kernel="sparse_outer", compress=False)
+    resume_s = time.time() - t0
+    assert resume_s < 120, f"resume recomputed stripes ({resume_s:.0f}s)"
+    print(f"[scale1m] sparse K4 walk: wall {wall:.1f}s, "
+          f"resume {resume_s:.1f}s, peak RSS {_rss_mb():.0f} MB, "
+          f"{len(got)} nonzero pairs")
