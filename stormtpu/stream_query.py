@@ -427,6 +427,47 @@ def _sparse_mode_for(bm: BitMatrix, requested: str, cfg) -> bool:
     )
 
 
+class _CooStripe:
+    """COO view of a K4 stripe (local li/lj/vv over the full mirrored
+    square, like the dense stripe's nonzeros) plus the two membership
+    queries the zero-intersection staircases need — the query walks'
+    twin of the counts walk's buffer-free emission path (r4): at the
+    1M-row decade the dense sb² buffer (268 MB at sb=8192) per stripe
+    dominated every sparse query walk. ``.T`` swaps orientation (square
+    stripes only, which K4 stripes are)."""
+
+    def __init__(self, li: np.ndarray, lj: np.ndarray, vv: np.ndarray,
+                 sb: int):
+        self.li, self.lj, self.vv, self.sb = li, lj, vv, sb
+        self._keys = np.sort(li.astype(np.int64) * sb + lj)
+
+    @property
+    def T(self) -> "_CooStripe":
+        return _CooStripe(self.lj, self.li, self.vv, self.sb)
+
+    def is_zero(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """bool [Q]: stripe[rows, cols] == 0 (sorted-key membership)."""
+        if not self._keys.size:
+            return np.ones(rows.size, dtype=bool)
+        q = rows.astype(np.int64) * self.sb + cols
+        pos = np.minimum(np.searchsorted(self._keys, q),
+                         self._keys.size - 1)
+        return self._keys[pos] != q
+
+    def row_nonzero_counts(self, valid_a: int, valid_b: int) -> np.ndarray:
+        """int64 [valid_a]: per-row nonzero count within the valid box."""
+        sel = (self.li < valid_a) & (self.lj < valid_b)
+        return np.bincount(self.li[sel], minlength=valid_a)[:valid_a]
+
+
+def _stripe_nz(stripe) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(li, lj, vv) nonzeros of a K4 stripe in either representation."""
+    if isinstance(stripe, _CooStripe):
+        return stripe.li, stripe.lj, stripe.vv
+    li, lj = np.nonzero(stripe)
+    return li, lj, stripe[li, lj]
+
+
 def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
                   threshold: float):
     """r2 scores ZERO-intersection (anti-correlated) pairs — at zero
@@ -463,8 +504,12 @@ def _r2_zero_plan(nnz_i: np.ndarray, nnz_j: np.ndarray, m_bits: int,
         cols = order_b[offs]
         # stripe=None: a summary-zero stripe — every pair's count is
         # exactly zero, so no filter is needed (the C8 skip's r2 form)
-        keep = (np.ones(rows.size, dtype=bool) if stripe is None
-                else stripe[rows, cols] == 0)
+        if stripe is None:
+            keep = np.ones(rows.size, dtype=bool)
+        elif isinstance(stripe, _CooStripe):
+            keep = stripe.is_zero(rows, cols)
+        else:
+            keep = stripe[rows, cols] == 0
         if diagonal:
             keep &= rows < cols
         return rows[keep], cols[keep]
@@ -509,7 +554,12 @@ def _k4_zero_topk(
     filled −inf, [sb, k] int32 local partner indices)."""
     from stormtpu.setops import derive_similarity
 
-    sb_a = sb_rows if stripe is None else stripe.shape[0]
+    if stripe is None:
+        sb_a = sb_rows
+    elif isinstance(stripe, _CooStripe):
+        sb_a = stripe.sb
+    else:
+        sb_a = stripe.shape[0]
     cand_v = np.full((sb_a, k), -np.inf, dtype=np.float64)
     cand_i = np.zeros((sb_a, k), dtype=np.int32)
     if valid_a <= 0 or valid_b <= 0:
@@ -518,14 +568,22 @@ def _k4_zero_topk(
     cb = nnz_b[:valid_b].astype(np.float64)
     gb = np.where((cb > 0) & (cb < m), cb / np.maximum(m - cb, 1.0), 0.0)
     order = np.argsort(gb if measure == "phi" else -gb, kind="stable")
-    p = (np.zeros(valid_a, dtype=np.int64) if stripe is None
-         else np.count_nonzero(stripe[:valid_a, :valid_b], axis=1))
+    if stripe is None:
+        p = np.zeros(valid_a, dtype=np.int64)
+    elif isinstance(stripe, _CooStripe):
+        p = stripe.row_nonzero_counts(valid_a, valid_b)
+    else:
+        p = np.count_nonzero(stripe[:valid_a, :valid_b], axis=1)
     t = np.minimum(k + p + (1 if diagonal else 0), valid_b)
     rows = np.repeat(np.arange(valid_a), t)
     offs = np.arange(rows.size) - np.repeat(np.cumsum(t) - t, t)
     cols = order[offs]
-    keep = (np.ones(rows.size, dtype=bool) if stripe is None
-            else stripe[rows, cols] == 0)
+    if stripe is None:
+        keep = np.ones(rows.size, dtype=bool)
+    elif isinstance(stripe, _CooStripe):
+        keep = stripe.is_zero(rows, cols)
+    else:
+        keep = stripe[rows, cols] == 0
     if diagonal:
         keep &= rows != cols
     rows, cols = rows[keep], cols[keep]
@@ -563,22 +621,23 @@ def _coo_rank_topk(
 
 
 def _stripe_topk_candidates_k4(
-    stripe: np.ndarray, k: int, *, diagonal: bool
+    stripe, k: int, *, diagonal: bool
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host top-k of one K4 stripe's counts, both orientations, from the
     stripe's COO (zero cells can never beat the -1/no-partner padding's
     final ``max(vals, 0)`` contract, so only nonzeros rank). Self pairs
     are dropped on diagonal stripes, matching the device stripe's mask;
-    padded rows/cols carry zero counts and never appear in the COO."""
-    li, lj = np.nonzero(stripe)
-    vv = stripe[li, lj]
+    padded rows/cols carry zero counts and never appear in the COO.
+    ``stripe``: dense [sb, sb] or a :class:`_CooStripe`."""
+    sb = stripe.sb if isinstance(stripe, _CooStripe) else stripe.shape[0]
+    li, lj, vv = _stripe_nz(stripe)
     if diagonal:
         nz = li != lj
         li, lj, vv = li[nz], lj[nz], vv[nz]
-    vi, ii = _coo_rank_topk(li, lj, vv, stripe.shape[0], k)
+    vi, ii = _coo_rank_topk(li, lj, vv, sb, k)
     if diagonal:
         return vi, ii, None, None
-    vj, ij = _coo_rank_topk(lj, li, vv, stripe.shape[1], k)
+    vj, ij = _coo_rank_topk(lj, li, vv, sb, k)
     return vi, ii, vj, ij
 
 
@@ -808,20 +867,27 @@ def stream_topk_neighbors(
             if plan is not None and measure in ("phi", "r2"):
                 z_extra = (1 if i == j else 2) * (
                     sb * (k + 1) + plan.emissions(i, j))
-            if plan is not None and plan.use_k4(i, j, extra_emissions=z_extra):
-                # sparse stripe: host K4 emission, no device round-trip
+            if plan is not None and plan.use_k4(i, j, extra_emissions=z_extra,
+                                               emission_path=True):
+                # sparse stripe: host K4 emission, no device round-trip.
+                # Low-emission stripes come back as a _CooStripe (the r4
+                # buffer-free path — no dense sb² buffer anywhere in the
+                # query walk either); high-emission ones keep the native
+                # dense run walk.
+                if plan.emission_eligible(i, j):
+                    stripe = _CooStripe(*plan.stripe_coo(i, j), sb)
+                else:
+                    stripe = plan.stripe_counts(i, j)
                 if measure == "count":
                     vi_h, ii_h, vj_h, ij_h = _stripe_topk_candidates_k4(
-                        plan.stripe_counts(i, j), k, diagonal=i == j)
+                        stripe, k, diagonal=i == j)
                     vi_h = vi_h.astype(np.int64)
                     vj_h = None if vj_h is None else vj_h.astype(np.int64)
                 else:
                     # exact COO scores (zero-intersection pairs score 0
                     # for jaccard/dice/cosine/overlap; phi/r2 recover
                     # theirs from the staircase candidates below)
-                    stripe = plan.stripe_counts(i, j)
-                    li, lj = np.nonzero(stripe)
-                    vv = stripe[li, lj]
+                    li, lj, vv = _stripe_nz(stripe)
                     if i == j:
                         nz = li != lj
                         li, lj, vv = li[nz], lj[nz], vv[nz]
@@ -1091,13 +1157,16 @@ def stream_pairs_above(
                         nnz[i * sb : (i + 1) * sb],
                         nnz[j * sb : (j + 1) * sb],
                         bm.m_bits, threshold)
-                if plan.use_k4(i, j, extra_emissions=z_total):
-                    stripe = plan.stripe_counts(i, j)
-                    li, lj = np.nonzero(stripe)
+                if plan.use_k4(i, j, extra_emissions=z_total,
+                               emission_path=True):
+                    if plan.emission_eligible(i, j):
+                        stripe = _CooStripe(*plan.stripe_coo(i, j), sb)
+                    else:
+                        stripe = plan.stripe_counts(i, j)
+                    li, lj, vv = _stripe_nz(stripe)
                     if i == j:
                         up = li < lj  # strict upper triangle, no self
-                        li, lj = li[up], lj[up]
-                    vv = stripe[li, lj]
+                        li, lj, vv = li[up], lj[up], vv[up]
                     gi = li.astype(np.int64) + i * sb
                     gj = lj.astype(np.int64) + j * sb
                     if measure == "count":

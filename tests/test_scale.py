@@ -371,3 +371,75 @@ def test_scale_rehearsal_n1m_sparse_k4_walk(tmp_path):
     print(f"[scale1m] sparse K4 walk: wall {wall:.1f}s, "
           f"resume {resume_s:.1f}s, peak RSS {_rss_mb():.0f} MB, "
           f"{len(got)} nonzero pairs")
+
+
+def test_scale_rehearsal_n1m_sparse_queries(tmp_path):
+    """r4 follow-through on the BASELINE.md gap note: the sparse QUERY
+    walks at N=1,048,576 extreme sparsity — stream_topk_neighbors and
+    stream_pairs_above ride the same buffer-free _CooStripe path as the
+    counts walk (before it, 8256 dense sb² buffers ≈ 30 min of traffic).
+    Sampled exact against per-column brute force."""
+    import time
+    from collections import defaultdict
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.stream_query import (
+        stream_pairs_above,
+        stream_topk_neighbors,
+    )
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+
+    n, m, sb, k = 1_048_576, 512, 8192, 4
+    rng = np.random.default_rng(27182)
+    nnz = 52_000
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, m, nnz)
+    bm = BitMatrix.from_positions(rows, cols, n, m)
+
+    # independent expectation: per-column co-occurrence counts
+    want: dict = defaultdict(int)
+    by_col = defaultdict(list)
+    for r, c in set(zip(rows.tolist(), cols.tolist())):
+        by_col[c].append(r)
+    for c, rs in by_col.items():
+        rs.sort()
+        for x in range(len(rs)):
+            for y in range(x + 1, len(rs)):
+                want[(rs[x], rs[y])] += 1
+
+    t0 = time.time()
+    vals, idx = stream_topk_neighbors(bm, k, superblock_rows=sb,
+                                      kernel="auto")
+    wall_topk = time.time() - t0
+    assert vals.shape == (n, k)
+    # brute per-row partner lists from the pair dict
+    partners: dict = defaultdict(list)
+    for (a, b), v in want.items():
+        partners[a].append((v, b))
+        partners[b].append((v, a))
+    hot = sorted(partners, key=lambda r: -len(partners[r]))[:16]
+    sample = hot + [r for r in map(int, rng.choice(list(partners), 32))]
+    for r in sample:
+        ps = sorted(partners[r], key=lambda t: -t[0])[:k]
+        want_vals = np.zeros(k, dtype=np.int64)
+        want_vals[: len(ps)] = [v for v, _ in ps]
+        np.testing.assert_array_equal(vals[r], want_vals, err_msg=f"row {r}")
+    # rows with no partners carry the (0, 0) convention
+    empty_rows = [r for r in range(0, n, 65537) if r not in partners]
+    for r in empty_rows:
+        assert not vals[r].any() and not idx[r].any()
+
+    t0 = time.time()
+    ii, jj, vv = stream_pairs_above(bm, 1, superblock_rows=sb,
+                                    kernel="auto")
+    wall_screen = time.time() - t0
+    got = {(int(a), int(b)): int(v) for a, b, v in zip(ii, jj, vv)}
+    assert got == dict(want), (
+        f"screen mismatch: {len(got)} got vs {len(want)} want"
+    )
+    print(f"[scale1m] sparse queries: topk {wall_topk:.1f}s, "
+          f"screen {wall_screen:.1f}s, peak RSS {_rss_mb():.0f} MB, "
+          f"{len(want)} true pairs")
