@@ -24,6 +24,7 @@ timeout 7200 python -m stormtpu tune || fail=1
 echo "=== 2b. snapshot the tuned cache into the repo (the machine is"
 echo "        reimaged between rounds; ~/.cache does not survive) ==="
 cp "$HOME/.cache/stormtpu/tuning.json" stormtpu/data/tuning_snapshot.json || fail=1
+tar czf stormtpu/data/xla_cache_seed.tar.gz -C "$HOME/.cache/stormtpu" xla_cache || fail=1
 
 echo "=== 3. on-device failure-mode suite ==="
 STORMTPU_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_device.py -q || fail=1

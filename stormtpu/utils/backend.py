@@ -39,9 +39,45 @@ def enable_compilation_cache() -> None:
         cache_dir = knob or os.path.join(
             os.path.expanduser("~"), ".cache", "stormtpu", "xla_cache"
         )
+        _seed_compilation_cache(cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:  # pragma: no cover - never block import on this
         pass
+
+
+def _seed_compilation_cache(cache_dir: str) -> None:
+    """One-time unpack of the repo-shipped compile-cache seed into an
+    EMPTY/missing cache dir. The build machine is reimaged between
+    rounds (r4: ~/.cache vanished wholesale), so every round re-paid the
+    remote compiler's cold pathology (first executable 6–20 min);
+    ``scripts/tpu_return.sh`` tars the warm cache into
+    ``stormtpu/data/xla_cache_seed.tar.gz`` at round end and this
+    restores it at first import. Stale entries (new jax version, other
+    platform) simply miss — the cache key covers them."""
+    import tarfile
+
+    if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+        return  # live cache already populated: never overwrite
+    seed = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "xla_cache_seed.tar.gz",
+    )
+    if not os.path.exists(seed):
+        return
+    parent = os.path.dirname(cache_dir) or "."
+    os.makedirs(parent, exist_ok=True)
+    with tarfile.open(seed) as tf:
+        names = tf.getnames()
+        base = "xla_cache"
+        if not all(n == base or n.startswith(base + "/") or not n
+                   for n in names):
+            return  # unexpected layout: refuse rather than scatter files
+        try:
+            tf.extractall(parent, filter="data")
+        except TypeError:  # pragma: no cover - pre-3.12 tarfile
+            tf.extractall(parent)
+    if os.path.basename(cache_dir) != "xla_cache":
+        os.replace(os.path.join(parent, "xla_cache"), cache_dir)
 
 
 def is_tpu_backend() -> bool:

@@ -225,3 +225,41 @@ def test_snapshot_fallback_when_live_cache_absent(tmp_path, monkeypatch):
                         str(tmp_path / "nope" / "tuning.json"))
     got = tuning.load_tuning()
     assert got is not None and got["device"] == "TPU v5 lite0"
+
+
+def test_compile_cache_seed_unpack(tmp_path, monkeypatch):
+    """The repo-shipped XLA compile-cache seed unpacks into an empty
+    cache dir and never touches a populated one (r4: ~/.cache is lost to
+    reimaging between rounds)."""
+    import io
+    import tarfile
+
+    import stormtpu.utils.backend as backend
+
+    seed = tmp_path / "data" / "xla_cache_seed.tar.gz"
+    seed.parent.mkdir()
+    buf = io.BytesIO(b"fake-executable")
+    with tarfile.open(seed, "w:gz") as tf:
+        info = tarfile.TarInfo("xla_cache/jit_foo-abc-cache")
+        info.size = buf.getbuffer().nbytes
+        buf.seek(0)
+        tf.addfile(info, buf)
+    real_join = backend.os.path.join
+
+    def fake_join(*parts):
+        if parts[-2:] == ("data", "xla_cache_seed.tar.gz"):
+            return str(seed)
+        return real_join(*parts)
+
+    monkeypatch.setattr(backend.os.path, "join", fake_join)
+    target = tmp_path / "cachehome" / "xla_cache"
+    backend._seed_compilation_cache(str(target))
+    assert (target / "jit_foo-abc-cache").read_bytes() == b"fake-executable"
+    # populated dir: untouched
+    (target / "live-entry").write_text("x")
+    backend._seed_compilation_cache(str(target))
+    assert (target / "live-entry").exists()
+    # custom-named target dir also works (os.replace branch)
+    target2 = tmp_path / "cachehome2" / "mycache"
+    backend._seed_compilation_cache(str(target2))
+    assert (target2 / "jit_foo-abc-cache").exists()
