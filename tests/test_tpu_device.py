@@ -402,3 +402,24 @@ def test_stats_aggregates_on_device(tpu_backend):
     np.testing.assert_array_equal(
         count_row_sums(bm), c.astype(np.int64).sum(axis=1)
     )
+
+    # r4 mesh twins on the 1-device mesh (new traced paths: per-plane
+    # popcount partials, the square-ring histogram) + the dense-route
+    # row sums (this shape's ~2.3e7 nnz exceeds the positions budget,
+    # so the bit-plane walk runs — both routes must agree)
+    from stormtpu.parallel import (
+        distributed_count_histogram,
+        distributed_count_row_sums,
+        make_row_mesh,
+    )
+
+    mesh = make_row_mesh(1)
+    np.testing.assert_array_equal(
+        distributed_count_row_sums(bm, mesh=mesh),
+        c.astype(np.int64).sum(axis=1),
+    )
+    man_d = distributed_count_histogram(bm, n_bins=16, mesh=mesh,
+                                        block_rows=256)
+    want_d = np.zeros(16, dtype=np.int64)
+    np.add.at(want_d, np.minimum(vals // man_d["bin_width"], 15), 1)
+    np.testing.assert_array_equal(man_d["hist"], want_d)
