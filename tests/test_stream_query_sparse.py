@@ -256,3 +256,77 @@ def test_stream_topk_measure_phi_r2_sparse_route(k4_cache, measure):
 
     v1, _ = topk_neighbors(bm, 3, measure=measure)
     np.testing.assert_array_equal(vals, v1)
+
+
+def test_emission_path_coostripe_with_r2_staircase(monkeypatch):
+    """phi/r2 on emission-eligible sparse stripes: the zero-intersection
+    staircase consumes a _CooStripe (is_zero membership + per-row nonzero
+    counts) instead of a dense stripe — results must match the resident
+    oracle exactly, and the spy proves stripe_coo actually served."""
+    import numpy as np
+
+    import stormtpu.stream as stream_mod
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.setops import derive_similarity
+    from stormtpu.oracle import oracle_count_matrix
+    from stormtpu.stream_query import (
+        stream_pairs_above,
+        stream_topk_neighbors,
+    )
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+
+    rng = np.random.default_rng(53)
+    n, m = 300, 16384
+    dense = np.zeros((n, m), dtype=np.uint8)
+    # ~1.5 nnz/row: stripe emissions stay far under sb^2/8 -> eligible
+    dense[rng.integers(0, n, 450), rng.integers(0, m, 450)] = 1
+    bm = BitMatrix.from_dense(dense)
+
+    coo_calls = []
+    real_coo = stream_mod._SparseStripePlan.stripe_coo
+    dense_calls = []
+    real_dense = stream_mod._SparseStripePlan.stripe_counts
+
+    def spy_coo(self, i, j):
+        coo_calls.append((i, j))
+        return real_coo(self, i, j)
+
+    def spy_dense(self, i, j):
+        dense_calls.append((i, j))
+        return real_dense(self, i, j)
+
+    monkeypatch.setattr(stream_mod._SparseStripePlan, "stripe_coo", spy_coo)
+    monkeypatch.setattr(stream_mod._SparseStripePlan, "stripe_counts",
+                        spy_dense)
+
+    C = oracle_count_matrix(bm.packed).astype(np.int64)
+    nnz = bm.row_nnz.astype(np.int64)
+    for measure in ("r2", "phi"):
+        sim = derive_similarity(C, nnz[:, None], nnz[None, :], m, measure)
+        np.fill_diagonal(sim, -np.inf)
+        mv, mi = stream_topk_neighbors(bm, 3, measure=measure,
+                                       superblock_rows=32,
+                                       kernel="sparse_outer")
+        np.testing.assert_array_equal(mv, -np.sort(-sim, axis=1)[:, :3],
+                                      err_msg=measure)
+    # ~3.7e-9 is the smallest zero-intersection r2 here (ca=cb=1), so
+    # this threshold forces the staircase's z_mat to filter through
+    # _CooStripe.is_zero and emit real hits
+    thr = 1e-9
+    ii, jj, vv = stream_pairs_above(bm, thr, measure="r2",
+                                    superblock_rows=32,
+                                    kernel="sparse_outer")
+    sim = derive_similarity(C, nnz[:, None], nnz[None, :], m, "r2")
+    wi, wj = np.nonzero(np.triu(sim, 1) >= thr)
+    np.testing.assert_array_equal(ii, wi)
+    np.testing.assert_array_equal(jj, wj)
+    np.testing.assert_array_equal(vv, sim[wi, wj])
+    assert wi.size > 100, "staircase produced no zero-intersection hits"
+    assert len(coo_calls) > 0, "emission path never served a stripe"
+    assert not dense_calls, (
+        f"dense sb^2 buffers were built for {len(dense_calls)} stripes "
+        "despite eligibility"
+    )
