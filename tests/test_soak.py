@@ -155,3 +155,30 @@ def test_public_api_agreement_soak():
                                                     block_rows=8)
             assert np.array_equal(dii, wi) and np.array_equal(dvv, c[wi, wj]), \
                 f"{ctx} dist screen"
+
+        # aggregate statistics (r4): single-chip and mesh twins agree
+        # with the oracle marginals/distribution
+        from stormtpu.parallel import (
+            distributed_count_histogram,
+            distributed_count_row_sums,
+        )
+        from stormtpu.stats import count_histogram, count_row_sums
+
+        want_rs = c.sum(axis=1)
+        assert np.array_equal(count_row_sums(bm), want_rs), f"{ctx} row sums"
+        assert np.array_equal(
+            count_row_sums(bm, positions_budget_bytes=0), want_rs
+        ), f"{ctx} row sums (bit-plane route)"
+        assert np.array_equal(
+            distributed_count_row_sums(bm, mesh=make_row_mesh(8)), want_rs
+        ), f"{ctx} dist row sums"
+        nb_bins = int(rng.integers(2, 24))
+        man_h = count_histogram(bm, n_bins=nb_bins)
+        tri_c = c[np.triu_indices(n, 1)]
+        want_h = np.zeros(nb_bins, dtype=np.int64)
+        np.add.at(want_h, np.minimum(tri_c // man_h["bin_width"],
+                                     nb_bins - 1), 1)
+        assert np.array_equal(man_h["hist"], want_h), f"{ctx} hist"
+        man_dh = distributed_count_histogram(
+            bm, n_bins=nb_bins, mesh=make_grid_mesh(2, 4), block_rows=32)
+        assert np.array_equal(man_dh["hist"], want_h), f"{ctx} dist hist"
