@@ -84,6 +84,18 @@ print("query-panel lookup (top-3 reference variants per query):")
 for r in range(queries.n):
     print(f"  query {r}: partners {idx[r].tolist()} counts {vals[r].tolist()}")
 
+# --- aggregate statistics: marginals/distribution of C without C --------
+# (at biobank scale C can never materialize; these are O(N) / O(n_bins))
+from stormtpu import count_histogram, count_row_sums
+
+rs = count_row_sums(carriers, include_self=False)
+hot = int(np.argmax(rs))
+hist = count_histogram(carriers, n_bins=12)
+occupied = int((hist["hist"] > 0).sum())
+print(f"aggregates: variant {hot} has the largest total co-carrier mass "
+      f"({int(rs[hot])}); pair-count histogram occupies {occupied}/12 bins "
+      f"(mass {hist['pairs']} pairs, conserved)")
+
 # --- clumping: collapse the screen into leader-led LD clumps ------------
 # (PLINK --clump shape: most significant unassigned variant leads, absorbs
 # every unassigned partner above the threshold)
