@@ -32,7 +32,7 @@ from stormtpu.config import EngineConfig, default_config
 from stormtpu.layout import BitMatrix
 from stormtpu.parallel.allpairs import BlockFn, shard_map
 from stormtpu.parallel.mesh import fetch_global, make_row_mesh
-from stormtpu.stream import stripe_path
+from stormtpu.stream import _content_fingerprint, stripe_path
 from stormtpu.utils import round_up
 
 __all__ = ["initialize_multihost", "distributed_stream_count_matrix"]
@@ -123,6 +123,7 @@ def distributed_stream_count_matrix(
 
     manifest = {
         "n": bm.n,
+        "content": _content_fingerprint(bm),
         "m_bits": bm.m_bits,
         "superblock_rows": superblock_rows,
         "n_super": n_super,

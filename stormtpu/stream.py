@@ -30,6 +30,7 @@ __all__ = [
     "stream_count_checksums",
     "stream_count_checksums_clustered",
     "stream_count_histogram",
+    "extend_streamed_matrix",
     "load_streamed_matrix",
     "stripe_path",
 ]
@@ -37,6 +38,22 @@ __all__ = [
 
 def stripe_path(out_dir: str, i: int, j: int) -> str:
     return os.path.join(out_dir, f"stripe_{i:05d}_{j:05d}.npz")
+
+
+def _content_fingerprint(bm: BitMatrix) -> str:
+    """Cheap content key for resume/extend directories: shape alone is
+    not identity (a regenerated same-shape matrix must NOT silently
+    reuse stale stripes). Row popcounts catch any bit-count change; the
+    boundary-row CRCs catch same-popcount edits at the ends. Not
+    cryptographic — a safety net, not a proof. (Moved here from
+    stream_query in r4 so the counts manifests can carry it too.)"""
+    import zlib
+
+    h = zlib.crc32(np.ascontiguousarray(bm.row_nnz).tobytes())
+    if bm.n:
+        h = zlib.crc32(np.ascontiguousarray(bm.packed[0]).tobytes(), h)
+        h = zlib.crc32(np.ascontiguousarray(bm.packed[-1]).tobytes(), h)
+    return f"{int(bm.nnz)}-{h:08x}"
 
 
 def _device_operand_budget() -> int:
@@ -368,6 +385,7 @@ def stream_count_matrix(
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
         "n": bm.n,
+        "content": _content_fingerprint(bm),
         "m_bits": bm.m_bits,
         "superblock_rows": superblock_rows,
         "n_super": n_super,
@@ -495,6 +513,7 @@ def _stream_clustered(
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
         "n": bm.n,
+        "content": _content_fingerprint(bm),
         "m_bits": bm.m_bits,
         "superblock_rows": superblock_rows,
         "n_super": n_super,
@@ -817,6 +836,7 @@ def _stream_sparse_outer(
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
         "n": bm.n,
+        "content": _content_fingerprint(bm),
         "m_bits": bm.m_bits,
         "superblock_rows": superblock_rows,
         "n_super": n_super,
@@ -1325,3 +1345,109 @@ def load_streamed_matrix(out_dir: str) -> np.ndarray:
             if i != j:
                 full[j * sb : (j + 1) * sb, i * sb : (i + 1) * sb] = stripe.T
     return full[:n, :n]
+
+
+def extend_streamed_matrix(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    mesh=None,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    compress: bool = True,
+    interpret: Optional[bool] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> dict:
+    """Grow a completed streamed count-matrix directory to ``bm``'s larger
+    row count WITHOUT recomputing the old quadratic work.
+
+    A count stripe's content depends only on its two row superblocks, so
+    appending rows (the production panel-growth case: a biobank gains
+    samples/variants) invalidates nothing inside the unchanged row range:
+
+    - stripes wholly inside the old COMPLETE superblocks are reused as-is
+      (their files are not even opened);
+    - stripes touching the old PARTIAL last superblock — whose zero-padded
+      rows now hold data — are deleted and recomputed;
+    - stripes involving new superblocks are computed fresh.
+
+    Pair-work cost ≈ old·new + new²/2 instead of (old+new)²/2. The
+    reference's driver (C11) has no notion of this — a grown panel is a
+    from-scratch run there.
+
+    Safety: ``bm``'s first ``old_n`` rows must be byte-identical to the
+    original panel. The manifest's content fingerprint (recorded since
+    r4) is checked against the head slice; directories written before
+    the fingerprint existed are extended on the caller's word. ``m_bits``
+    must match exactly; the superblock geometry comes from the manifest
+    and must be compatible with the active tile config (else stripes
+    from the two runs would misalign under the same file names — refused
+    up front).
+
+    ``mesh``: extend through ``distributed_stream_count_matrix`` instead
+    of the single-chip walk (same directory format; formats may mix —
+    ``load_streamed_matrix`` reads per-file). Returns the new manifest.
+    """
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path) as f:
+        old = json.load(f)
+    old_n = int(old["n"])
+    sb = int(old["superblock_rows"])
+    if bm.m_bits != old["m_bits"]:
+        raise ValueError(
+            f"extend: m_bits {bm.m_bits} != directory's {old['m_bits']} — "
+            f"a changed universe invalidates every stripe"
+        )
+    if bm.n < old_n:
+        raise ValueError(
+            f"extend: N={bm.n} < directory's n={old_n} (rows can only be "
+            f"appended; shrinking needs a fresh directory)"
+        )
+    cfg = config or default_config()
+    tile_moduli = [cfg.k1_tile_rows, cfg.k2_tile_rows]
+    if mesh is not None:
+        tile_moduli.append(len(mesh.devices.ravel()) * 8)
+    bad = [t for t in tile_moduli if sb % t]
+    if bad:
+        raise ValueError(
+            f"extend: superblock_rows={sb} is not a multiple of the "
+            f"active tile geometry {bad} — the resumed walk would "
+            f"re-round it and misalign reused stripe files"
+        )
+    old_fp = old.get("content")
+    if old_fp is not None and old_n:
+        head = BitMatrix.from_packed(
+            np.ascontiguousarray(bm.packed[:old_n]), bm.m_bits
+        )
+        if _content_fingerprint(head) != old_fp:
+            raise ValueError(
+                "extend: the first rows differ from the panel this "
+                "directory was computed from (content fingerprint "
+                "mismatch) — reusing its stripes would splice two "
+                "different matrices"
+            )
+    if old_n % sb:
+        # the old last superblock was partial: its zero-padded rows now
+        # hold data, so every stripe touching it is stale
+        last = old_n // sb
+        n_super_old = int(old["n_super"])
+        for i in range(n_super_old):
+            for j in range(i, n_super_old):
+                if i == last or j == last:
+                    p = stripe_path(out_dir, i, j)
+                    if os.path.exists(p):
+                        os.remove(p)
+    if mesh is not None:
+        from stormtpu.parallel.multihost import (
+            distributed_stream_count_matrix,
+        )
+
+        return distributed_stream_count_matrix(
+            bm, out_dir, superblock_rows=sb, mesh=mesh, config=cfg,
+            resume=True, compress=compress, progress=progress,
+        )
+    return stream_count_matrix(
+        bm, out_dir, superblock_rows=sb, kernel=kernel, config=cfg,
+        resume=True, compress=compress, interpret=interpret,
+        progress=progress,
+    )

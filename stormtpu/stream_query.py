@@ -37,7 +37,11 @@ import numpy as np
 
 from stormtpu.config import EngineConfig, default_config
 from stormtpu.layout import BitMatrix
-from stormtpu.stream import _auto_stream_kernel, _host_superblock
+from stormtpu.stream import (
+    _auto_stream_kernel,
+    _content_fingerprint,
+    _host_superblock,
+)
 from stormtpu.utils import pallas_interpret_default, round_up
 
 __all__ = [
@@ -639,21 +643,6 @@ def _stripe_topk_candidates_k4(
         return vi, ii, None, None
     vj, ij = _coo_rank_topk(lj, li, vv, sb, k)
     return vi, ii, vj, ij
-
-
-def _content_fingerprint(bm: BitMatrix) -> str:
-    """Cheap content key for resume directories: shape alone is not
-    identity (a regenerated same-shape matrix must NOT silently reuse a
-    stale checkpoint). Row popcounts catch any bit-count change; the
-    boundary-row CRCs catch same-popcount edits at the ends. Not
-    cryptographic — a safety net, not a proof."""
-    import zlib
-
-    h = zlib.crc32(np.ascontiguousarray(bm.row_nnz).tobytes())
-    if bm.n:
-        h = zlib.crc32(np.ascontiguousarray(bm.packed[0]).tobytes(), h)
-        h = zlib.crc32(np.ascontiguousarray(bm.packed[-1]).tobytes(), h)
-    return f"{int(bm.nnz)}-{h:08x}"
 
 
 def _topk_ckpt_params(bm: BitMatrix, k: int, sb: int, kernel: str) -> dict:

@@ -425,3 +425,116 @@ def test_checksum_sink_repads_small_n(tmp_path):
     for gi, gj, v in zip(man["sample_ii"], man["sample_jj"],
                          man["sample_vals"]):
         assert int(v) == int(pad[gi, gj])
+
+
+def _grown_panel(n_old, n_new, m, density, seed):
+    """(bm_old, bm_new) with bm_new's first n_old rows byte-identical."""
+    from stormtpu.layout import BitMatrix
+
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n_new, m)) < density).astype(np.uint8)
+    return (BitMatrix.from_dense(dense[:n_old]),
+            BitMatrix.from_dense(dense), dense)
+
+
+def test_extend_streamed_matrix_partial_superblock(tmp_path):
+    """Grow past a PARTIAL last superblock: its stripes are recomputed,
+    every stripe inside the old complete superblocks is reused untouched
+    (file mtimes prove it), and the reassembled matrix is oracle-exact."""
+    import os
+
+    from stormtpu.stream import extend_streamed_matrix
+
+    sb = 16
+    bm_old, bm_new, dense = _grown_panel(36, 70, 600, 0.3, seed=171)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=sb,
+                        config=_small_cfg(), interpret=True)
+    # old n_super = ceil(36/16) = 3, last (index 2) partial
+    kept = {}
+    for i in range(3):
+        for j in range(i, 3):
+            kept[(i, j)] = os.path.getmtime(stripe_path(out, i, j))
+    man = extend_streamed_matrix(bm_new, out, config=_small_cfg(),
+                                 interpret=True)
+    assert man["n"] == 70 and man["superblock_rows"] == sb
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
+    for (i, j), t in kept.items():
+        if i == 2 or j == 2:
+            assert os.path.getmtime(stripe_path(out, i, j)) != t, (i, j)
+        else:
+            assert os.path.getmtime(stripe_path(out, i, j)) == t, (i, j)
+
+
+def test_extend_streamed_matrix_aligned_reuses_everything(tmp_path):
+    """old_n a superblock multiple: nothing is invalidated — every old
+    stripe file survives byte-identical (mtime check)."""
+    import os
+
+    from stormtpu.stream import extend_streamed_matrix
+
+    sb = 16
+    bm_old, bm_new, _ = _grown_panel(32, 60, 512, 0.4, seed=172)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=sb,
+                        config=_small_cfg(), interpret=True)
+    old_times = {(i, j): os.path.getmtime(stripe_path(out, i, j))
+                 for i in range(2) for j in range(i, 2)}
+    extend_streamed_matrix(bm_new, out, config=_small_cfg(),
+                           interpret=True)
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
+    for (i, j), t in old_times.items():
+        assert os.path.getmtime(stripe_path(out, i, j)) == t, (i, j)
+
+
+def test_extend_streamed_matrix_refusals(tmp_path):
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream import extend_streamed_matrix
+
+    bm_old, bm_new, dense = _grown_panel(36, 70, 600, 0.3, seed=173)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=16,
+                        config=_small_cfg(), interpret=True)
+    # changed old content: fingerprint mismatch
+    tampered = dense.copy()
+    tampered[3, :9] ^= 1
+    with pytest.raises(ValueError, match="fingerprint"):
+        extend_streamed_matrix(BitMatrix.from_dense(tampered), out,
+                               config=_small_cfg(), interpret=True)
+    # shrinking
+    with pytest.raises(ValueError, match="appended"):
+        extend_streamed_matrix(BitMatrix.from_dense(dense[:20]), out,
+                               config=_small_cfg(), interpret=True)
+    # changed universe
+    with pytest.raises(ValueError, match="m_bits"):
+        extend_streamed_matrix(
+            BitMatrix.from_dense(np.zeros((70, 601), np.uint8)), out,
+            config=_small_cfg(), interpret=True)
+    # incompatible tile geometry (sb=16 not a multiple of 32-row tiles)
+    with pytest.raises(ValueError, match="tile geometry"):
+        extend_streamed_matrix(
+            bm_new, out, config=EngineConfig(k2_tile_rows=32),
+            interpret=True)
+
+
+def test_extend_streamed_matrix_distributed(tmp_path):
+    """Mesh extend: same directory format; distributed stripes fill the
+    new region, old single-chip stripes are reused (formats may mix)."""
+    import jax
+
+    from stormtpu.parallel import make_row_mesh
+    from stormtpu.stream import extend_streamed_matrix
+
+    assert len(jax.devices()) >= 8
+    sb = 16
+    bm_old, bm_new, _ = _grown_panel(32, 64, 512, 0.35, seed=174)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=sb,
+                        config=_small_cfg(), interpret=True)
+    man = extend_streamed_matrix(bm_new, out, mesh=make_row_mesh(2),
+                                 config=_small_cfg())
+    assert man["n"] == 64
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
