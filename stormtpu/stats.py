@@ -169,6 +169,11 @@ def count_histogram(
         return jnp.asarray(xp)
 
     xd = bm.device_cached(("padded2d", n_pad, w_pad), build)
+    # C8 skip for the histogram sink (r4): co-empty stripes bin to 0
+    # host-side with zero device work (see stream_count_histogram)
+    from stormtpu.stream_query import _superblock_occupancy
+
+    occ = _superblock_occupancy(bm, n_pad, sb)
     return stream_count_histogram(
         xd,
         bm.n,
@@ -178,5 +183,6 @@ def count_histogram(
         superblock_rows=sb,
         config=cfg,
         interpret=interpret,
+        occupancy=occ,
         progress=progress,
     )

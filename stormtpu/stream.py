@@ -1187,6 +1187,7 @@ def stream_count_histogram(
     superblock_rows: int = 4096,
     config: Optional[EngineConfig] = None,
     interpret: Optional[bool] = None,
+    occupancy: Optional[np.ndarray] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> dict:
     """Exact histogram of the off-diagonal pair counts C[i<j] — the
@@ -1204,6 +1205,18 @@ def stream_count_histogram(
     clamped to absorb the tail up to ``m_bits``. Integer binning of
     exact int32 counts — the result is exact, and mass conservation
     (``hist.sum() == n*(n-1)/2``) is asserted before returning.
+
+    ``occupancy``: per-superblock K-group summary bool [n_super, G]
+    (``stats.count_histogram`` computes it from the BitMatrix) — the C8
+    skip for this sink (r4): a co-empty stripe's counts are all exactly
+    zero, so its entire valid-pair mass lands in bin 0 by arithmetic
+    (``vi·vj`` pairs, ``vi·(vi−1)/2`` on the diagonal) with zero device
+    work. At the banded N=1M rehearsal shape that is 8253 of 8256
+    stripes. (The DISTRIBUTED histogram ring deliberately has no such
+    skip: its whole square ring is one compiled shard_map with
+    fixed-shape ``lax.map`` blocks, so a stripe-granular host decision
+    would need the work-list restructuring the K5 kernel uses — a
+    recorded design trade, not an oversight.)
 
     ``xd`` contract is :func:`stream_count_checksums`'s: device uint32
     [n_pad, w_pad], rows ≥ n zero, words beyond ceil(m_bits/32) zero.
@@ -1273,9 +1286,26 @@ def stream_count_histogram(
         return hist
 
     hist_total = np.zeros(n_bins, dtype=np.int64)
+    if occupancy is not None and occupancy.shape[0] != n_super:
+        raise ValueError(
+            f"occupancy has {occupancy.shape[0]} superblocks, walk has "
+            f"{n_super} — compute it with the same superblock_rows "
+            f"({superblock_rows} after tile rounding)"
+        )
     total = n_super * (n_super + 1) // 2
     done = 0
+    sb = superblock_rows
     for i, j in _superblock_pairs(n_super):
+        if occupancy is not None and not (occupancy[i] & occupancy[j]).any():
+            # C8 skip: every pair in this stripe counts exactly 0 → its
+            # valid-pair mass goes to bin 0 arithmetically
+            vi = max(0, min(n - i * sb, sb))
+            vj = max(0, min(n - j * sb, sb))
+            hist_total[0] += vi * (vi - 1) // 2 if i == j else vi * vj
+            done += 1
+            if progress is not None:
+                progress(done, total)
+            continue
         base_i, base_j = i * tiles_per_super, j * tiles_per_super
         if i == j:
             loc_i, loc_j = triangular_tile_ids(tiles_per_super)

@@ -170,3 +170,69 @@ def test_count_histogram_multi_superblock():
     want = np.zeros(8, dtype=np.int64)
     np.add.at(want, np.minimum(vals // w, 7), 1)
     np.testing.assert_array_equal(man["hist"], want)
+
+
+def test_count_histogram_summary_skip_banded():
+    """C8 skip for the histogram sink (r4): on a group-aligned banded
+    panel the co-empty stripes contribute their pair mass to bin 0
+    host-side; the result equals both the no-skip device walk and the
+    oracle binning."""
+    import jax.numpy as jnp
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream import stream_count_histogram
+    from stormtpu.utils import round_up
+
+    rng = np.random.default_rng(211)
+    n, m = 300, 8192  # two 4096-bit summary groups
+    dense = np.zeros((n, m), dtype=np.uint8)
+    dense[:256, :4096] = rng.random((256, 4096)) < 0.3
+    dense[256:, 4096:] = rng.random((44, 4096)) < 0.3
+    bm = BitMatrix.from_dense(dense)
+
+    man = count_histogram(bm, n_bins=8, superblock_rows=256)
+    c = oracle_count_matrix(bm.packed)
+    iu = np.triu_indices(n, k=1)
+    want = np.zeros(8, dtype=np.int64)
+    np.add.at(want, np.minimum(c[iu].astype(np.int64) // man["bin_width"],
+                               7), 1)
+    np.testing.assert_array_equal(man["hist"], want)
+
+    # no-occupancy device walk agrees (skip is sound, not approximate)
+    sb = man["superblock_rows"]
+    n_pad = round_up(n, sb)
+    w_pad = round_up(bm.n_words, 256)
+    xp = np.zeros((n_pad, w_pad), dtype=np.uint32)
+    xp[:n, : bm.n_words] = bm.packed
+    man2 = stream_count_histogram(jnp.asarray(xp), n, m, n_bins=8,
+                                  superblock_rows=sb)
+    np.testing.assert_array_equal(man2["hist"], man["hist"])
+
+
+def test_count_histogram_skip_never_touches_device():
+    """All-co-empty occupancy: the walk must take every stripe from the
+    host arithmetic — proven by a GARBAGE device operand whose counts
+    would land in high bins if any stripe actually ran."""
+    import jax.numpy as jnp
+
+    from stormtpu.config import EngineConfig
+    from stormtpu.stream import stream_count_histogram
+
+    cfg = EngineConfig(k2_tile_rows=8, k2_tile_words=8)
+    n, sb, w_pad = 70, 32, 256
+    n_pad = 96
+    garbage = jnp.ones((n_pad, w_pad), dtype=jnp.uint32) * jnp.uint32(0xFFFF)
+    occ = np.zeros((n_pad // sb, 2), dtype=bool)
+    man = stream_count_histogram(garbage, n, w_pad * 32, n_bins=8,
+                                 superblock_rows=sb, config=cfg,
+                                 occupancy=occ)
+    want = np.zeros(8, dtype=np.int64)
+    want[0] = n * (n - 1) // 2
+    np.testing.assert_array_equal(man["hist"], want)
+    # mismatched occupancy geometry is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="occupancy"):
+        stream_count_histogram(garbage, n, w_pad * 32, n_bins=8,
+                               superblock_rows=sb, config=cfg,
+                               occupancy=np.zeros((7, 2), dtype=bool))
