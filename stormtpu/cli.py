@@ -145,10 +145,19 @@ def cmd_count(args: argparse.Namespace) -> int:
 
 
 def cmd_stream(args: argparse.Namespace) -> int:
-    from stormtpu.stream import stream_count_matrix
+    from stormtpu.stream import extend_streamed_matrix, stream_count_matrix
 
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
+    if args.extend:
+        man = extend_streamed_matrix(
+            bm, args.out_dir, kernel=args.kernel,
+            compress=not args.no_compress,
+            progress=lambda d, t: _log(f"stripe {d}/{t}"),
+        )
+        _log(f"extended {args.out_dir} to n={man['n']} "
+             f"({len(man['completed'])} stripes total)")
+        return 0
     man = stream_count_matrix(
         bm, args.out_dir, superblock_rows=args.superblock,
         kernel=args.kernel, compress=not args.no_compress,
@@ -388,6 +397,10 @@ def main(argv=None) -> int:
     sp.add_argument("--operand-streaming", default="auto",
                     choices=("auto", "on", "off"),
                     help="keep only two superblock slices on device")
+    sp.add_argument("--extend", action="store_true",
+                    help="grow an existing directory to this (larger) "
+                    "panel, reusing every stripe inside the unchanged "
+                    "rows (fingerprint-guarded)")
     sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser(

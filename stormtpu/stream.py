@@ -134,6 +134,62 @@ def _superblock_pairs(n_super: int) -> Iterator[tuple[int, int]]:
             yield i, j
 
 
+def _resolve_stream_kernel(bm: BitMatrix, kernel: str,
+                           cfg: EngineConfig) -> str:
+    """The streaming walk's kernel-resolution policy, factored out so
+    callers that must PREDICT the geometry (``extend_streamed_matrix``)
+    resolve identically to the walk itself."""
+    if kernel == "auto":
+        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
+        # C12 at streaming scale (the reference's sparse regime has no
+        # size ceiling; K4's single-shot form is capped at N=32768 by its
+        # N² host buffer): at extreme sparsity route to the per-superblock
+        # inverted-index walk — buffers are superblock², and each stripe
+        # pair re-decides K4-vs-dense with the fitted cost model. This
+        # check runs BEFORE the clustered one, mirroring dispatch.py's
+        # priority: below the density threshold K4 beats the K5 skip at
+        # every measured shape (K5 still pays work_fraction × the dense
+        # device cost; K4's work scales with nnz², not N²·M), and a
+        # stripe where K4 loses falls back to the dense MXU walk anyway.
+        from stormtpu.native import HAVE_NATIVE
+
+        if (
+            HAVE_NATIVE
+            and bm.n >= 2
+            and bm.density < cfg.sparse_density_threshold
+        ):
+            kernel = "sparse_outer"
+        else:
+            # C8 skip at streaming scale: when the summary-AND
+            # co-occupancy says most (tile pair, K-group) cells are
+            # co-empty, the work-list stripes win by ≈ 1/fraction over
+            # ANY dense stripe walk — same statistic as the
+            # single-matrix dispatch
+            from stormtpu.kernels.clustered import clustered_work_fraction
+
+            wf = clustered_work_fraction(bm, cfg)
+            if wf is not None and wf < cfg.clustered_work_fraction_threshold:
+                kernel = "clustered"
+    if kernel not in ("mxu", "dense", "xla_int8", "xla_popcount",
+                      "clustered", "sparse_outer"):
+        # an unknown string would silently run the k1-dense branch
+        raise ValueError(
+            f"unknown kernel {kernel!r}; want 'auto' or one of "
+            f"('mxu', 'dense', 'xla_int8', 'xla_popcount', 'clustered', "
+            f"'sparse_outer')"
+        )
+    return kernel
+
+
+def _stream_tile_modulus(kernel: str, cfg: EngineConfig) -> int:
+    """The row modulus a resolved stream kernel rounds superblock_rows
+    to (mxu/clustered/sparse_outer tile by k2 rows; dense and the xla_*
+    whole-stripe forms by k1 rows)."""
+    if kernel in ("mxu", "clustered", "sparse_outer"):
+        return cfg.k2_tile_rows
+    return cfg.k1_tile_rows
+
+
 def _compute_stripe(
     xp: jnp.ndarray,
     sb_i: int,
@@ -305,45 +361,7 @@ def stream_count_matrix(
     cfg.validate(bm.m_bits)
     if interpret is None:
         interpret = pallas_interpret_default()
-    if kernel == "auto":
-        kernel = _auto_stream_kernel(bm.m_bits, bm.n)
-        # C12 at streaming scale (the reference's sparse regime has no
-        # size ceiling; K4's single-shot form is capped at N=32768 by its
-        # N² host buffer): at extreme sparsity route to the per-superblock
-        # inverted-index walk — buffers are superblock², and each stripe
-        # pair re-decides K4-vs-dense with the fitted cost model. This
-        # check runs BEFORE the clustered one, mirroring dispatch.py's
-        # priority: below the density threshold K4 beats the K5 skip at
-        # every measured shape (K5 still pays work_fraction × the dense
-        # device cost; K4's work scales with nnz², not N²·M), and a
-        # stripe where K4 loses falls back to the dense MXU walk anyway.
-        from stormtpu.native import HAVE_NATIVE
-
-        if (
-            HAVE_NATIVE
-            and bm.n >= 2
-            and bm.density < cfg.sparse_density_threshold
-        ):
-            kernel = "sparse_outer"
-        else:
-            # C8 skip at streaming scale: when the summary-AND
-            # co-occupancy says most (tile pair, K-group) cells are
-            # co-empty, the work-list stripes win by ≈ 1/fraction over
-            # ANY dense stripe walk — same statistic as the
-            # single-matrix dispatch
-            from stormtpu.kernels.clustered import clustered_work_fraction
-
-            wf = clustered_work_fraction(bm, cfg)
-            if wf is not None and wf < cfg.clustered_work_fraction_threshold:
-                kernel = "clustered"
-    if kernel not in ("mxu", "dense", "xla_int8", "xla_popcount",
-                      "clustered", "sparse_outer"):
-        # an unknown string would silently run the k1-dense branch below
-        raise ValueError(
-            f"unknown kernel {kernel!r}; want 'auto' or one of "
-            f"('mxu', 'dense', 'xla_int8', 'xla_popcount', 'clustered', "
-            f"'sparse_outer')"
-        )
+    kernel = _resolve_stream_kernel(bm, kernel, cfg)
     if kernel == "sparse_outer":
         # forced request (auto only picks this when HAVE_NATIVE): without
         # the native tier the walk dies mid-run on an opaque np.nonzero —
@@ -1434,15 +1452,18 @@ def extend_streamed_matrix(
             f"appended; shrinking needs a fresh directory)"
         )
     cfg = config or default_config()
-    tile_moduli = [cfg.k1_tile_rows, cfg.k2_tile_rows]
-    if mesh is not None:
-        tile_moduli.append(len(mesh.devices.ravel()) * 8)
-    bad = [t for t in tile_moduli if sb % t]
-    if bad:
+    if mesh is None:
+        # predict the walk's kernel with the walk's own policy so the
+        # modulus check matches exactly what the resumed run will round by
+        resolved = _resolve_stream_kernel(bm, kernel, cfg)
+        mod = _stream_tile_modulus(resolved, cfg)
+    else:
+        mod = len(mesh.devices.ravel()) * 8
+    if sb % mod:
         raise ValueError(
             f"extend: superblock_rows={sb} is not a multiple of the "
-            f"active tile geometry {bad} — the resumed walk would "
-            f"re-round it and misalign reused stripe files"
+            f"resumed walk's tile geometry ({mod}) — it would re-round "
+            f"and misalign reused stripe files"
         )
     old_fp = old.get("content")
     if old_fp is not None and old_n:

@@ -301,3 +301,25 @@ def test_cli_hist(tmp_path, rng):
             z["row_sums"],
             c.astype(np.int64).sum(axis=1) - np.diag(c).astype(np.int64),
         )
+
+
+def test_cli_stream_extend(tmp_path, rng):
+    """stream --extend grows an existing directory to a larger panel,
+    exact vs numpy."""
+    from stormtpu.stream import load_streamed_matrix
+
+    n_old, n_new, m = 40, 90, 1024
+    dense = (rng.random((n_new, m)) < 0.3).astype(np.uint8)
+    old_file = tmp_path / "old.npy"
+    new_file = tmp_path / "new.npy"
+    np.save(old_file, dense[:n_old])
+    np.save(new_file, dense)
+    out_dir = tmp_path / "stripes"
+    assert main(["stream", "--in", str(old_file), "--out-dir", str(out_dir),
+                 "--superblock", "32"]) == 0
+    assert main(["stream", "--in", str(new_file), "--out-dir", str(out_dir),
+                 "--extend"]) == 0
+    np.testing.assert_array_equal(
+        load_streamed_matrix(str(out_dir)),
+        dense.astype(np.int64) @ dense.T,
+    )

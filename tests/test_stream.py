@@ -512,11 +512,12 @@ def test_extend_streamed_matrix_refusals(tmp_path):
         extend_streamed_matrix(
             BitMatrix.from_dense(np.zeros((70, 601), np.uint8)), out,
             config=_small_cfg(), interpret=True)
-    # incompatible tile geometry (sb=16 not a multiple of 32-row tiles)
+    # incompatible tile geometry (sb=16 not a multiple of the forced
+    # mxu kernel's 32-row tiles)
     with pytest.raises(ValueError, match="tile geometry"):
         extend_streamed_matrix(
-            bm_new, out, config=EngineConfig(k2_tile_rows=32),
-            interpret=True)
+            bm_new, out, kernel="mxu",
+            config=EngineConfig(k2_tile_rows=32), interpret=True)
 
 
 def test_extend_streamed_matrix_distributed(tmp_path):
