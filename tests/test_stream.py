@@ -539,3 +539,30 @@ def test_extend_streamed_matrix_distributed(tmp_path):
     assert man["n"] == 64
     got = load_streamed_matrix(out)
     np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
+
+
+def test_extend_streamed_matrix_sparse_outer(tmp_path):
+    """Extend a K4 (COO-stripe) directory: format-mixed reuse — old COO
+    stripes survive, the grown panel's walk re-resolves (still sparse
+    here), result oracle-exact."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.stream import extend_streamed_matrix
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+    rng = np.random.default_rng(175)
+    n_old, n_new, m = 40, 90, 8192
+    dense = np.zeros((n_new, m), dtype=np.uint8)
+    dense[rng.integers(0, n_new, 300), rng.integers(0, m, 300)] = 1
+    out = str(tmp_path / "grow")
+    stream_count_matrix(BitMatrix.from_dense(dense[:n_old]), out,
+                        superblock_rows=32, kernel="sparse_outer",
+                        config=_small_cfg(), compress=False)
+    man = extend_streamed_matrix(BitMatrix.from_dense(dense), out,
+                                 kernel="sparse_outer",
+                                 config=_small_cfg())
+    assert man["n"] == n_new and man["kernel"] == "sparse_outer"
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(
+        got, oracle_count_matrix(BitMatrix.from_dense(dense).packed))
