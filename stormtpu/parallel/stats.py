@@ -219,6 +219,92 @@ def _hist_fn(mesh: Mesh, n_loc: int, n_bins: int, block_rows: int):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _stripe_hist_fn(mesh: Mesh, n_bins: int):
+    """Per-STRIPE histogram partial: one superblock pair's bin counts,
+    rows of the i-slice sharded over the mesh, j-slice replicated —
+    the mesh twin of stream_count_histogram's per-stripe reduction,
+    used by the summary-skipping stripe walk (the ring form computes
+    every pair; this form lets co-empty stripes never touch the mesh)."""
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
+
+    def local_fn(xi, xj, r0, c0, n_real, bw):
+        counts = count_block_auto(xi, xj).astype(jnp.int32)
+        if bit_axis is not None:
+            counts = jax.lax.psum(counts, bit_axis)
+        n_loc = xi.shape[0]
+        row_g = (
+            jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
+            + jax.lax.axis_index(axis) * n_loc + r0
+        )
+        col_g = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 1) + c0
+        valid = (row_g < col_g) & (col_g < n_real)
+        bins = jnp.minimum(counts // bw, jnp.int32(n_bins - 1))
+
+        def one(b, _):
+            h = jnp.sum(jnp.where(valid & (bins == b), 1, 0),
+                        dtype=jnp.int32)
+            return b + jnp.int32(1), h
+
+        _, hist = jax.lax.scan(one, jnp.int32(0), None, length=n_bins)
+        return jax.lax.psum(hist, axis)
+
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis, bit_axis), P(None, bit_axis), P(), P(), P(),
+                      P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def _hist_stripe_walk(bm, occ, sb: int, n_super: int, n_bins: int,
+                      bin_width: int, mesh: Mesh) -> np.ndarray:
+    """Summary-skipping mesh histogram: host-orchestrated superblock
+    stripes (the distributed_stream_count_matrix pattern) — co-empty
+    stripes bin their valid-pair mass to 0 arithmetically without
+    touching the mesh; occupied stripes run one per-stripe shard_map
+    whose D2H is n_bins ints. Pays one dispatch per occupied stripe, so
+    the router only picks it when the skip fraction makes that cheap."""
+    from stormtpu.stream import _host_superblock
+
+    axis = mesh.axis_names[0]
+    bit_axis = bit_axis_of(mesh)
+    rb = mesh.shape[bit_axis] if bit_axis is not None else 1
+    w_pad = round_up(max(bm.n_words, rb), rb)
+    fn = _stripe_hist_fn(mesh, n_bins)
+    a_shard = NamedSharding(mesh, P(axis, bit_axis))
+    b_shard = NamedSharding(mesh, P(None, bit_axis))
+    hist = np.zeros(n_bins, dtype=np.int64)
+    xi_d, xi_idx = None, -1
+    for i in range(n_super):
+        for j in range(i, n_super):
+            vi = max(0, min(bm.n - i * sb, sb))
+            vj = max(0, min(bm.n - j * sb, sb))
+            if not (occ[i] & occ[j]).any():
+                hist[0] += vi * (vi - 1) // 2 if i == j else vi * vj
+                continue
+            if xi_idx != i:
+                xi_d = jax.device_put(
+                    _host_superblock(bm.packed, bm.n, sb, w_pad, i),
+                    a_shard,
+                )
+                xi_idx = i
+            xj_d = jax.device_put(
+                _host_superblock(bm.packed, bm.n, sb, w_pad, j), b_shard
+            )
+            part = np.asarray(
+                fn(xi_d, xj_d, jnp.int32(i * sb), jnp.int32(j * sb),
+                   jnp.int32(bm.n), jnp.int32(bin_width))
+            )
+            hist += part.astype(np.int64)
+    return hist
+
+
 def distributed_count_histogram(
     x: MatrixLike,
     *,
@@ -226,17 +312,33 @@ def distributed_count_histogram(
     bin_width: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     block_rows: int = 512,
+    method: str = "auto",
+    superblock_rows: int = 8192,
 ) -> dict:
-    """Exact histogram of the off-diagonal pair counts C[i<j], computed
-    over the row-sharded square ring — same manifest contract as
+    """Exact histogram of the off-diagonal pair counts C[i<j] on the
+    mesh — same manifest contract as
     :func:`stormtpu.stream.stream_count_histogram` (uniform bins, last
     bin absorbs the tail, mass conservation asserted), value-identical
-    to the single-chip sink (tested)."""
+    to the single-chip sink (tested).
+
+    Two routes (``method="auto"`` picks by the C8 summary):
+
+    - ``"ring"`` — the square ppermute ring, one compiled dispatch for
+      the whole walk; computes every pair.
+    - ``"stripes"`` — host-orchestrated superblock stripes with the C8
+      skip: co-empty stripes bin host-side with zero mesh work, each
+      occupied stripe costs one dispatch. Auto picks it when ≥ half the
+      stripes skip (banded/clustered panels — at the banded N=1M shape
+      that is 8253 of 8256 stripes)."""
     bm = _as_bitmatrix(x)
     if bm.n < 2:
         raise ValueError("count_histogram needs N >= 2 rows")
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
+    if method not in ("auto", "ring", "stripes"):
+        raise ValueError(
+            f"method must be 'auto', 'ring' or 'stripes', got {method!r}"
+        )
     if bin_width is None:
         bin_width = max(1, -(-(bm.m_bits + 1) // n_bins))
     if mesh is None:
@@ -245,6 +347,30 @@ def distributed_count_histogram(
     bit_axis = bit_axis_of(mesh)
     r = mesh.shape[axis]
     rb = mesh.shape[bit_axis] if bit_axis is not None else 1
+
+    if method != "ring" and bm.n and bm.n_words:
+        sb = round_up(max(superblock_rows, r * 8), r * 8)
+        n_pad_s = round_up(bm.n, sb)
+        n_super_s = n_pad_s // sb
+        occ_rows = bm.block_summary(block_bits=128 * 32).astype(bool)
+        occ_pad = np.zeros((n_pad_s, occ_rows.shape[1]), dtype=bool)
+        occ_pad[: bm.n] = occ_rows
+        occ = occ_pad.reshape(n_super_s, sb, -1).any(axis=1)
+        # [S, S]: stripe (i, j) has any co-occupied K-group
+        co = (occ.astype(np.int32) @ occ.T.astype(np.int32)) > 0
+        iu = np.triu_indices(n_super_s)
+        skipped = int((~co[iu]).sum())
+        total_stripes = iu[0].size
+        if method == "stripes" or (
+            n_super_s >= 2 and skipped * 2 >= total_stripes
+        ):
+            hist = _hist_stripe_walk(bm, occ, sb, n_super_s, n_bins,
+                                     bin_width, mesh)
+            return _hist_manifest(bm, mesh, n_bins, bin_width, hist,
+                                  kernel="stripes",
+                                  extra={"superblock_rows": sb,
+                                         "n_super": n_super_s,
+                                         "stripes_skipped": skipped})
 
     block_rows = max(32, min(block_rows, round_up(bm.n, 32)))
     n_pad = round_up(max(bm.n, 1), r * block_rows)
@@ -263,6 +389,12 @@ def distributed_count_histogram(
         fn(x_sharded, jnp.int32(bm.n), jnp.int32(bin_width))
     )  # [R·r, nb, n_bins] int32
     hist = parts.astype(np.int64).sum(axis=(0, 1))
+    return _hist_manifest(bm, mesh, n_bins, bin_width, hist, kernel="ring",
+                          extra={"block_rows": block_rows})
+
+
+def _hist_manifest(bm, mesh: Mesh, n_bins: int, bin_width: int,
+                   hist: np.ndarray, *, kernel: str, extra: dict) -> dict:
     expect = bm.n * (bm.n - 1) // 2
     got = int(hist.sum())
     if got != expect:
@@ -273,12 +405,11 @@ def distributed_count_histogram(
     edges = np.minimum(
         np.arange(n_bins + 1, dtype=np.int64) * bin_width, bm.m_bits + 1
     )
-    return {
+    man = {
         "n": bm.n,
         "m_bits": bm.m_bits,
         "mesh_shape": dict(mesh.shape),
-        "block_rows": block_rows,
-        "kernel": "ring",
+        "kernel": kernel,
         "sink": "histogram",
         "n_bins": n_bins,
         "bin_width": int(bin_width),
@@ -286,3 +417,5 @@ def distributed_count_histogram(
         "hist": hist,
         "pairs": got,
     }
+    man.update(extra)
+    return man

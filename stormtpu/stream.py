@@ -1230,11 +1230,11 @@ def stream_count_histogram(
     zero, so its entire valid-pair mass lands in bin 0 by arithmetic
     (``vi·vj`` pairs, ``vi·(vi−1)/2`` on the diagonal) with zero device
     work. At the banded N=1M rehearsal shape that is 8253 of 8256
-    stripes. (The DISTRIBUTED histogram ring deliberately has no such
-    skip: its whole square ring is one compiled shard_map with
-    fixed-shape ``lax.map`` blocks, so a stripe-granular host decision
-    would need the work-list restructuring the K5 kernel uses — a
-    recorded design trade, not an oversight.)
+    stripes. (The DISTRIBUTED form routes the same way: its ring is one
+    compiled fixed-shape shard_map and cannot skip, so
+    ``distributed_count_histogram(method="auto")`` switches to a
+    host-orchestrated per-stripe walk when ≥ half the stripes are
+    co-empty — parallel/stats.py.)
 
     ``xd`` contract is :func:`stream_count_checksums`'s: device uint32
     [n_pad, w_pad], rows ≥ n zero, words beyond ceil(m_bits/32) zero.

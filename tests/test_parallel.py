@@ -595,3 +595,58 @@ def test_distributed_count_histogram_rejects_small_n(mesh8):
     bm = random_bitmatrix(1, 128, 0.5, seed=95)
     with pytest.raises(ValueError):
         distributed_count_histogram(bm, mesh=mesh8)
+
+
+def test_distributed_count_histogram_stripe_route(mesh8):
+    """Banded group-aligned panel: auto routes to the summary-skipping
+    stripe walk (the r4 C8 skip on the mesh), skips most stripes, and
+    matches the single-chip sink exactly; forcing the ring on the same
+    panel agrees too."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import distributed_count_histogram
+    from stormtpu.stats import count_histogram
+
+    rng = np.random.default_rng(96)
+    n, m = 300, 8192
+    dense = np.zeros((n, m), dtype=np.uint8)
+    dense[:64, :4096] = rng.random((64, 4096)) < 0.3
+    dense[-44:, 4096:] = rng.random((44, 4096)) < 0.3
+    bm = BitMatrix.from_dense(dense)
+
+    want = count_histogram(bm, n_bins=8)
+    got = distributed_count_histogram(bm, n_bins=8, mesh=make_row_mesh(8),
+                                      superblock_rows=64)
+    assert got["kernel"] == "stripes", got["kernel"]
+    assert got["stripes_skipped"] > 0
+    np.testing.assert_array_equal(got["hist"], want["hist"])
+
+    ring = distributed_count_histogram(bm, n_bins=8, mesh=make_row_mesh(8),
+                                       method="ring", block_rows=32)
+    assert ring["kernel"] == "ring"
+    np.testing.assert_array_equal(ring["hist"], want["hist"])
+
+    # forced stripes on a 2-D mesh also agrees
+    from stormtpu.parallel import make_grid_mesh
+
+    got2d = distributed_count_histogram(
+        bm, n_bins=8, mesh=make_grid_mesh(4, 2), method="stripes",
+        superblock_rows=64)
+    assert got2d["kernel"] == "stripes"
+    np.testing.assert_array_equal(got2d["hist"], want["hist"])
+
+    with pytest.raises(ValueError, match="method"):
+        distributed_count_histogram(bm, method="bogus", mesh=mesh8)
+
+
+def test_distributed_count_histogram_forced_stripes_dense(mesh8):
+    """method='stripes' on a dense panel (zero skips): every stripe runs
+    on the mesh, result still exact."""
+    from stormtpu.parallel import distributed_count_histogram
+    from stormtpu.stats import count_histogram
+
+    bm = random_bitmatrix(90, 700, 0.4, seed=97)
+    want = count_histogram(bm, n_bins=6)
+    got = distributed_count_histogram(bm, n_bins=6, mesh=make_row_mesh(8),
+                                      method="stripes", superblock_rows=32)
+    assert got["kernel"] == "stripes" and got["stripes_skipped"] == 0
+    np.testing.assert_array_equal(got["hist"], want["hist"])
