@@ -423,3 +423,11 @@ def test_stats_aggregates_on_device(tpu_backend):
     want_d = np.zeros(16, dtype=np.int64)
     np.add.at(want_d, np.minimum(vals // man_d["bin_width"], 15), 1)
     np.testing.assert_array_equal(man_d["hist"], want_d)
+
+    # the r4 stripe route (per-stripe psum'd bin partials) on the real
+    # chip, forced so it runs even on this dense panel
+    man_s = distributed_count_histogram(bm, n_bins=16, mesh=mesh,
+                                        method="stripes",
+                                        superblock_rows=256)
+    assert man_s["kernel"] == "stripes"
+    np.testing.assert_array_equal(man_s["hist"], want_d)
