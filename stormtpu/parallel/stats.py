@@ -349,7 +349,13 @@ def distributed_count_histogram(
     rb = mesh.shape[bit_axis] if bit_axis is not None else 1
 
     if method != "ring" and bm.n and bm.n_words:
-        sb = round_up(max(superblock_rows, r * 8), r * 8)
+        from stormtpu.stream import cap_hist_superblock
+
+        # per-stripe bin partials are int32 (≤ sb² pairs each) — cap sb
+        # below the overflow bound like the ring route's block halving
+        sb = cap_hist_superblock(
+            round_up(max(superblock_rows, r * 8), r * 8), r * 8
+        )
         n_pad_s = round_up(bm.n, sb)
         n_super_s = n_pad_s // sb
         occ_rows = bm.block_summary(block_bits=128 * 32).astype(bool)

@@ -158,8 +158,16 @@ def count_histogram(
     if bm.n < 2:
         raise ValueError("count_histogram needs N >= 2 rows")
     cfg = config or default_config()
+    from stormtpu.stream import cap_hist_superblock
+
     tile_rows = min(cfg.k2_tile_rows, round_up(max(bm.n, 32), 32))
-    sb = round_up(min(superblock_rows, round_up(bm.n, tile_rows)), tile_rows)
+    # same int32 cap the walk applies — occupancy must be computed at
+    # the walk's post-cap superblock size or the shapes disagree
+    sb = cap_hist_superblock(
+        round_up(min(superblock_rows, round_up(bm.n, tile_rows)),
+                 tile_rows),
+        tile_rows,
+    )
     n_pad = round_up(bm.n, sb)
     w_pad = round_up(bm.n_words, cfg.k2_tile_words)
 

@@ -97,6 +97,23 @@ def require_device_budget(need_bytes: int, what: str, hint: str) -> None:
         )
 
 
+def cap_hist_superblock(sb: int, unit: int) -> int:
+    """Largest multiple of ``unit`` ≤ ``sb`` whose square stays below
+    2³¹ — the histogram sinks accumulate per-stripe bin partials in
+    int32 and a stripe holds up to sb² pairs, so a user-chosen
+    superblock_rows > 46340 would overflow (the ring route halves its
+    block_rows for the same reason; advisor r4). Raises when ``unit``
+    itself is too large to satisfy the bound."""
+    cap = (46340 // unit) * unit  # floor(sqrt(2^31 − 1)) = 46340
+    if cap <= 0:
+        raise ValueError(
+            f"histogram stripe unit {unit} already exceeds the int32 "
+            f"pair-count bound (unit² ≥ 2³¹) — use fewer row shards or "
+            f"the ring route"
+        )
+    return min(max(sb, unit), cap)
+
+
 def _host_superblock(
     packed: np.ndarray, n: int, superblock_rows: int, w_pad: int, i: int
 ) -> np.ndarray:
@@ -712,11 +729,17 @@ class _SparseStripePlan:
         without this the model routed ultra-sparse sb=8192 stripes to the
         dense kernel at N=1M (c_n2·sb² ≈ 1.5 s estimated vs ~0.1 s dense)
         and the whole point of the emission path was lost."""
-        cost_tail = self._c_emit * (self.emissions(i, j) + extra_emissions)
         if emission_path and self.emission_eligible(i, j):
-            cost = cost_tail
+            # stripe_coo materializes the FULL-SQUARE emissions (diagonal
+            # stripes ~2× the triangular count the model was fitted on) —
+            # charge what actually runs, not the triangular walk
+            cost = self._c_emit * (
+                self.emissions_square(i, j) + extra_emissions
+            )
         else:
-            cost = self._c_n2 * self._sb2 + cost_tail
+            cost = self._c_n2 * self._sb2 + self._c_emit * (
+                self.emissions(i, j) + extra_emissions
+            )
         dense = self._est_dense_s + (self._est_upload_s if i != j else 0.0)
         return cost < dense
 
@@ -1257,7 +1280,9 @@ def stream_count_histogram(
     # comparability + the small-n diagonal-tile correctness note there)
     tile_rows = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
     tile_words = cfg.k2_tile_words
-    superblock_rows = round_up(superblock_rows, tile_rows)
+    superblock_rows = cap_hist_superblock(
+        round_up(superblock_rows, tile_rows), tile_rows
+    )
     n_pad, w_pad = xd.shape
     if w_pad % tile_words:
         raise ValueError("xd must be word-padded to a tile_words multiple")
@@ -1452,19 +1477,47 @@ def extend_streamed_matrix(
             f"appended; shrinking needs a fresh directory)"
         )
     cfg = config or default_config()
+    resolved = None
     if mesh is None:
         # predict the walk's kernel with the walk's own policy so the
         # modulus check matches exactly what the resumed run will round by
         resolved = _resolve_stream_kernel(bm, kernel, cfg)
         mod = _stream_tile_modulus(resolved, cfg)
     else:
-        mod = len(mesh.devices.ravel()) * 8
+        # distributed_stream_count_matrix rounds by the ROW axis size
+        # only (multihost.py), not the total device count — a 2-D
+        # [rows × bits] mesh must not spuriously refuse aligned dirs
+        mod = mesh.shape[mesh.axis_names[0]] * 8
     if sb % mod:
         raise ValueError(
             f"extend: superblock_rows={sb} is not a multiple of the "
             f"resumed walk's tile geometry ({mod}) — it would re-round "
             f"and misalign reused stripe files"
         )
+    # stripe-FORMAT compatibility: 'tiles'-format stripe files (clustered
+    # / distributed walks) assemble under the manifest's tile_rows, so a
+    # grown panel that resolves to a different kernel family must not
+    # drop (or silently change) that key while old tiles files remain on
+    # disk — load_streamed_matrix would KeyError, or worse, misassemble
+    # old stripes under a new ti (advisor r4, medium)
+    old_ti = old.get("tile_rows")
+    if resolved == "clustered":
+        from stormtpu.kernels.mxu import k2_tile_shape
+
+        new_ti = k2_tile_shape(cfg, bm.n, bm.n_words)[0]
+        # 'distributed' dirs only ever write EMPTY tiles records (nonzero
+        # stripes there are 'counts'), and empties assemble identically
+        # under any ti — only a genuine clustered→clustered ti change is
+        # a real misassembly hazard
+        if (old_ti is not None and old_ti != new_ti
+                and old.get("kernel") == "clustered"):
+            raise ValueError(
+                f"extend: the grown panel resolves to a clustered walk "
+                f"with tile_rows={new_ti}, but the directory's existing "
+                f"tiles-format stripes were written at tile_rows="
+                f"{old_ti} — the two assemble differently under one "
+                f"manifest; use a fresh directory (or match the config)"
+            )
     old_fp = old.get("content")
     if old_fp is not None and old_n:
         head = BitMatrix.from_packed(
@@ -1493,12 +1546,28 @@ def extend_streamed_matrix(
             distributed_stream_count_matrix,
         )
 
-        return distributed_stream_count_matrix(
+        man = distributed_stream_count_matrix(
             bm, out_dir, superblock_rows=sb, mesh=mesh, config=cfg,
             resume=True, compress=compress, progress=progress,
         )
-    return stream_count_matrix(
-        bm, out_dir, superblock_rows=sb, kernel=kernel, config=cfg,
-        resume=True, compress=compress, interpret=interpret,
-        progress=progress,
+    else:
+        man = stream_count_matrix(
+            bm, out_dir, superblock_rows=sb, kernel=kernel, config=cfg,
+            resume=True, compress=compress, interpret=interpret,
+            progress=progress,
+        )
+    carry = old_ti is not None and man.get("tile_rows") != old_ti and (
+        man.get("tile_rows") is None  # new walk dropped the key entirely
+        # mesh path over a clustered dir: the new tiles records are
+        # empty-only (nonzero distributed stripes are 'counts') and
+        # empties assemble identically under any ti dividing sb, so the
+        # old NONZERO tiles' ti must win. (clustered→clustered ti drift
+        # was refused above; distributed→clustered keeps the NEW ti —
+        # the old empties are the ti-agnostic side there.)
+        or old.get("kernel") == "clustered"
     )
+    if carry:
+        man["tile_rows"] = old_ti
+        with open(man_path, "w") as f:
+            json.dump(man, f, default=int)
+    return man

@@ -67,15 +67,25 @@ def _seed_compilation_cache(cache_dir: str) -> None:
     parent = os.path.dirname(cache_dir) or "."
     os.makedirs(parent, exist_ok=True)
     with tarfile.open(seed) as tf:
-        names = tf.getnames()
+        members = tf.getmembers()
         base = "xla_cache"
-        if not all(n == base or n.startswith(base + "/") or not n
-                   for n in names):
-            return  # unexpected layout: refuse rather than scatter files
+        for m in members:
+            n = m.name
+            # explicit member validation (not just filter='data', which
+            # pre-3.12 tarfile lacks): every entry must live under
+            # xla_cache/ with no traversal components, and be a plain
+            # file or directory — symlinks/devices/hardlinks refused
+            parts = n.split("/")
+            if not (n == base or n.startswith(base + "/")):
+                return  # unexpected layout: refuse rather than scatter
+            if n.startswith("/") or ".." in parts or not (
+                m.isreg() or m.isdir()
+            ):
+                return
         try:
-            tf.extractall(parent, filter="data")
+            tf.extractall(parent, members=members, filter="data")
         except TypeError:  # pragma: no cover - pre-3.12 tarfile
-            tf.extractall(parent)
+            tf.extractall(parent, members=members)
     if os.path.basename(cache_dir) != "xla_cache":
         os.replace(os.path.join(parent, "xla_cache"), cache_dir)
 

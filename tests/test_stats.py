@@ -235,3 +235,19 @@ def test_count_histogram_skip_never_touches_device():
         stream_count_histogram(garbage, n, w_pad * 32, n_bins=8,
                                superblock_rows=sb, config=cfg,
                                occupancy=np.zeros((7, 2), dtype=bool))
+
+
+def test_hist_superblock_int32_cap():
+    """User-chosen superblock_rows above the int32 pair-count bound are
+    clamped (advisor r4): cap_hist_superblock keeps sb² < 2³¹ while
+    preserving the unit multiple; an impossible unit raises."""
+    import pytest
+
+    from stormtpu.stream import cap_hist_superblock
+
+    assert cap_hist_superblock(100_000, 256) == 46336
+    assert cap_hist_superblock(100_000, 256) ** 2 < 2**31
+    assert cap_hist_superblock(4096, 256) == 4096  # untouched below cap
+    assert cap_hist_superblock(8, 16) == 16        # floor at the unit
+    with pytest.raises(ValueError, match="int32"):
+        cap_hist_superblock(100_000, 50_000)

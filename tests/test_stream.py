@@ -566,3 +566,74 @@ def test_extend_streamed_matrix_sparse_outer(tmp_path):
     got = load_streamed_matrix(out)
     np.testing.assert_array_equal(
         got, oracle_count_matrix(BitMatrix.from_dense(dense).packed))
+
+
+def test_extend_clustered_to_mxu_carries_tile_rows(tmp_path):
+    """Kernel-family drift on extend (advisor r4 medium): a clustered
+    directory extended by a walk that resolves to a non-tiles kernel
+    must keep the format-bearing ``tile_rows`` key — old tiles-format
+    stripe files still on disk assemble under it."""
+    import json
+    import os
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream import extend_streamed_matrix
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm_new = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=176)
+    bm_old = BitMatrix.from_packed(
+        np.ascontiguousarray(bm_new.packed[:96]), bm_new.m_bits)
+    out = str(tmp_path / "grow")
+    man0 = stream_count_matrix(bm_old, out, superblock_rows=32,
+                               kernel="clustered", config=CFG,
+                               interpret=True)
+    assert man0["kernel"] == "clustered" and man0["tile_rows"] == 32
+    man = extend_streamed_matrix(bm_new, out, kernel="mxu", config=CFG,
+                                 interpret=True)
+    assert man["kernel"] == "mxu"
+    assert man["tile_rows"] == 32  # carried for the reused tiles stripes
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["tile_rows"] == 32
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
+
+
+def test_extend_clustered_tile_rows_drift_refused(tmp_path):
+    """clustered→clustered extend under a CHANGED k2_tile_rows passes the
+    modulus check but would misassemble old stripes — refused up front."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.stream import extend_streamed_matrix
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    bm_new = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=177)
+    bm_old = BitMatrix.from_packed(
+        np.ascontiguousarray(bm_new.packed[:96]), bm_new.m_bits)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=32,
+                        kernel="clustered", config=CFG, interpret=True)
+    drifted = EngineConfig(k2_tile_rows=16, k2_tile_words=128)
+    with pytest.raises(ValueError, match="tile_rows"):
+        extend_streamed_matrix(bm_new, out, kernel="clustered",
+                               config=drifted, interpret=True)
+
+
+def test_extend_streamed_matrix_2d_mesh_modulus(tmp_path):
+    """2-D [rows × bits] mesh extend rounds by the ROW axis only (advisor
+    r4): a directory aligned to rows·8 must not be refused because the
+    total device count suggests a larger modulus."""
+    import jax
+
+    from stormtpu.parallel.mesh import make_grid_mesh
+    from stormtpu.stream import extend_streamed_matrix
+
+    assert len(jax.devices()) >= 8
+    sb = 16  # multiple of rows·8 = 16, NOT of total·8 = 64
+    bm_old, bm_new, _ = _grown_panel(32, 64, 512, 0.35, seed=178)
+    out = str(tmp_path / "grow")
+    stream_count_matrix(bm_old, out, superblock_rows=sb,
+                        config=_small_cfg(), interpret=True)
+    man = extend_streamed_matrix(bm_new, out, mesh=make_grid_mesh(2, 4),
+                                 config=_small_cfg())
+    assert man["n"] == 64
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))

@@ -263,3 +263,51 @@ def test_compile_cache_seed_unpack(tmp_path, monkeypatch):
     target2 = tmp_path / "cachehome2" / "mycache"
     backend._seed_compilation_cache(str(target2))
     assert (target2 / "jit_foo-abc-cache").exists()
+
+
+def test_compile_cache_seed_rejects_hostile_members(tmp_path, monkeypatch):
+    """Member validation is explicit (advisor r4): traversal names and
+    symlink members in a tampered seed tarball are refused outright —
+    nothing is extracted, on any Python version."""
+    import io
+    import tarfile
+
+    import stormtpu.utils.backend as backend
+
+    real_join = backend.os.path.join
+
+    def make_seed(path, entries):
+        with tarfile.open(path, "w:gz") as tf:
+            for name, kind in entries:
+                if kind == "sym":
+                    info = tarfile.TarInfo(name)
+                    info.type = tarfile.SYMTYPE
+                    info.linkname = "/etc/passwd"
+                    tf.addfile(info)
+                else:
+                    data = io.BytesIO(b"x")
+                    info = tarfile.TarInfo(name)
+                    info.size = 1
+                    tf.addfile(info, data)
+
+    for entries in (
+        [("xla_cache/../../evil", "reg")],   # traversal inside prefix
+        [("xla_cache/link", "sym")],          # symlink member
+        [("/abs/path", "reg")],               # absolute
+        [("other_dir/file", "reg")],          # wrong layout
+    ):
+        seed = tmp_path / f"seed_{len(entries[0][0])}" / "xla_cache_seed.tar.gz"
+        seed.parent.mkdir(exist_ok=True)
+        make_seed(seed, entries)
+
+        def fake_join(*parts, _s=str(seed)):
+            if parts[-2:] == ("data", "xla_cache_seed.tar.gz"):
+                return _s
+            return real_join(*parts)
+
+        monkeypatch.setattr(backend.os.path, "join", fake_join)
+        target = tmp_path / f"cache_{seed.parent.name}" / "xla_cache"
+        backend._seed_compilation_cache(str(target))
+        assert not target.exists()
+        evil = tmp_path / "evil"
+        assert not evil.exists()
