@@ -106,7 +106,12 @@ def distributed_count_row_sums(
     r = mesh.shape[axis]
     rb = mesh.shape[bit_axis] if bit_axis is not None else 1
 
-    cc = distributed_column_counts(bm, mesh=mesh).astype(np.int64)
+    # cached like any device operand: fixed for an immutable BitMatrix,
+    # and recomputing it costs a full panel's worth of device dispatches
+    cc = bm.device_cached(
+        ("dcc", mesh),
+        lambda: distributed_column_counts(bm, mesh=mesh),
+    ).astype(np.int64)
     sums = bm.row_nnz.astype(np.int64)
     if bm.n == 0 or cc.size == 0:
         return np.zeros(bm.n, dtype=np.int64)
@@ -123,22 +128,37 @@ def distributed_count_row_sums(
         p_shard = NamedSharding(mesh, P(None, bit_axis))
         acc = np.zeros(n_pad, dtype=np.int64)
         w = bm.n_words
+        # device-resident chunk reuse (VERDICT r4 #3): a second call must
+        # upload nothing — through the ~39 MB/s relay the re-upload was
+        # hours at spec scale for an O(N) result. Budgeted ×2 because
+        # distributed_column_counts keeps its own sharded copy.
+        from stormtpu.stream import _device_operand_budget
+
+        cache_ok = 2 * n_pad * w * 4 <= _device_operand_budget()
         for c0 in range(0, w, chunk_words):
-            wc = round_up(min(chunk_words, w - c0), rb)
-            chunk = np.zeros((n_pad, wc), dtype=np.uint32)
-            chunk[: bm.n, : min(chunk_words, w - c0)] = bm.packed[
-                :, c0 : c0 + chunk_words
-            ]
-            p_chunk = np.zeros((t_planes, wc), dtype=np.uint32)
-            p_chunk[:, : min(chunk_words, w - c0)] = planes[
-                :, c0 : c0 + chunk_words
-            ]
-            part = fetch_global(
-                fn(
-                    jax.device_put(chunk, x_shard),
-                    jax.device_put(p_chunk, p_shard),
-                )
-            ).astype(np.int64)
+            wr = min(chunk_words, w - c0)  # real words this chunk
+            wc = round_up(wr, rb)
+
+            def build_x(c0=c0, wr=wr, wc=wc):
+                chunk = np.zeros((n_pad, wc), dtype=np.uint32)
+                chunk[: bm.n, :wr] = bm.packed[:, c0 : c0 + wr]
+                return jax.device_put(chunk, x_shard)
+
+            def build_p(c0=c0, wr=wr, wc=wc):
+                p_chunk = np.zeros((t_planes, wc), dtype=np.uint32)
+                p_chunk[:, :wr] = planes[:, c0 : c0 + wr]
+                return jax.device_put(p_chunk, p_shard)
+
+            if cache_ok:
+                xd = bm.device_cached(
+                    ("rs_chunk", mesh, n_pad, c0, wc), build_x)
+                # planes derive from the column counts — fixed for an
+                # immutable BitMatrix, so they cache with it
+                pd = bm.device_cached(
+                    ("rs_planes", mesh, t_planes, c0, wc), build_p)
+            else:
+                xd, pd = build_x(), build_p()
+            part = fetch_global(fn(xd, pd)).astype(np.int64)
             acc += (part << shifts).sum(axis=0)
         sums += acc[: bm.n]
     if not include_self:
@@ -272,6 +292,8 @@ def _hist_stripe_walk(bm, occ, sb: int, n_super: int, n_bins: int,
     the router only picks it when the skip fraction makes that cheap."""
     from stormtpu.stream import _host_superblock
 
+    from collections import OrderedDict
+
     axis = mesh.axis_names[0]
     bit_axis = bit_axis_of(mesh)
     rb = mesh.shape[bit_axis] if bit_axis is not None else 1
@@ -281,6 +303,23 @@ def _hist_stripe_walk(bm, occ, sb: int, n_super: int, n_bins: int,
     b_shard = NamedSharding(mesh, P(None, bit_axis))
     hist = np.zeros(n_bins, dtype=np.int64)
     xi_d, xi_idx = None, -1
+    # small j-slice LRU (VERDICT r4 weak #3): without it each
+    # j-superblock re-uploads up to n_super times per walk on clustered
+    # panels; two resident slices is the streaming driver's budget
+    xj_cache: OrderedDict[int, jax.Array] = OrderedDict()
+
+    def get_xj(j: int) -> jax.Array:
+        if j in xj_cache:
+            xj_cache.move_to_end(j)
+            return xj_cache[j]
+        buf = jax.device_put(
+            _host_superblock(bm.packed, bm.n, sb, w_pad, j), b_shard
+        )
+        xj_cache[j] = buf
+        if len(xj_cache) > 2:
+            xj_cache.popitem(last=False)
+        return buf
+
     for i in range(n_super):
         for j in range(i, n_super):
             vi = max(0, min(bm.n - i * sb, sb))
@@ -294,11 +333,8 @@ def _hist_stripe_walk(bm, occ, sb: int, n_super: int, n_bins: int,
                     a_shard,
                 )
                 xi_idx = i
-            xj_d = jax.device_put(
-                _host_superblock(bm.packed, bm.n, sb, w_pad, j), b_shard
-            )
             part = np.asarray(
-                fn(xi_d, xj_d, jnp.int32(i * sb), jnp.int32(j * sb),
+                fn(xi_d, get_xj(j), jnp.int32(i * sb), jnp.int32(j * sb),
                    jnp.int32(bm.n), jnp.int32(bin_width))
             )
             hist += part.astype(np.int64)

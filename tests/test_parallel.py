@@ -650,3 +650,77 @@ def test_distributed_count_histogram_forced_stripes_dense(mesh8):
                                       method="stripes", superblock_rows=32)
     assert got["kernel"] == "stripes" and got["stripes_skipped"] == 0
     np.testing.assert_array_equal(got["hist"], want["hist"])
+
+
+def _count_device_puts(monkeypatch):
+    import jax as _jax
+
+    real = _jax.device_put
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(_jax, "device_put", counting)
+    return calls
+
+
+def test_distributed_row_sums_second_call_uploads_nothing(monkeypatch):
+    """Device-resident chunk reuse (VERDICT r4 #3): the sharded operand
+    chunks and bit-plane masks cache on the BitMatrix, so a repeat call
+    performs ZERO device_put uploads."""
+    from stormtpu.parallel import distributed_count_row_sums
+    from stormtpu.stats import count_row_sums
+
+    bm = random_bitmatrix(41, 9000, 0.4, seed=86)
+    mesh = make_row_mesh(4)
+    calls = _count_device_puts(monkeypatch)
+    want = count_row_sums(bm)
+    got1 = distributed_count_row_sums(bm, mesh=mesh, chunk_words=64)
+    np.testing.assert_array_equal(got1, want)
+    first = calls["n"]
+    assert first > 0
+    got2 = distributed_count_row_sums(bm, mesh=mesh, chunk_words=64)
+    np.testing.assert_array_equal(got2, want)
+    assert calls["n"] == first, "second call re-uploaded operands"
+
+
+def test_distributed_row_sums_streams_above_budget(monkeypatch):
+    """Above the operand budget the chunks are NOT cached (HBM stays
+    bounded) — uploads repeat, results stay exact."""
+    from stormtpu.parallel import distributed_count_row_sums
+    from stormtpu.stats import count_row_sums
+
+    monkeypatch.setenv("STORMTPU_DEVICE_OPERAND_BUDGET_BYTES", "1024")
+    bm = random_bitmatrix(30, 4000, 0.3, seed=87)
+    mesh = make_row_mesh(2)
+    calls = _count_device_puts(monkeypatch)
+    got1 = distributed_count_row_sums(bm, mesh=mesh, chunk_words=32)
+    first = calls["n"]
+    got2 = distributed_count_row_sums(bm, mesh=mesh, chunk_words=32)
+    # streamed: the big chunk uploads repeat; only the (tiny, host-side)
+    # column-counts result stays cached — one fewer put the second time
+    assert calls["n"] == 2 * first - 1
+    np.testing.assert_array_equal(got1, count_row_sums(bm))
+    np.testing.assert_array_equal(got1, got2)
+
+
+def test_distributed_histogram_stripes_jslice_lru(monkeypatch):
+    """The stripe walk keeps ≤2 j-slices resident (VERDICT r4 weak #3):
+    on a fully-occupied 3-superblock panel the walk performs exactly
+    3 xi + 3 xj uploads (j-slices hit the LRU on later rows) instead of
+    re-uploading xj for every one of the 6 stripes."""
+    from stormtpu.parallel import distributed_count_histogram
+    from stormtpu.stats import count_histogram
+
+    bm = random_bitmatrix(48, 700, 0.4, seed=88)
+    mesh = make_row_mesh(2)
+    want = count_histogram(bm, n_bins=8)
+    calls = _count_device_puts(monkeypatch)
+    got = distributed_count_histogram(bm, n_bins=8, mesh=mesh,
+                                      method="stripes",
+                                      superblock_rows=16)
+    assert got["kernel"] == "stripes" and got["n_super"] == 3
+    np.testing.assert_array_equal(got["hist"], want["hist"])
+    assert calls["n"] == 6, f"expected 6 uploads, saw {calls['n']}"
