@@ -30,7 +30,9 @@ echo "=== 3. on-device failure-mode suite ==="
 STORMTPU_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_device.py -q || fail=1
 
 echo "=== 4. bench (driver contract; verified-before-report) ==="
-timeout 7200 python bench.py | tail -1 || fail=1
+# canonical run: ONLY this script may write bench_details.json (driver
+# or ad-hoc runs write dated side files and cannot clobber the record)
+timeout 7200 env STORMTPU_BENCH_CANONICAL=1 python bench.py | tail -1 || fail=1
 
 if [ "$fail" -ne 0 ]; then
   echo "TPU-RETURN CHECKS FINISHED WITH FAILURES - inspect output above"

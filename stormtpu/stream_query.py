@@ -48,6 +48,8 @@ __all__ = [
     "stream_topk_neighbors",
     "stream_pairs_above",
     "stream_pairs_above_complete",
+    "extend_stream_topk_neighbors",
+    "extend_stream_pairs_above",
 ]
 
 # stripe kernels these queries accept (resolved from "auto" by
@@ -97,6 +99,22 @@ def _resolve_stripe_config(
     n_pad = round_up(bm.n, sb)
     return (cfg, kernel, bool(interpret), ti, wk, sb, variant, w_pad,
             n_pad, n_pad // sb)
+
+
+def _walk_resolution(bm, superblock_rows, kernel, config, interpret, *,
+                     bitmap):
+    """Resolution + sparse-mode + the store-params kernel name, in ONE
+    home so the extend wrappers (r5) predict the resumed walk's geometry
+    and manifest exactly. Returns (resolution tuple, sparse?, name)."""
+    requested = kernel
+    res = _resolve_stripe_config(
+        bm, superblock_rows,
+        "auto" if kernel == "sparse_outer" else kernel,
+        config, interpret, bitmap=bitmap)
+    cfg, resolved = res[0], res[1]
+    sparse = _sparse_mode_for(bm, requested, cfg)
+    name = f"sparse_outer+{resolved}" if sparse else resolved
+    return res, sparse, name
 
 
 class _StripeStore:
@@ -394,12 +412,41 @@ def _merge_topk(
     cand_i: np.ndarray,
     k: int,
 ) -> None:
-    """Keep the k best of (current best ∪ candidates) per row, in place."""
+    """Keep the k best of (current best ∪ candidates) per row, in place.
+
+    Deduplicates by PARTNER index (keeping the best-valued copy), which
+    makes the merge idempotent: re-merging a stripe's candidates cannot
+    seat the same partner twice in a row's top-k. Normal walks never
+    produce duplicates (stripes rank disjoint partner ranges), but the
+    extend path (r5) re-merges stripes touching the old partial
+    superblock whose real-row candidates already sit in the running
+    best. Fill entries (−1 counts / −inf measures) never collapse —
+    each gets a unique surrogate key."""
     cv = np.concatenate([best_v[sl], cand_v], axis=1)
     ci = np.concatenate([best_i[sl], cand_i], axis=1)
-    sel = np.argpartition(-cv, k - 1, axis=1)[:, :k]
-    best_v[sl] = np.take_along_axis(cv, sel, axis=1)
-    best_i[sl] = np.take_along_axis(ci, sel, axis=1)
+    # value-desc first (stable) so the best copy of each partner leads
+    order = np.argsort(-cv, axis=1, kind="stable")
+    cv = np.take_along_axis(cv, order, axis=1)
+    ci = np.take_along_axis(ci, order, axis=1)
+    fill = (cv < 0) if cv.dtype.kind == "i" else np.isneginf(cv)
+    w = cv.shape[1]
+    key = np.where(fill, -(np.arange(w, dtype=np.int64)[None, :] + 1),
+                   ci.astype(np.int64))
+    korder = np.argsort(key, axis=1, kind="stable")
+    ks = np.take_along_axis(key, korder, axis=1)
+    dup_sorted = np.zeros_like(fill)
+    dup_sorted[:, 1:] = ks[:, 1:] == ks[:, :-1]
+    dup = np.zeros_like(fill)
+    np.put_along_axis(dup, korder, dup_sorted, axis=1)
+    if dup.any():
+        cv = np.where(dup, cv.dtype.type(-1) if cv.dtype.kind == "i"
+                      else -np.inf, cv)
+        ci = np.where(dup, 0, ci)
+        order2 = np.argsort(-cv, axis=1, kind="stable")
+        cv = np.take_along_axis(cv, order2, axis=1)
+        ci = np.take_along_axis(ci, order2, axis=1)
+    best_v[sl] = cv[:, :k]
+    best_i[sl] = ci[:, :k]
 
 
 def _sparse_mode_for(bm: BitMatrix, requested: str, cfg) -> bool:
@@ -651,6 +698,226 @@ def _topk_ckpt_params(bm: BitMatrix, k: int, sb: int, kernel: str) -> dict:
             "content": _content_fingerprint(bm)}
 
 
+def _screen_store_params(bm: BitMatrix, sb: int, kernel_name: str,
+                         measure: str, threshold: float) -> dict:
+    return {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
+            "kernel": kernel_name, "measure": measure,
+            "threshold": float(threshold),
+            "content": _content_fingerprint(bm)}
+
+
+def _check_extend_head(bm: BitMatrix, old_n: int, old_fp: str,
+                       what: str) -> None:
+    """Shared extend safety net (stream.extend_streamed_matrix's rule):
+    the grown panel's first old_n rows must fingerprint-match the panel
+    the directory was computed from, or reuse splices two matrices."""
+    if bm.n < old_n:
+        raise ValueError(
+            f"{what}: N={bm.n} < directory's n={old_n} (rows can only "
+            f"be appended; shrinking needs a fresh directory)"
+        )
+    head = BitMatrix.from_packed(
+        np.ascontiguousarray(bm.packed[:old_n]), bm.m_bits
+    )
+    if _content_fingerprint(head) != old_fp:
+        raise ValueError(
+            f"{what}: the first rows differ from the panel this "
+            f"directory was computed from (content fingerprint "
+            f"mismatch) — reusing its results would splice two "
+            f"different matrices"
+        )
+
+
+def extend_stream_topk_neighbors(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grow a COMPLETED ``stream_topk_neighbors(out_dir=...)`` run to
+    ``bm``'s larger row count without redoing the old quadratic work
+    (r5 — VERDICT r4 #4; the counts-walk ``extend_streamed_matrix``
+    argument applied to the query users actually run at scale).
+
+    The checkpoint's running best is exact for every pair wholly inside
+    the old COMPLETE superblocks, so the extended walk merges only the
+    stripes with a new-region (or old-partial) side: old rows rescore
+    only against new partners; pair work ≈ old·new + new²/2 instead of
+    (old+new)²/2. Stale candidates whose partner index was zero padding
+    in the old run are reset first, and ``_merge_topk``'s dedup-by-
+    partner makes the partial-superblock re-merge idempotent.
+
+    ``k``, ``measure`` and the superblock geometry come from the
+    checkpoint; the resolved walk must round to the same superblock or
+    the reuse is refused. An interrupted EXTEND resumes by calling this
+    again with the same panel (the checkpoint's ``extend_from`` key
+    pins it — a plain resume would re-merge old stripes). Returns the
+    same (values, indices) as ``stream_topk_neighbors``.
+    """
+    import json
+    import os
+
+    ckpt = os.path.join(out_dir, "topk_ckpt.npz")
+    with np.load(ckpt, allow_pickle=False) as z:
+        old = json.loads(str(z["params"]))
+        best_v = np.array(z["best_v"])
+        best_i = np.array(z["best_i"])
+        next_i = int(z["next_i"])
+    old_n = int(old["n"])
+    k = int(old["k"])
+    sb_old = int(old["superblock_rows"])
+    measure = old.get("measure", "count")
+    if bm.m_bits != old["m_bits"]:
+        raise ValueError(
+            f"extend: m_bits {bm.m_bits} != checkpoint's "
+            f"{old['m_bits']} — a changed universe invalidates the best"
+        )
+    if (old.get("extend_from") is not None and old_n == bm.n
+            and old["content"] == _content_fingerprint(bm)):
+        # the checkpoint IS an interrupted extend of this very panel:
+        # resume it (sanitization already happened when it started)
+        return stream_topk_neighbors(
+            bm, k, superblock_rows=sb_old, kernel=kernel, measure=measure,
+            config=config, interpret=interpret, out_dir=out_dir,
+            resume=True, _extend_from=int(old["extend_from"]))
+    _check_extend_head(bm, old_n, old["content"], "extend")
+    n_super_old = round_up(old_n, sb_old) // sb_old
+    if next_i < n_super_old:
+        raise ValueError(
+            f"extend: the checkpoint is an INCOMPLETE run "
+            f"(next_i={next_i} of {n_super_old} rows) — resume it to "
+            f"completion first (stream_topk_neighbors(out_dir=...))"
+        )
+    (res, _sparse, kernel_name) = _walk_resolution(
+        bm, sb_old, kernel, config, interpret, bitmap=False)
+    sb, n_pad_new = res[5], res[8]
+    if sb != sb_old:
+        raise ValueError(
+            f"extend: the resumed walk rounds superblock_rows to {sb}, "
+            f"not the checkpoint's {sb_old} — the running best would "
+            f"misalign; match the config/kernel"
+        )
+    fill = best_v.dtype.type(-1) if best_v.dtype.kind == "i" else -np.inf
+    # partners at index >= old_n were zero padding when the best was
+    # computed — their recorded values are stale now that those rows
+    # hold data
+    stale = best_i >= old_n
+    best_v = np.where(stale, fill, best_v)
+    best_i = np.where(stale, 0, best_i)
+    # rows at/above old_n were padding themselves: full reset
+    best_v[old_n:] = fill
+    best_i[old_n:] = 0
+    if n_pad_new > best_v.shape[0]:
+        grow = n_pad_new - best_v.shape[0]
+        best_v = np.concatenate(
+            [best_v, np.full((grow, k), fill, dtype=best_v.dtype)])
+        best_i = np.concatenate(
+            [best_i, np.zeros((grow, k), dtype=best_i.dtype)])
+    params = _topk_ckpt_params(bm, k, sb, kernel_name)
+    if measure != "count":
+        params["measure"] = measure
+    params["extend_from"] = old_n
+    tmp = ckpt + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, params=json.dumps(params), best_v=best_v,
+                 best_i=best_i, next_i=0)
+    os.replace(tmp, ckpt)
+    return stream_topk_neighbors(
+        bm, k, superblock_rows=sb, kernel=kernel, measure=measure,
+        config=config, interpret=interpret, out_dir=out_dir, resume=True,
+        _extend_from=old_n)
+
+
+def extend_stream_pairs_above(
+    bm: BitMatrix,
+    out_dir: str,
+    *,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grow a COMPLETED ``stream_pairs_above(out_dir=...)`` directory to
+    ``bm``'s larger row count, reusing every per-stripe hit file wholly
+    inside the old complete superblocks (r5 — VERDICT r4 #4).
+
+    A hit file's content depends only on its two row superblocks (hits
+    are exact integer counts plus positions — kernel-independent), so
+    appending rows invalidates nothing in the unchanged range: stripes
+    touching the old PARTIAL last superblock are deleted and recomputed
+    (their zero-padded rows now hold data); stripes with a new-region
+    side are computed fresh. ``measure``/``threshold``/superblock come
+    from the manifest; the resolved walk must round to the same
+    superblock. Returns the same (ii, jj, values) as
+    ``stream_pairs_above``.
+    """
+    import json
+    import os
+
+    man_path = os.path.join(out_dir, "screen_manifest.json")
+    with open(man_path) as f:
+        old = json.load(f)
+    old_n = int(old["n"])
+    sb_old = int(old["superblock_rows"])
+    measure = old["measure"]
+    threshold = old["threshold"]
+    if bm.m_bits != old["m_bits"]:
+        raise ValueError(
+            f"extend: m_bits {bm.m_bits} != directory's {old['m_bits']}"
+            f" — a changed universe invalidates every stripe"
+        )
+    extending = not (old_n == bm.n
+                     and old["content"] == _content_fingerprint(bm))
+    if extending:
+        _check_extend_head(bm, old_n, old["content"], "extend")
+    (res, _sparse, kernel_name) = _walk_resolution(
+        bm, sb_old, kernel, config, interpret, bitmap=True)
+    sb = res[5]
+    if sb != sb_old:
+        raise ValueError(
+            f"extend: the resumed walk rounds superblock_rows to {sb}, "
+            f"not the directory's {sb_old} — reused hit files would "
+            f"misalign; match the config/kernel"
+        )
+    if extending:
+        n_super_old = round_up(old_n, sb) // sb
+        missing = [
+            (i, j)
+            for i in range(n_super_old)
+            for j in range(i, n_super_old)
+            if not os.path.exists(
+                os.path.join(out_dir, f"hits_{i:05d}_{j:05d}.npz"))
+        ]
+        if missing:
+            raise ValueError(
+                f"extend: the directory is an INCOMPLETE run "
+                f"({len(missing)} stripe files missing, e.g. "
+                f"{missing[0]}) — resume it to completion first "
+                f"(stream_pairs_above(out_dir=...))"
+            )
+        if old_n % sb:
+            # the old last superblock was partial: its zero-padded rows
+            # now hold data, so every hit file touching it is stale
+            last = old_n // sb
+            for i in range(n_super_old):
+                for j in range(i, n_super_old):
+                    if i == last or j == last:
+                        p = os.path.join(out_dir,
+                                         f"hits_{i:05d}_{j:05d}.npz")
+                        if os.path.exists(p):
+                            os.remove(p)
+        params = _screen_store_params(bm, sb, kernel_name, measure,
+                                      threshold)
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, man_path)
+    return stream_pairs_above(
+        bm, threshold, measure=measure, superblock_rows=sb, kernel=kernel,
+        config=config, interpret=interpret, out_dir=out_dir, resume=True)
+
+
 def stream_topk_neighbors(
     bm: BitMatrix,
     k: int,
@@ -662,6 +929,7 @@ def stream_topk_neighbors(
     interpret: Optional[bool] = None,
     out_dir: Optional[str] = None,
     resume: bool = True,
+    _extend_from: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row top-k partners by exact intersection count at streaming
     scale (N bounded by host RAM, not HBM). Returns (counts int32 [N, k],
@@ -707,14 +975,11 @@ def stream_topk_neighbors(
 
     if not 1 <= k < max(bm.n, 2):
         raise ValueError(f"k must be in [1, N-1], got k={k}, N={bm.n}")
-    requested = kernel
-    (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
-     n_super) = _resolve_stripe_config(
-        bm, superblock_rows,
-        "auto" if kernel == "sparse_outer" else kernel,
-        config, interpret, bitmap=False)
+    ((cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
+      n_super), sparse_mode, kernel_name) = _walk_resolution(
+        bm, superblock_rows, kernel, config, interpret, bitmap=False)
     plan = None
-    if _sparse_mode_for(bm, requested, cfg):
+    if sparse_mode:
         from stormtpu.stream import _SparseStripePlan
 
         plan = _SparseStripePlan(bm, sb, n_super)
@@ -736,10 +1001,17 @@ def stream_topk_neighbors(
     best_i = np.zeros((n_pad, k), dtype=np.int32)
     start_i = 0
     ckpt = os.path.join(out_dir, "topk_ckpt.npz") if out_dir else None
-    params = _topk_ckpt_params(
-        bm, k, sb, f"sparse_outer+{kernel}" if plan is not None else kernel)
+    params = _topk_ckpt_params(bm, k, sb, kernel_name)
     if measure != "count":
         params["measure"] = measure
+    # an extending walk skips stripes wholly inside the old COMPLETE
+    # superblocks (their candidates already sit in the running best);
+    # the key rides in params so an interrupted extend can only be
+    # resumed as an extend — a plain resume would re-merge old stripes
+    j_skip = 0
+    if _extend_from is not None:
+        params["extend_from"] = int(_extend_from)
+        j_skip = int(_extend_from) // sb
     if ckpt and resume and os.path.exists(ckpt):
         with np.load(ckpt, allow_pickle=False) as z:
             got = json.loads(str(z["params"]))
@@ -819,6 +1091,8 @@ def stream_topk_neighbors(
     for i in range(start_i, n_super):
         dirty = False
         for j in range(i, n_super):
+            if j < j_skip:
+                continue  # both superblocks inside the old complete range
             if occ_sb is not None and not (occ_sb[i] & occ_sb[j]).any():
                 # C8 summary skip: every count in this stripe is exactly
                 # zero. For count and the nonnegative measures zero-count
@@ -956,6 +1230,17 @@ def stream_topk_neighbors(
                 np.savez(f, params=json.dumps(params), best_v=best_v,
                          best_i=best_i, next_i=i + 1)
             os.replace(tmp, ckpt)
+    if ckpt and start_i < n_super:
+        # completion marker: trailing summary-skipped rows write no
+        # per-row checkpoint, so without this a finished walk's ckpt can
+        # end with next_i < n_super — the extend wrapper needs an
+        # unambiguous "all stripes merged" signal (and a re-run of a
+        # finished directory becomes a no-op walk)
+        tmp = ckpt + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, params=json.dumps(params), best_v=best_v,
+                     best_i=best_i, next_i=n_super)
+        os.replace(tmp, ckpt)
     best_v = best_v[: bm.n]
     best_i = best_i[: bm.n]
     order = np.argsort(-best_v, axis=1, kind="stable")
@@ -1069,14 +1354,11 @@ def stream_pairs_above(
     )
 
     dev_thresh = _validate_screen(measure, threshold)
-    requested = kernel
-    (cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
-     n_super) = _resolve_stripe_config(
-        bm, superblock_rows,
-        "auto" if kernel == "sparse_outer" else kernel,
-        config, interpret, bitmap=True)
+    ((cfg, kernel, interpret, ti, wk, sb, variant, w_pad, n_pad,
+      n_super), sparse_mode, kernel_name) = _walk_resolution(
+        bm, superblock_rows, kernel, config, interpret, bitmap=True)
     plan = None
-    if _sparse_mode_for(bm, requested, cfg):
+    if sparse_mode:
         from stormtpu.stream import _SparseStripePlan
 
         plan = _SparseStripePlan(bm, sb, n_super)
@@ -1091,10 +1373,7 @@ def stream_pairs_above(
     out_c: list[np.ndarray] = []
     store = _StripeStore(
         out_dir, "screen_manifest.json", "hits_",
-        {"n": bm.n, "m_bits": bm.m_bits, "superblock_rows": sb,
-         "kernel": f"sparse_outer+{kernel}" if plan is not None else kernel,
-         "measure": measure, "threshold": float(threshold),
-         "content": _content_fingerprint(bm)},
+        _screen_store_params(bm, sb, kernel_name, measure, threshold),
         resume,
     )
 

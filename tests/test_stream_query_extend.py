@@ -1,0 +1,283 @@
+"""Panel growth for the streaming QUERY checkpoints (r5 — VERDICT r4
+#4): extend_stream_pairs_above reuses per-stripe hit files inside the
+old complete range; extend_stream_topk_neighbors rescores old rows only
+against new-partner stripes off the sanitized running best."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stormtpu.config import EngineConfig
+from stormtpu.layout import BitMatrix
+from stormtpu.oracle import oracle_count_matrix
+from stormtpu.stream_query import (
+    extend_stream_pairs_above,
+    extend_stream_topk_neighbors,
+    stream_pairs_above,
+    stream_topk_neighbors,
+)
+
+
+def _small_cfg():
+    return EngineConfig(
+        k1_tile_rows=8, k1_tile_words=128, k2_tile_rows=8, k2_tile_words=8
+    )
+
+
+def _grown(n_old, n_new, m, density, seed):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n_new, m)) < density).astype(np.uint8)
+    return (BitMatrix.from_dense(dense[:n_old]),
+            BitMatrix.from_dense(dense), dense)
+
+
+# ----------------------------------------------------------------- screen
+
+def test_extend_screen_partial_superblock(tmp_path, monkeypatch):
+    """Grow past a PARTIAL old superblock: complete-range hit files are
+    reused untouched (mtimes), partial-touching ones recomputed, result
+    equals a from-scratch run on the grown panel."""
+    import stormtpu.stream_query as sq
+
+    # sb=32 after the bitmap lcm rounding; old 72 rows -> superblocks
+    # {0,1} complete, 2 partial
+    bm_old, bm_new, _ = _grown(72, 120, 600, 0.3, seed=121)
+    out = str(tmp_path / "scr")
+    stream_pairs_above(bm_old, 30, superblock_rows=32, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=out)
+    kept = {}
+    for i in range(3):
+        for j in range(i, 3):
+            kept[(i, j)] = os.path.getmtime(
+                os.path.join(out, f"hits_{i:05d}_{j:05d}.npz"))
+    want = stream_pairs_above(bm_new, 30, superblock_rows=32,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True)
+    got = extend_stream_pairs_above(bm_new, out, kernel="dense",
+                                    config=_small_cfg(), interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    for (i, j), t in kept.items():
+        now = os.path.getmtime(os.path.join(out, f"hits_{i:05d}_{j:05d}.npz"))
+        if i == 2 or j == 2:
+            assert now != t, (i, j)
+        else:
+            assert now == t, (i, j)
+
+
+def test_extend_screen_aligned_reuses_everything(tmp_path, monkeypatch):
+    """Aligned old n: zero stripes recomputed inside the old range — the
+    stripe-screen call count proves it."""
+    import stormtpu.stream_query as sq
+
+    bm_old, bm_new, _ = _grown(64, 128, 600, 0.3, seed=122)
+    out = str(tmp_path / "scr")
+    stream_pairs_above(bm_old, 30, superblock_rows=32, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=out)
+    real = sq._stripe_screen
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_screen", counting)
+    got = extend_stream_pairs_above(bm_new, out, kernel="dense",
+                                    config=_small_cfg(), interpret=True)
+    # new panel: 4 superblocks -> 10 stripes; 3 wholly-old reused
+    assert calls["n"] == 7
+    want = stream_pairs_above(bm_new, 30, superblock_rows=32,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_extend_screen_measure_threshold_from_manifest(tmp_path):
+    """measure/threshold ride the manifest — the extended run filters
+    with the original screen parameters."""
+    bm_old, bm_new, _ = _grown(64, 100, 600, 0.3, seed=123)
+    out = str(tmp_path / "scr")
+    stream_pairs_above(bm_old, 0.22, measure="jaccard",
+                       superblock_rows=32, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=out)
+    got = extend_stream_pairs_above(bm_new, out, kernel="dense",
+                                    config=_small_cfg(), interpret=True)
+    want = stream_pairs_above(bm_new, 0.22, measure="jaccard",
+                              superblock_rows=32, kernel="dense",
+                              config=_small_cfg(), interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_extend_screen_refusals(tmp_path):
+    bm_old, bm_new, dense = _grown(72, 120, 600, 0.3, seed=124)
+    out = str(tmp_path / "scr")
+    stream_pairs_above(bm_old, 30, superblock_rows=32, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=out)
+    # tampered head
+    tampered = dense.copy()
+    tampered[3, :9] ^= 1
+    with pytest.raises(ValueError, match="fingerprint"):
+        extend_stream_pairs_above(BitMatrix.from_dense(tampered), out,
+                                  kernel="dense", config=_small_cfg(),
+                                  interpret=True)
+    # shrinking
+    with pytest.raises(ValueError, match="appended"):
+        extend_stream_pairs_above(BitMatrix.from_dense(dense[:40]), out,
+                                  kernel="dense", config=_small_cfg(),
+                                  interpret=True)
+    # incomplete directory
+    os.remove(os.path.join(out, "hits_00000_00001.npz"))
+    with pytest.raises(ValueError, match="INCOMPLETE"):
+        extend_stream_pairs_above(bm_new, out, kernel="dense",
+                                  config=_small_cfg(), interpret=True)
+
+
+# ------------------------------------------------------------------ topk
+
+def _check_topk(bm, vals, idx, k):
+    c = oracle_count_matrix(bm.packed).astype(np.int64)
+    np.fill_diagonal(c, -1)
+    want = np.maximum(-np.sort(-c, axis=1)[:, :k], 0)
+    np.testing.assert_array_equal(vals, want)
+    for r in range(bm.n):
+        for t in range(k):
+            if vals[r, t] > 0:
+                assert c[r, idx[r, t]] == vals[r, t]
+                assert idx[r, t] != r
+    # top-k partners must be distinct where values are real
+    for r in range(bm.n):
+        real = idx[r][vals[r] > 0]
+        assert len(set(real.tolist())) == real.size, r
+
+
+def test_extend_topk_partial_superblock(tmp_path, monkeypatch):
+    """Grow past a partial old superblock: old rows rescore only against
+    new-partner stripes (call count), stale padded-partner candidates
+    are reset, the partial re-merge cannot seat a partner twice, and
+    values equal a from-scratch run."""
+    import stormtpu.stream_query as sq
+
+    bm_old, bm_new, _ = _grown(40, 100, 600, 0.3, seed=125)
+    out = str(tmp_path / "tk")
+    stream_topk_neighbors(bm_old, 5, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True,
+                          out_dir=out)
+    real = sq._stripe_topk
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_topk", counting)
+    vals, idx = extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                             config=_small_cfg(),
+                                             interpret=True)
+    # new: 7 superblocks of 16 (100->112) -> 28 stripes; wholly inside
+    # the old COMPLETE range (superblocks 0,1): 3 skipped
+    total = 7 * 8 // 2
+    assert calls["n"] == total - 3
+    _check_topk(bm_new, vals, idx, 5)
+
+
+def test_extend_topk_aligned(tmp_path):
+    bm_old, bm_new, _ = _grown(48, 96, 600, 0.35, seed=126)
+    out = str(tmp_path / "tk")
+    stream_topk_neighbors(bm_old, 4, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True,
+                          out_dir=out)
+    vals, idx = extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                             config=_small_cfg(),
+                                             interpret=True)
+    _check_topk(bm_new, vals, idx, 4)
+
+
+def test_extend_topk_measure(tmp_path):
+    """Measure route (jaccard): float64 best carries across the extend."""
+    bm_old, bm_new, _ = _grown(48, 80, 600, 0.35, seed=127)
+    out = str(tmp_path / "tk")
+    stream_topk_neighbors(bm_old, 3, superblock_rows=16, kernel="dense",
+                          measure="jaccard", config=_small_cfg(),
+                          interpret=True, out_dir=out)
+    vals, idx = extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                             config=_small_cfg(),
+                                             interpret=True)
+    want_v, _ = stream_topk_neighbors(bm_new, 3, superblock_rows=16,
+                                      kernel="dense", measure="jaccard",
+                                      config=_small_cfg(), interpret=True)
+    np.testing.assert_array_equal(vals, want_v)
+
+
+def test_extend_topk_interrupted_extend_resumes(tmp_path, monkeypatch):
+    """An extend interrupted mid-walk resumes through the wrapper (the
+    extend_from key pins the skip set); a PLAIN resume of the same
+    checkpoint is refused — it would re-merge old stripes."""
+    import stormtpu.stream_query as sq
+
+    bm_old, bm_new, _ = _grown(48, 112, 600, 0.3, seed=128)
+    out = str(tmp_path / "tk")
+    stream_topk_neighbors(bm_old, 5, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True,
+                          out_dir=out)
+    real = sq._stripe_topk
+    calls = {"n": 0, "fail_at": 6}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == calls["fail_at"]:
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_topk", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                     config=_small_cfg(), interpret=True)
+    # a plain resume refuses the extend checkpoint
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_topk_neighbors(bm_new, 5, superblock_rows=16,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True, out_dir=out)
+    calls["fail_at"] = 10**9
+    vals, idx = extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                             config=_small_cfg(),
+                                             interpret=True)
+    _check_topk(bm_new, vals, idx, 5)
+
+
+def test_extend_topk_refusals(tmp_path, monkeypatch):
+    import stormtpu.stream_query as sq
+
+    bm_old, bm_new, dense = _grown(40, 80, 600, 0.3, seed=129)
+    out = str(tmp_path / "tk")
+    # an INCOMPLETE base run must refuse extend
+    real = sq._stripe_topk
+    calls = {"n": 0}
+
+    def crash_late(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("boom")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_topk", crash_late)
+    with pytest.raises(RuntimeError):
+        stream_topk_neighbors(bm_old, 5, superblock_rows=16,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True, out_dir=out)
+    monkeypatch.setattr(sq, "_stripe_topk", real)
+    with pytest.raises(ValueError, match="INCOMPLETE"):
+        extend_stream_topk_neighbors(bm_new, out, kernel="dense",
+                                     config=_small_cfg(), interpret=True)
+    # finish the base run, then tamper the head
+    stream_topk_neighbors(bm_old, 5, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True,
+                          out_dir=out)
+    tampered = dense.copy()
+    tampered[1, :7] ^= 1
+    with pytest.raises(ValueError, match="fingerprint"):
+        extend_stream_topk_neighbors(BitMatrix.from_dense(tampered), out,
+                                     kernel="dense", config=_small_cfg(),
+                                     interpret=True)
