@@ -443,3 +443,145 @@ def test_scale_rehearsal_n1m_sparse_queries(tmp_path):
     print(f"[scale1m] sparse queries: topk {wall_topk:.1f}s, "
           f"screen {wall_screen:.1f}s, peak RSS {_rss_mb():.0f} MB, "
           f"{len(want)} true pairs")
+
+
+def test_scale_rehearsal_n1m_sparse_aggregate_stats(tmp_path):
+    """r5 (VERDICT r4 #1/#7): the aggregate sinks at N=1,048,576 extreme
+    sparsity. count_histogram auto-routes to the K4 COO-stripe binning
+    (every stripe host-side; the old dense-only sink would walk 8256 MXU
+    stripes) and count_row_sums rides the O(nnz) positions route — both
+    exact against an independent per-column co-occurrence expectation."""
+    import time
+    from collections import defaultdict
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.stats import count_histogram, count_row_sums
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+
+    n, m, sb = 1_048_576, 512, 8192
+    rng = np.random.default_rng(16180)
+    nnz = 52_000
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, m, nnz)
+    bm = BitMatrix.from_positions(rows, cols, n, m)
+
+    # independent expectation: per-column co-occurrence (strict pairs)
+    want: dict = defaultdict(int)
+    by_col = defaultdict(list)
+    dedup = set(zip(rows.tolist(), cols.tolist()))
+    for r, c in dedup:
+        by_col[c].append(r)
+    for c, rs in by_col.items():
+        rs.sort()
+        for x in range(len(rs)):
+            for y in range(x + 1, len(rs)):
+                want[(rs[x], rs[y])] += 1
+
+    n_bins = 8
+    t0 = time.time()
+    man = count_histogram(bm, n_bins=n_bins, bin_width=1,
+                          superblock_rows=sb, method="auto")
+    wall_hist = time.time() - t0
+    assert man["kernel"] == "sparse_outer", man["kernel"]
+    assert man["stripe_kernels"]["dense"] == 0
+    want_h = np.zeros(n_bins, dtype=np.int64)
+    for v in want.values():
+        want_h[min(v, n_bins - 1)] += 1
+    want_h[0] = n * (n - 1) // 2 - sum(want_h[1:])
+    np.testing.assert_array_equal(man["hist"], want_h)
+
+    t0 = time.time()
+    sums = count_row_sums(bm)
+    wall_rs = time.time() - t0
+    # brute expectation for sampled rows: partner dict + the self term
+    partners = defaultdict(int)
+    for (a, b), v in want.items():
+        partners[a] += v
+        partners[b] += v
+    row_nnz = defaultdict(int)
+    for r, _ in dedup:
+        row_nnz[r] += 1
+    hot = sorted(partners, key=lambda r: -partners[r])[:16]
+    for r in hot + [int(x) for x in rng.choice(list(row_nnz), 32)]:
+        assert sums[r] == partners[r] + row_nnz[r], r
+    # rows with no set bits sum to exactly zero
+    zero_rows = [r for r in range(0, n, 65537) if r not in row_nnz]
+    assert not sums[zero_rows].any()
+    print(f"[scale1m] sparse aggregates: hist {wall_hist:.1f}s "
+          f"(all-K4, {len(want)} nonzero pairs), row_sums {wall_rs:.1f}s, "
+          f"peak RSS {_rss_mb():.0f} MB")
+
+
+def test_scale_rehearsal_n1m_banded_aggregate_stats(tmp_path):
+    """r5 (VERDICT r4 #7): the aggregate sinks at N=1,048,576 on the
+    banded panel — the mesh histogram auto-routes to the C8 stripes walk
+    (8253 of 8256 stripes skipped), the host row sums ride the positions
+    route, and the mesh row-sums twin agrees — all exact against an
+    independent popcount/bincount expectation over the two bands."""
+    import time
+    from collections import defaultdict
+
+    import jax
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import make_row_mesh
+    from stormtpu.parallel.stats import (
+        distributed_count_histogram,
+        distributed_count_row_sums,
+    )
+    from stormtpu.stats import count_row_sums
+
+    assert len(jax.devices()) >= 8
+    n, m, sb = 1_048_576, 512, 8192
+    packed = _banded_packed(n, m // 32, sb, seed=31337)
+    bm = BitMatrix.from_packed(packed, m_bits=m)
+    band_rows = np.concatenate([np.arange(sb), np.arange(n - sb, n)])
+    band = packed[band_rows]
+
+    n_bins = 16
+    t0 = time.time()
+    man = distributed_count_histogram(
+        bm, n_bins=n_bins, mesh=make_row_mesh(8), superblock_rows=sb)
+    wall_hist = time.time() - t0
+    assert man["kernel"] == "stripes", man["kernel"]
+    n_super = n // sb
+    assert man["stripes_skipped"] == n_super * (n_super + 1) // 2 - 3
+    # independent expectation: exact pair counts over the 16384 band
+    # rows via unpack + float32 matmul (counts <= 512 < 2^24, exact),
+    # chunked; everything else counts 0 -> bin 0
+    unpacked = np.unpackbits(
+        band.view(np.uint8), axis=1, bitorder="little").astype(np.float32)
+    bw = man["bin_width"]
+    want_h = np.zeros(n_bins, dtype=np.int64)
+    nb = band.shape[0]
+    for r0 in range(0, nb, 2048):
+        c = (unpacked[r0 : r0 + 2048] @ unpacked.T).astype(np.int64)
+        # strict upper triangle in BAND-LOCAL order (band_rows is
+        # globally sorted, so local i<j iff global i<j)
+        li = np.arange(r0, min(r0 + 2048, nb))[:, None]
+        lj = np.arange(nb)[None, :]
+        vals = c[li < lj]
+        want_h += np.bincount(
+            np.minimum(vals // bw, n_bins - 1), minlength=n_bins)
+    want_h[0] += n * (n - 1) // 2 - nb * (nb - 1) // 2
+    np.testing.assert_array_equal(man["hist"], want_h)
+
+    t0 = time.time()
+    sums = count_row_sums(bm)
+    wall_rs = time.time() - t0
+    rng = np.random.default_rng(9)
+    for r in map(int, rng.choice(band_rows, 32, replace=False)):
+        want = int(np.bitwise_count(band & packed[r]).sum())
+        assert sums[r] == want, r
+    assert not sums[sb : n - sb].any()
+
+    t0 = time.time()
+    dsums = distributed_count_row_sums(bm, mesh=make_row_mesh(8))
+    wall_drs = time.time() - t0
+    np.testing.assert_array_equal(dsums, sums)
+    print(f"[scale1m] banded aggregates: mesh hist {wall_hist:.1f}s "
+          f"(3 occupied stripes), row_sums host {wall_rs:.1f}s / mesh "
+          f"{wall_drs:.1f}s, peak RSS {_rss_mb():.0f} MB")

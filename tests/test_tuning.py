@@ -311,3 +311,22 @@ def test_compile_cache_seed_rejects_hostile_members(tmp_path, monkeypatch):
         assert not target.exists()
         evil = tmp_path / "evil"
         assert not evil.exists()
+
+
+def test_shipped_cache_seed_bounded():
+    """The repo-shipped compile-cache seed must stay bounded (advisor/
+    VERDICT r4: it grew 24→56 MB in one round unpruned; tpu_return.sh
+    step 5 now packs only the entries its flows actually load). Ceiling
+    tracks the post-prune size plus headroom — if this trips, re-run the
+    round-end script rather than raising the limit."""
+    import os
+
+    seed = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "stormtpu", "data", "xla_cache_seed.tar.gz",
+    )
+    if not os.path.exists(seed):
+        import pytest
+
+        pytest.skip("no shipped seed")
+    assert os.path.getsize(seed) <= 60 << 20
