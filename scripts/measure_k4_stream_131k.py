@@ -134,6 +134,42 @@ def main() -> None:
                    stripe_kernels=man["stripe_kernels"],
                    samples_verified=checked)
 
+        if "--hist" in sys.argv:
+            # r5 (VERDICT r4 #1 done-criterion): the density-adaptive
+            # histogram at this shape must cost ~the K4 walk, not the
+            # dense stripe walk's est. hours — and match the histogram
+            # DERIVED from the counts walk's own stripes exactly
+            from stormtpu.stats import count_histogram
+            from stormtpu.stream import stripe_path
+
+            t0 = time.time()
+            hman = count_histogram(bm, n_bins=8, bin_width=1,
+                                   superblock_rows=SB, method="auto")
+            t_hist = time.time() - t0
+            assert hman["kernel"] == "sparse_outer", hman["kernel"]
+            want_h = np.zeros(8, dtype=np.int64)
+            nz_pairs = 0
+            for i, j in man["completed"]:
+                with np.load(stripe_path(td, i, j)) as z:
+                    if "coo_i" in z.files:
+                        ci, cj, cv = z["coo_i"], z["coo_j"], z["coo_v"]
+                    else:
+                        s = z["counts"]
+                        ci, cj = np.nonzero(s)
+                        cv = s[ci, cj]
+                if i == j:
+                    cv = cv[ci < cj]
+                np.add.at(want_h, np.minimum(cv, 7), 1)
+                nz_pairs += cv.size
+            want_h[0] += N * (N - 1) // 2 - nz_pairs
+            np.testing.assert_array_equal(hman["hist"], want_h)
+            print(f"count_histogram (auto→sparse): {t_hist:.1f} s, "
+                  f"exact vs the counts-walk-derived oracle "
+                  f"({nz_pairs} nonzero pairs)", flush=True)
+            out.update(hist_s=t_hist,
+                       hist_stripe_kernels=hman["stripe_kernels"],
+                       hist_exact_vs_counts_walk=True)
+
     if "--topk" in sys.argv:
         from stormtpu.stream_query import stream_topk_neighbors
 

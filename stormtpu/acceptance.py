@@ -444,6 +444,114 @@ def _config4_full_stream(log) -> dict:
     }
 
 
+def _config4_aggregate_stats(log) -> dict:
+    """r5 (VERDICT r4 #2): the aggregate sinks at the primary spec shape
+    on device. The 100k×1M-bit histogram runs the device-resident stripe
+    walk on the same generated panel as ``_config4_full_stream`` (same
+    tile compute, so its cost ≈ the checksum walk's ~55 s). Verification:
+    the built-in mass-conservation assert; a SECOND walk at double the
+    bin width whose bins must equal the first's pairwise sums exactly
+    (deterministic counts + consistent binning across two executions);
+    and a binomial-location sanity (C ~ Binomial(10⁶, ¼) on this panel —
+    the mass must sit in the two bins the normal model picks). Per-value
+    exactness of the executable itself is pinned by the device smoke
+    (test_tpu_device.test_stats_aggregates_on_device). Row sums run the
+    HOST bit-plane route at the same shape on an independent host panel,
+    brute-verified on sampled rows."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from stormtpu.config import default_config
+    from stormtpu.stream import stream_count_histogram
+    from stormtpu.utils import round_up
+
+    n, m = 100_000, 1_000_000
+    sb = 4096
+    w = -(-m // 32)
+    cfg = default_config()
+    n_pad = round_up(n, sb)
+    w_pad = round_up(w, cfg.k2_tile_words)
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.bits(key, (n_pad, w_pad), dtype=jnp.uint32)
+        row_ok = jnp.arange(n_pad)[:, None] < n
+        col_ok = jnp.arange(w_pad)[None, :] < w
+        return jnp.where(row_ok & col_ok, x, jnp.uint32(0))
+
+    xd = gen(jax.random.key(4))
+    xd.block_until_ready()
+    n_bins = 64
+    t0 = time.time()
+    man = stream_count_histogram(
+        xd, n, m, n_bins=n_bins, superblock_rows=sb,
+        progress=lambda d, t: (d % 50 == 0 or d == t)
+        and log(f"  [config4/hist] stripe {d}/{t}"),
+    )
+    dt_hist = time.time() - t0
+    bw = man["bin_width"]
+    t0 = time.time()
+    man2 = stream_count_histogram(
+        xd, n, m, n_bins=n_bins // 2, bin_width=2 * bw,
+        superblock_rows=sb,
+    )
+    dt_hist2 = time.time() - t0
+    np.testing.assert_array_equal(
+        man2["hist"], man["hist"][0::2] + man["hist"][1::2],
+        err_msg="doubled-bin-width cross-check: the two walks disagree",
+    )
+    # binomial location: the panel is uniform random bits, so C[ij] ~
+    # Binomial(m, 1/4); with bw ≈ 36σ essentially all mass sits in the
+    # two bins straddling μ = 250k, split per the normal CDF
+    mu, sigma = m / 4, math.sqrt(m * 3 / 16)
+    pairs = n * (n - 1) // 2
+
+    def cdf(x):
+        return 0.5 * (1 + math.erf((x - mu) / (sigma * math.sqrt(2))))
+
+    for b in range(n_bins):
+        p = cdf((b + 1) * bw) - cdf(b * bw)
+        got = man["hist"][b] / pairs
+        assert abs(got - p) < 0.02, (b, got, p)
+    log(f"[config4] 100k×1M histogram on device: {dt_hist:.1f} s "
+        f"(+{dt_hist2:.1f} s half-width cross-check), mass + cross-sum + "
+        f"binomial-location verified")
+    del xd
+
+    # row sums at spec shape, HOST route (independent host panel; the
+    # device matrix cannot come down the ~0.15 GB/s relay)
+    from stormtpu import BitMatrix
+    from stormtpu.stats import count_row_sums
+
+    packed = _random_packed(n, w, seed=104)
+    bm = BitMatrix.from_packed(packed, m_bits=m)
+    t0 = time.time()
+    sums = count_row_sums(bm)
+    dt_rs = time.time() - t0
+    rng = np.random.default_rng(41)
+    for r in map(int, rng.integers(0, n, 3)):
+        acc = 0
+        for c0 in range(0, n, 8192):
+            acc += int(
+                np.bitwise_count(packed[c0 : c0 + 8192] & packed[r])
+                .sum(dtype=np.int64)
+            )
+        assert sums[r] == acc, r
+    log(f"[config4] 100k×1M row sums (host bit-plane route): {dt_rs:.1f} s, "
+        f"3 rows brute-verified")
+    del packed, bm
+    return {
+        "hist_seconds": dt_hist,
+        "hist_crosscheck_seconds": dt_hist2,
+        "hist_n_bins": n_bins,
+        "hist_verified": "mass+half-width-cross-sum+binomial-location",
+        "row_sums_seconds": dt_rs,
+        "row_sums_verified": "3 rows brute popcount",
+    }
+
+
 def config4_mxu_stream(full: bool, log) -> dict:
     """Density-adaptive tiled XXᵀ on (100k if full else 8k) × 1M bits,
     single chip MXU path with superblock streaming (B:10) — C would be
@@ -489,6 +597,7 @@ def config4_mxu_stream(full: bool, log) -> dict:
     if is_tpu_backend():
         result.update(_config4_spec_rate(log))
         result["full_stream"] = _config4_full_stream(log)
+        result["aggregate_stats"] = _config4_aggregate_stats(log)
     return result
 
 

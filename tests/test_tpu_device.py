@@ -431,3 +431,58 @@ def test_stats_aggregates_on_device(tpu_backend):
                                         superblock_rows=256)
     assert man_s["kernel"] == "stripes"
     np.testing.assert_array_equal(man_s["hist"], want_d)
+
+    # r5 density-adaptive single-chip routes (new traced path: the
+    # two-slice pair histogram with global-offset scalars)
+    man_os = count_histogram(bm, n_bins=16, superblock_rows=256,
+                             method="streamed", interpret=False)
+    assert man_os["operand_streaming"] is True
+    np.testing.assert_array_equal(man_os["hist"], want)
+
+    from stormtpu.native import HAVE_NATIVE
+
+    if HAVE_NATIVE:
+        # K4 COO binning with the live cost model on an ultra-sparse
+        # panel — expectation from per-column co-occurrence (no oracle
+        # matrix at this N)
+        from collections import defaultdict
+
+        ns, ms = 4000, 65536
+        rows = rng.integers(0, ns, 3000)
+        cols = rng.integers(0, ms, 3000)
+        bms = BitMatrix.from_positions(rows, cols, ns, ms)
+        man_k4 = count_histogram(bms, n_bins=16, bin_width=1,
+                                 superblock_rows=256, method="sparse",
+                                 interpret=False)
+        pair: dict = defaultdict(int)
+        by_col = defaultdict(list)
+        for r_, c_ in set(zip(rows.tolist(), cols.tolist())):
+            by_col[c_].append(r_)
+        for c_, rs_ in by_col.items():
+            rs_.sort()
+            for x in range(len(rs_)):
+                for y in range(x + 1, len(rs_)):
+                    pair[(rs_[x], rs_[y])] += 1
+        want_k4 = np.zeros(16, dtype=np.int64)
+        for v in pair.values():
+            want_k4[min(v, 15)] += 1
+        want_k4[0] = ns * (ns - 1) // 2 - want_k4[1:].sum()
+        np.testing.assert_array_equal(man_k4["hist"], want_k4)
+
+    # K5 work-list binning on a block-clustered panel
+    nb_, mb_ = 512, 65536
+    dense_c = np.zeros((nb_, mb_), dtype=np.uint8)
+    for b in range(4):
+        r0, r1 = b * 128, (b + 1) * 128
+        c0, c1 = b * 16384, (b + 1) * 16384
+        dense_c[r0:r1, c0:c1] = rng.random((128, 16384)) < 0.3
+    bmc = BitMatrix.from_dense(dense_c)
+    man_k5 = count_histogram(bmc, n_bins=16, superblock_rows=256,
+                             method="clustered", interpret=False)
+    assert man_k5["kernel"] == "clustered"
+    cc_ = oracle_count_matrix(bmc.packed)
+    iuc = np.triu_indices(nb_, k=1)
+    vc = cc_[iuc].astype(np.int64)
+    want_k5 = np.zeros(16, dtype=np.int64)
+    np.add.at(want_k5, np.minimum(vc // man_k5["bin_width"], 15), 1)
+    np.testing.assert_array_equal(man_k5["hist"], want_k5)
