@@ -178,9 +178,10 @@ def cmd_hist(args: argparse.Namespace) -> int:
     _log(f"loaded {bm}")
     man = count_histogram(
         bm, n_bins=args.bins, bin_width=args.bin_width,
-        superblock_rows=args.superblock,
+        superblock_rows=args.superblock, method=args.method,
         progress=lambda d, t: _log(f"stripe {d}/{t}"),
     )
+    _log(f"route: {man['kernel']}")
     payload = {
         "hist": man["hist"],
         "bin_edges": man["bin_edges"],
@@ -211,6 +212,11 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
+    if args.extend and not (args.stream and args.ckpt_dir):
+        raise SystemExit(
+            "--extend requires --stream and --ckpt-dir (the completed "
+            "run to grow; k/measure/superblock ride its checkpoint)"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -220,6 +226,10 @@ def cmd_topk(args: argparse.Namespace) -> int:
         _log(f"against panel {panel}")
         vals, idx = cross_topk_neighbors(bm, panel, args.k,
                                          measure=args.measure)
+    elif args.stream and args.extend:
+        from stormtpu.stream_query import extend_stream_topk_neighbors
+
+        vals, idx = extend_stream_topk_neighbors(bm, args.ckpt_dir)
     elif args.stream:
         from stormtpu.stream_query import stream_topk_neighbors
 
@@ -249,6 +259,17 @@ def cmd_screen(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
+    if args.extend and not (args.stream and args.ckpt_dir):
+        raise SystemExit(
+            "--extend requires --stream and --ckpt-dir (the completed "
+            "run to grow; measure/threshold/superblock ride its "
+            "manifest)"
+        )
+    if args.threshold is None and not args.extend:
+        raise SystemExit(
+            "--threshold is required (except with --extend, where it "
+            "rides the directory's manifest)"
+        )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
     if args.against:
@@ -259,6 +280,10 @@ def cmd_screen(args: argparse.Namespace) -> int:
         ii, jj, vals = cross_pairs_above(
             bm, panel, args.threshold, measure=args.measure
         )
+    elif args.stream and args.extend:
+        from stormtpu.stream_query import extend_stream_pairs_above
+
+        ii, jj, vals = extend_stream_pairs_above(bm, args.ckpt_dir)
     elif args.stream:
         from stormtpu.stream_query import stream_pairs_above
 
@@ -272,8 +297,9 @@ def cmd_screen(args: argparse.Namespace) -> int:
 
         ii, jj, vals = pairs_above(bm, args.threshold, measure=args.measure)
     np.savez(args.out, ii=ii, jj=jj, values=vals)
-    _log(f"wrote {args.out}: {ii.size} pairs with {args.measure} >= "
-         f"{args.threshold}")
+    desc = ("the manifest's screen" if args.extend
+            else f"{args.measure} >= {args.threshold}")
+    _log(f"wrote {args.out}: {ii.size} pairs with {desc}")
     if args.print_pairs:
         for a, b, v in zip(ii[: args.print_pairs], jj[: args.print_pairs],
                            vals[: args.print_pairs]):
@@ -417,6 +443,11 @@ def main(argv=None) -> int:
                     help="override the uniform bin width (default covers "
                     "[0, m_bits] in --bins bins)")
     sp.add_argument("--superblock", type=int, default=4096)
+    sp.add_argument("--method", default="auto",
+                    choices=("auto", "dense", "streamed", "sparse",
+                             "clustered"),
+                    help="density route; auto dispatches like the "
+                    "streaming count walk (r5)")
     sp.add_argument("--row-sums", action="store_true",
                     help="also write exact per-row count-sum marginals "
                     "(self term excluded; O(N*M) identity, no pair walk)")
@@ -441,6 +472,10 @@ def main(argv=None) -> int:
     sp.add_argument("--superblock", type=int, default=4096)
     sp.add_argument("--ckpt-dir", default="",
                     help="with --stream: checkpoint/resume directory")
+    sp.add_argument("--extend", action="store_true",
+                    help="grow a COMPLETED --ckpt-dir run to this "
+                    "larger panel, rescoring old rows only against new "
+                    "partners (k/measure come from the checkpoint)")
     sp.set_defaults(fn=cmd_topk)
 
     sp = sub.add_parser(
@@ -450,7 +485,8 @@ def main(argv=None) -> int:
     sp.add_argument("--in", dest="infile", required=True,
                     help="matrix file (.npz from save_bitmatrix or COO; dense .npy)")
     sp.add_argument("--out", required=True, help="output .npz (ii, jj, values)")
-    sp.add_argument("--threshold", type=float, required=True)
+    sp.add_argument("--threshold", type=float, default=None,
+                    help="hit threshold (required unless --extend)")
     sp.add_argument("--measure", default="count",
                     choices=("count", "jaccard", "dice", "cosine",
                              "overlap", "phi", "r2"))
@@ -464,6 +500,10 @@ def main(argv=None) -> int:
     sp.add_argument("--superblock", type=int, default=4096)
     sp.add_argument("--ckpt-dir", default="",
                     help="with --stream: per-stripe hit files, resumable")
+    sp.add_argument("--extend", action="store_true",
+                    help="grow a COMPLETED --ckpt-dir run to this "
+                    "larger panel, reusing old-range hit files "
+                    "(measure/threshold come from the manifest)")
     sp.set_defaults(fn=cmd_screen)
 
     sp = sub.add_parser(

@@ -1,6 +1,7 @@
 """CLI harness: sweep verifies and prints, count round-trips files."""
 
 import numpy as np
+import pytest
 
 from stormtpu.cli import main
 
@@ -323,3 +324,72 @@ def test_cli_stream_extend(tmp_path, rng):
         load_streamed_matrix(str(out_dir)),
         dense.astype(np.int64) @ dense.T,
     )
+
+
+def test_cli_hist_method(tmp_path, rng):
+    """hist --method routes explicitly (streamed here) and stays exact."""
+    n, m = 60, 1024
+    dense = (rng.random((n, m)) < 0.3).astype(np.uint8)
+    f = tmp_path / "x.npy"
+    np.save(f, dense)
+    out = tmp_path / "h.npz"
+    assert main(["hist", "--in", str(f), "--out", str(out),
+                 "--bins", "8", "--superblock", "32",
+                 "--method", "streamed"]) == 0
+    with np.load(out) as z:
+        hist = z["hist"]
+        edges = z["bin_edges"]
+    C = dense.astype(np.int64) @ dense.T
+    iu = np.triu_indices(n, 1)
+    bw = int(edges[1] - edges[0])
+    want = np.bincount(np.minimum(C[iu] // bw, 7), minlength=8)
+    np.testing.assert_array_equal(hist, want)
+
+
+def test_cli_query_extend(tmp_path, rng):
+    """screen/topk --stream --ckpt-dir --extend grow a completed run;
+    parameters ride the stored manifest/checkpoint."""
+    n_old, n_new, m = 40, 80, 1024
+    dense = (rng.random((n_new, m)) < 0.3).astype(np.uint8)
+    old_f, new_f = tmp_path / "old.npy", tmp_path / "new.npy"
+    np.save(old_f, dense[:n_old])
+    np.save(new_f, dense)
+    C = dense.astype(np.int64) @ dense.T
+
+    d = tmp_path / "scr"
+    out = tmp_path / "s.npz"
+    assert main(["screen", "--in", str(old_f), "--out", str(out),
+                 "--threshold", "60", "--stream", "--superblock", "32",
+                 "--ckpt-dir", str(d)]) == 0
+    assert main(["screen", "--in", str(new_f), "--out", str(out),
+                 "--stream", "--superblock", "32", "--ckpt-dir", str(d),
+                 "--extend"]) == 0
+    with np.load(out) as z:
+        ii, jj, vv = z["ii"], z["jj"], z["values"]
+    iu = np.triu_indices(n_new, 1)
+    keep = C[iu] >= 60
+    np.testing.assert_array_equal(ii, iu[0][keep])
+    np.testing.assert_array_equal(jj, iu[1][keep])
+    np.testing.assert_array_equal(vv, C[iu][keep])
+
+    d2 = tmp_path / "tk"
+    out2 = tmp_path / "t.npz"
+    assert main(["topk", "--in", str(old_f), "--out", str(out2),
+                 "--k", "4", "--stream", "--superblock", "32",
+                 "--ckpt-dir", str(d2)]) == 0
+    assert main(["topk", "--in", str(new_f), "--out", str(out2),
+                 "--stream", "--superblock", "32", "--ckpt-dir", str(d2),
+                 "--extend"]) == 0
+    with np.load(out2) as z:
+        vals = z["counts"]
+    Cd = C.copy()
+    np.fill_diagonal(Cd, -1)
+    want = np.maximum(-np.sort(-Cd, axis=1)[:, :4], 0)
+    np.testing.assert_array_equal(vals, want)
+
+    # refusals: --extend without the stream checkpoint machinery
+    with pytest.raises(SystemExit, match="--extend"):
+        main(["screen", "--in", str(new_f), "--out", str(out),
+              "--threshold", "60", "--extend"])
+    with pytest.raises(SystemExit, match="--threshold"):
+        main(["screen", "--in", str(new_f), "--out", str(out)])
