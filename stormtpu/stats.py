@@ -49,6 +49,38 @@ __all__ = ["count_row_sums", "count_histogram"]
 _POSITIONS_BUDGET_BYTES = 256 << 20
 
 
+def _column_counts_host(bm, chunk_rows: int = 2048) -> np.ndarray:
+    """Host column counts via chunked unpack+sum — used when shipping
+    the packed panel to the device costs more than reducing it here
+    (through the measured ~39 MB/s relay H2D, the 12.5 GB spec panel is
+    ~5 min of upload for an O(M) result; this host pass is ~2 min and
+    keeps count_row_sums' host route genuinely device-free)."""
+    acc = np.zeros(bm.n_words * 32, dtype=np.int64)
+    for r0 in range(0, bm.n, chunk_rows):
+        chunk = np.unpackbits(
+            np.ascontiguousarray(bm.packed[r0 : r0 + chunk_rows])
+            .view(np.uint8),
+            axis=1, bitorder="little",
+        )
+        acc += chunk.sum(axis=0, dtype=np.int64)
+    return acc[: bm.m_bits].astype(np.int32)
+
+
+def _column_counts_route(bm) -> np.ndarray:
+    """Device column counts while the upload is cheap; host reduction
+    when the fitted H2D rate says shipping the operand would dominate
+    (relay-tunneled chips). Both exact; tested identical."""
+    from stormtpu.utils.backend import is_tpu_backend
+
+    if is_tpu_backend() and bm.packed.nbytes > (1 << 30):
+        from stormtpu.tuning import k4_constants
+
+        h2d = k4_constants().get("h2d_bytes_per_s") or 39e6
+        if h2d < 200e6:
+            return _column_counts_host(bm)
+    return column_counts(bm)
+
+
 def _row_sums_positions(bm, cc: np.ndarray) -> np.ndarray:
     """O(nnz) segment-sum over the CSR positions view (sparse regime)."""
     indptr, indices = bm.positions_csr()
@@ -119,7 +151,7 @@ def count_row_sums(
     identical in tests/test_stats.py).
     """
     bm = _as_bitmatrix(x)
-    cc = column_counts(bm).astype(np.int64)
+    cc = _column_counts_route(bm).astype(np.int64)
     nnz = int(bm.row_nnz.astype(np.int64).sum())
     if 12 * nnz <= positions_budget_bytes:
         sums = _row_sums_positions(bm, cc)

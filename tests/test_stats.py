@@ -251,3 +251,20 @@ def test_hist_superblock_int32_cap():
     assert cap_hist_superblock(8, 16) == 16        # floor at the unit
     with pytest.raises(ValueError, match="int32"):
         cap_hist_superblock(100_000, 50_000)
+
+
+def test_column_counts_host_matches_device_route():
+    """The host unpack+sum column counts (big-operand slow-H2D path)
+    are identical to the standard route."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.setops import column_counts
+    from stormtpu.stats import _column_counts_host
+
+    rng = np.random.default_rng(55)
+    for n, m in [(37, 1500), (64, 64), (200, 4096)]:
+        dense = (rng.random((n, m)) < 0.4).astype(np.uint8)
+        bm = BitMatrix.from_dense(dense)
+        np.testing.assert_array_equal(
+            _column_counts_host(bm, chunk_rows=16), column_counts(bm))
+        np.testing.assert_array_equal(
+            _column_counts_host(bm), dense.sum(axis=0))
