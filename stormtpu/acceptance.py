@@ -516,7 +516,7 @@ def _config4_aggregate_stats(log) -> dict:
         got = man["hist"][b] / pairs
         assert abs(got - p) < 0.02, (b, got, p)
     log(f"[config4] 100k×1M histogram on device: {dt_hist:.1f} s "
-        f"(+{dt_hist2:.1f} s half-width cross-check), mass + cross-sum + "
+        f"(+{dt_hist2:.1f} s doubled-width cross-check), mass + cross-sum + "
         f"binomial-location verified")
     del xd
 
@@ -546,7 +546,7 @@ def _config4_aggregate_stats(log) -> dict:
         "hist_seconds": dt_hist,
         "hist_crosscheck_seconds": dt_hist2,
         "hist_n_bins": n_bins,
-        "hist_verified": "mass+half-width-cross-sum+binomial-location",
+        "hist_verified": "mass+doubled-width-cross-sum+binomial-location",
         "row_sums_seconds": dt_rs,
         "row_sums_verified": "3 rows brute popcount",
     }

@@ -182,3 +182,39 @@ def test_public_api_agreement_soak():
         man_dh = distributed_count_histogram(
             bm, n_bins=nb_bins, mesh=make_grid_mesh(2, 4), block_rows=32)
         assert np.array_equal(man_dh["hist"], want_h), f"{ctx} dist hist"
+
+        # r5: the density-adaptive histogram routes agree on every panel
+        from stormtpu.native import HAVE_NATIVE
+
+        for route in ["streamed"] + (["sparse"] if HAVE_NATIVE else []):
+            man_r = count_histogram(bm, n_bins=nb_bins, method=route)
+            assert np.array_equal(man_r["hist"], want_h), \
+                f"{ctx} hist route {route}"
+
+        # r5: panel growth — the extend wrappers reproduce from-scratch
+        import tempfile
+
+        from stormtpu.stream_query import (
+            extend_stream_pairs_above,
+            extend_stream_topk_neighbors,
+        )
+
+        grow = int(rng.integers(4, 40))
+        dense_g = np.concatenate(
+            [dense, (rng.random((grow, m)) < density).astype(np.uint8)])
+        bm_g = BitMatrix.from_dense(dense_g)
+        cg = oracle_count_matrix(bm_g.packed).astype(np.int64)
+        with tempfile.TemporaryDirectory() as td:
+            sd = os.path.join(td, "scr")
+            stream_pairs_above(bm, thr, out_dir=sd)
+            gii, gjj, gvv = extend_stream_pairs_above(bm_g, sd)
+            wgi, wgj = np.nonzero(np.triu(cg, 1) >= thr)
+            assert np.array_equal(gii, wgi) and np.array_equal(
+                gvv, cg[wgi, wgj]), f"{ctx} screen extend"
+            tkd = os.path.join(td, "tk")
+            stream_topk_neighbors(bm, k, out_dir=tkd)
+            gv2, _ = extend_stream_topk_neighbors(bm_g, tkd)
+            cgd = cg.copy()
+            np.fill_diagonal(cgd, -1)
+            want_gk = np.maximum(-np.sort(-cgd, axis=1)[:, :k], 0)
+            assert np.array_equal(gv2, want_gk), f"{ctx} topk extend"
