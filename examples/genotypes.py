@@ -108,3 +108,25 @@ lead = int(res.leaders[0])
 print(f"clumps: {res.n_clumps} over {n_variants} variants; "
       f"top clump led by {lead} with members {res.members(lead).tolist()}")
 assert lead == 12 and set(range(10, 15)) <= set(res.members(lead).tolist())
+
+# --- panel growth: new variants arrive; nothing requadrates -------------
+# (r5: a biobank panel grows over time — streamed results and query
+# checkpoints EXTEND, reusing everything the old rows already paid for)
+from stormtpu.stream_query import (
+    extend_stream_pairs_above,
+    stream_pairs_above,
+)
+
+new_codes = rng.choice([0, 2, 3], size=(60, n_samples), p=[0.55, 0.3, 0.15])
+grown = BitMatrix.from_dense(
+    np.concatenate([unpack_bits(carriers.packed, n_samples),
+                    (new_codes >= 2).astype(np.uint8)]))
+ckpt = os.path.join(tempfile.mkdtemp(), "screen")
+stream_pairs_above(carriers, 0.8, measure="r2", out_dir=ckpt)
+gi, gj, gr2 = extend_stream_pairs_above(grown, ckpt)
+fresh = stream_pairs_above(grown, 0.8, measure="r2")
+assert np.array_equal(gi, fresh[0]) and np.array_equal(gr2, fresh[2])
+new_pairs = int(((gi >= n_variants) | (gj >= n_variants)).sum())
+print(f"panel growth: {n_variants}→{grown.n} variants; extended screen "
+      f"has {gi.size} pairs ({new_pairs} involving new variants), exact "
+      f"— old-range stripe files reused, no requadration")

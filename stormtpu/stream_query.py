@@ -50,6 +50,7 @@ __all__ = [
     "stream_pairs_above_complete",
     "extend_stream_topk_neighbors",
     "extend_stream_pairs_above",
+    "extend_stream_pairs_above_complete",
 ]
 
 # stripe kernels these queries accept (resolved from "auto" by
@@ -1571,6 +1572,102 @@ def _stripe_screen_complete(
     col_g = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) + row0_j
     hit = (vals >= thresh) & (col_g > row_g) & (row_g < n) & (col_g < n)
     return _pack_bit_rows(hit)
+
+
+def extend_stream_pairs_above_complete(
+    data: BitMatrix,
+    mask: BitMatrix,
+    out_dir: str,
+    *,
+    kernel: str = "auto",
+    config: Optional[EngineConfig] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Grow a COMPLETED ``stream_pairs_above_complete(out_dir=...)``
+    directory to the larger (data, mask) panel (r5): candidate files
+    wholly inside the old complete superblocks are reused — candidates
+    are over-admitted positions whose values the assembly re-derives
+    exactly from the CURRENT packed rows, so unchanged rows reproduce
+    identically. BOTH matrices' heads are fingerprint-checked;
+    measure/threshold/geometry ride the manifest."""
+    import json
+    import os
+
+    from stormtpu.setops import _complete_operands
+
+    man_path = os.path.join(out_dir, "complete_screen_manifest.json")
+    with open(man_path) as f:
+        old = json.load(f)
+    old_n = int(old["n"])
+    sb_old = int(old["superblock_rows"])
+    measure = old["measure"]
+    threshold = old["threshold"]
+    bm_d, bm_m = _complete_operands(data, mask)
+    if bm_d.m_bits != old["m_bits"]:
+        raise ValueError(
+            f"extend: m_bits {bm_d.m_bits} != directory's "
+            f"{old['m_bits']} — a changed universe invalidates every "
+            f"stripe"
+        )
+    extending = not (
+        old_n == bm_d.n
+        and old["content_data"] == _content_fingerprint(bm_d)
+        and old["content_mask"] == _content_fingerprint(bm_m)
+    )
+    if extending:
+        _check_extend_head(bm_d, old_n, old["content_data"],
+                           "extend (data)")
+        _check_extend_head(bm_m, old_n, old["content_mask"],
+                           "extend (mask)")
+    res = _resolve_stripe_config(bm_d, sb_old, kernel, config, interpret,
+                                 bitmap=True)
+    sb = res[5]
+    if sb != sb_old:
+        raise ValueError(
+            f"extend: the resumed walk rounds superblock_rows to {sb}, "
+            f"not the directory's {sb_old} — reused candidate files "
+            f"would misalign; match the config/kernel"
+        )
+    if extending:
+        n_super_old = round_up(old_n, sb) // sb
+        missing = [
+            (i, j)
+            for i in range(n_super_old)
+            for j in range(i, n_super_old)
+            if not os.path.exists(
+                os.path.join(out_dir, f"chits_{i:05d}_{j:05d}.npz"))
+        ]
+        if missing:
+            raise ValueError(
+                f"extend: the directory is an INCOMPLETE run "
+                f"({len(missing)} stripe files missing) — resume it to "
+                f"completion first (stream_pairs_above_complete"
+                f"(out_dir=...))"
+            )
+        if old_n % sb:
+            last = old_n // sb
+            for i in range(n_super_old):
+                for j in range(i, n_super_old):
+                    if i == last or j == last:
+                        p = os.path.join(out_dir,
+                                         f"chits_{i:05d}_{j:05d}.npz")
+                        if os.path.exists(p):
+                            os.remove(p)
+        params = {
+            "n": bm_d.n, "m_bits": bm_d.m_bits, "superblock_rows": sb,
+            "kernel": res[1], "measure": measure,
+            "threshold": float(threshold),
+            "content_data": _content_fingerprint(bm_d),
+            "content_mask": _content_fingerprint(bm_m),
+        }
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, man_path)
+    return stream_pairs_above_complete(
+        data, mask, threshold, measure=measure, superblock_rows=sb,
+        kernel=kernel, config=config, interpret=interpret,
+        out_dir=out_dir, resume=True)
 
 
 def stream_pairs_above_complete(

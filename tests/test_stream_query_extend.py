@@ -281,3 +281,57 @@ def test_extend_topk_refusals(tmp_path, monkeypatch):
         extend_stream_topk_neighbors(BitMatrix.from_dense(tampered), out,
                                      kernel="dense", config=_small_cfg(),
                                      interpret=True)
+
+
+# -------------------------------------------------- complete screen
+
+def test_extend_complete_screen(tmp_path, monkeypatch):
+    """Grow a completed pairwise-complete screen: old-range candidate
+    files are reused (call count), both heads fingerprint-checked,
+    values exact vs a from-scratch run on the grown panel."""
+    import stormtpu.stream_query as sq
+    from stormtpu.stream_query import (
+        extend_stream_pairs_above_complete,
+        stream_pairs_above_complete,
+    )
+
+    rng = np.random.default_rng(131)
+    n_old, n_new, m = 64, 112, 800
+    observed = rng.random((n_new, m)) > 0.12
+    values = (rng.random((n_new, m)) < 0.4) & observed
+    bm_d_old = BitMatrix.from_dense(values[:n_old].astype(np.uint8))
+    bm_m_old = BitMatrix.from_dense(observed[:n_old].astype(np.uint8))
+    bm_d = BitMatrix.from_dense(values.astype(np.uint8))
+    bm_m = BitMatrix.from_dense(observed.astype(np.uint8))
+    out = str(tmp_path / "cs")
+    stream_pairs_above_complete(
+        bm_d_old, bm_m_old, 0.05, measure="r2", superblock_rows=32,
+        kernel="dense", config=_small_cfg(), interpret=True, out_dir=out)
+    real = sq._stripe_screen_complete
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sq, "_stripe_screen_complete", counting)
+    got = extend_stream_pairs_above_complete(
+        bm_d, bm_m, out, kernel="dense", config=_small_cfg(),
+        interpret=True)
+    # 4 superblocks of 32 -> 10 stripes; 3 wholly-old reused
+    assert calls["n"] <= 7
+    want = stream_pairs_above_complete(
+        bm_d, bm_m, 0.05, measure="r2", superblock_rows=32,
+        kernel="dense", config=_small_cfg(), interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # tampered MASK head refused (data fingerprint alone is not enough)
+    tampered = observed.copy()
+    tampered[2, :5] = ~tampered[2, :5]
+    values_t = values & tampered
+    with pytest.raises(ValueError, match="fingerprint"):
+        extend_stream_pairs_above_complete(
+            BitMatrix.from_dense(values_t.astype(np.uint8)),
+            BitMatrix.from_dense(tampered.astype(np.uint8)),
+            out, kernel="dense", config=_small_cfg(), interpret=True)
