@@ -335,3 +335,69 @@ def test_extend_complete_screen(tmp_path, monkeypatch):
             BitMatrix.from_dense(values_t.astype(np.uint8)),
             BitMatrix.from_dense(tampered.astype(np.uint8)),
             out, kernel="dense", config=_small_cfg(), interpret=True)
+
+
+# ------------------------------------------------------- merge semantics
+
+def _merge_oracle_vals(bv, bi, cv, ci, k, fill):
+    """Expected top-k VALUES per row: per-partner max over real entries,
+    ranked desc, fill-padded (tie order is unspecified)."""
+    out = np.full((bv.shape[0], k), fill, dtype=bv.dtype)
+    for r in range(bv.shape[0]):
+        best = {}
+        for v, i in zip(np.concatenate([bv[r], cv[r]]),
+                        np.concatenate([bi[r], ci[r]])):
+            real = (v >= 0) if bv.dtype.kind == "i" else np.isfinite(v)
+            if real and (i not in best or v > best[i]):
+                best[i] = v
+        vals = sorted(best.values(), reverse=True)[:k]
+        out[r, : len(vals)] = vals
+    return out
+
+
+def test_merge_topk_dedup_semantics_randomized():
+    """_merge_topk == per-partner-max top-k, is idempotent, and never
+    seats one partner twice — under adversarial duplicate/fill mixes,
+    both int (count) and float (measure) routes."""
+    from stormtpu.stream_query import _merge_topk
+
+    rng = np.random.default_rng(314)
+    for it in range(40):
+        rows = int(rng.integers(1, 9))
+        k = int(rng.integers(1, 6))
+        npart = int(rng.integers(1, 8))
+        intmode = bool(rng.integers(0, 2))
+        fill = -1 if intmode else -np.inf
+        dt = np.int64 if intmode else np.float64
+
+        def rand_cand(width):
+            v = rng.integers(0, 5, (rows, width)).astype(dt)
+            i = rng.integers(0, npart, (rows, width)).astype(np.int32)
+            holes = rng.random((rows, width)) < 0.3
+            v = np.where(holes, fill, v)
+            i = np.where(holes, 0, i)
+            return v, i
+
+        bv = np.full((rows, k), fill, dtype=dt)
+        bi = np.zeros((rows, k), dtype=np.int32)
+        seen_v = [bv.copy()]
+        seen_i = [bi.copy()]
+        for _ in range(int(rng.integers(1, 4))):
+            cv, ci = rand_cand(int(rng.integers(1, 2 * k + 2)))
+            # adversarial: re-merge the SAME candidates twice sometimes
+            reps = 2 if rng.random() < 0.5 else 1
+            for _ in range(reps):
+                _merge_topk(bv, bi, slice(0, rows), cv, ci, k)
+            seen_v.append(cv)
+            seen_i.append(ci)
+        want = _merge_oracle_vals(
+            np.concatenate(seen_v, axis=1), np.concatenate(seen_i, axis=1),
+            np.zeros((rows, 0), dtype=dt), np.zeros((rows, 0), np.int32),
+            k, fill)
+        got_sorted = -np.sort(-bv, axis=1)
+        np.testing.assert_array_equal(got_sorted, want, err_msg=f"it {it}")
+        # distinct partners among real entries
+        for r in range(rows):
+            real_mask = (bv[r] >= 0) if intmode else np.isfinite(bv[r])
+            ids = bi[r][real_mask]
+            assert len(set(ids.tolist())) == ids.size, (it, r)
