@@ -45,6 +45,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from stormtpu.api import MatrixLike, _as_bitmatrix
+from stormtpu.config import default_config
 from stormtpu.kernels import count_block_auto
 from stormtpu.layout import pack_bits
 from stormtpu.parallel.columns import distributed_column_counts
@@ -357,7 +358,13 @@ def distributed_count_histogram(
     bin absorbs the tail, mass conservation asserted), value-identical
     to the single-chip sink (tested).
 
-    Two routes (``method="auto"`` picks by the C8 summary):
+    ``method="auto"`` first applies the engine's density dispatch (r5):
+    an extreme-sparsity panel routes to the K4 COO-stripe host binning
+    (``stream_hist.stream_hist_sparse`` — work ∝ nnz², orders of
+    magnitude under any mesh walk of the dense stripes, and host-bound
+    so the mesh would idle regardless; the returned manifest's
+    ``kernel`` is ``"sparse_outer"`` and ``mesh_shape`` is None).
+    Otherwise two mesh routes (picked by the C8 summary):
 
     - ``"ring"`` — the square ppermute ring, one compiled dispatch for
       the whole walk; computes every pair.
@@ -377,6 +384,27 @@ def distributed_count_histogram(
         )
     if bin_width is None:
         bin_width = max(1, -(-(bm.m_bits + 1) // n_bins))
+    if method == "auto":
+        # C12 composition at mesh level (r5): at extreme sparsity the K4
+        # COO-stripe binning (host emission, work ∝ nnz²) beats ANY mesh
+        # walk of the N²·M dense stripes by orders of magnitude (131k×1M
+        # d=1e-5 measured: 5.4 s vs est. hours) — and it is host-bound,
+        # so the mesh would sit idle either way. Same density policy as
+        # the streaming count walk; the manifest's kernel field says
+        # which route ran.
+        from stormtpu.native import HAVE_NATIVE
+
+        cfg = default_config()
+        if (HAVE_NATIVE and bm.n >= 2
+                and bm.density < cfg.sparse_density_threshold):
+            from stormtpu.stream_hist import stream_hist_sparse
+
+            man = stream_hist_sparse(
+                bm, n_bins=n_bins, bin_width=bin_width,
+                superblock_rows=superblock_rows, config=cfg,
+            )
+            man["mesh_shape"] = None  # host route: the mesh was not used
+            return man
     if mesh is None:
         mesh = make_row_mesh()
     axis = mesh.axis_names[0]

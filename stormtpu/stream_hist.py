@@ -112,6 +112,7 @@ def _bin_values(hist: np.ndarray, vals: np.ndarray, bin_width: int,
         hist += np.bincount(b, minlength=n_bins)
 
 
+@functools.lru_cache(maxsize=32)
 def _make_pair_hist_fn(tile_rows: int, tile_words: int, n_bins: int,
                        interpret: bool, variant):
     """Jitted per-stripe histogram over TWO device-resident superblock

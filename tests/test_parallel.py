@@ -724,3 +724,28 @@ def test_distributed_histogram_stripes_jslice_lru(monkeypatch):
     assert got["kernel"] == "stripes" and got["n_super"] == 3
     np.testing.assert_array_equal(got["hist"], want["hist"])
     assert calls["n"] == 6, f"expected 6 uploads, saw {calls['n']}"
+
+
+def test_distributed_histogram_auto_routes_sparse(mesh8):
+    """r5: an ultra-sparse panel makes distributed_count_histogram
+    delegate to the K4 host binning (work ∝ nnz²; the mesh would idle) —
+    exact, with the route visible in the manifest."""
+    from stormtpu.layout import BitMatrix
+    from stormtpu.native import HAVE_NATIVE
+    from stormtpu.parallel import distributed_count_histogram
+    from stormtpu.stats import count_histogram
+
+    if not HAVE_NATIVE:
+        pytest.skip("needs the native K4 tier")
+    rng = np.random.default_rng(89)
+    n, m = 500, 65536
+    rows = rng.integers(0, n, 400)
+    cols = rng.integers(0, m, 400)
+    bm = BitMatrix.from_positions(rows, cols, n, m)
+    assert bm.density < 0.001
+    got = distributed_count_histogram(bm, n_bins=8, bin_width=1,
+                                      mesh=make_row_mesh(8))
+    assert got["kernel"] == "sparse_outer"
+    want = count_histogram(bm, n_bins=8, bin_width=1, method="sparse")
+    np.testing.assert_array_equal(got["hist"], want["hist"])
+    assert got["pairs"] == n * (n - 1) // 2
