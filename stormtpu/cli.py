@@ -212,10 +212,11 @@ def cmd_topk(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
-    if args.extend and not (args.stream and args.ckpt_dir):
+    if args.extend and (args.against or not (args.stream and args.ckpt_dir)):
         raise SystemExit(
             "--extend requires --stream and --ckpt-dir (the completed "
-            "run to grow; k/measure/superblock ride its checkpoint)"
+            "run to grow; k/measure/superblock ride its checkpoint) and "
+            "is incompatible with --against"
         )
     bm = _load_matrix(args.infile)
     _log(f"loaded {bm}")
@@ -259,11 +260,11 @@ def cmd_screen(args: argparse.Namespace) -> int:
             "checkpoints (a silent no-op here would lose a crashed "
             "multi-hour run)"
         )
-    if args.extend and not (args.stream and args.ckpt_dir):
+    if args.extend and (args.against or not (args.stream and args.ckpt_dir)):
         raise SystemExit(
             "--extend requires --stream and --ckpt-dir (the completed "
             "run to grow; measure/threshold/superblock ride its "
-            "manifest)"
+            "manifest) and is incompatible with --against"
         )
     if args.threshold is None and not args.extend:
         raise SystemExit(

@@ -306,7 +306,12 @@ def _hist_stripe_walk(bm, occ, sb: int, n_super: int, n_bins: int,
     xi_d, xi_idx = None, -1
     # small j-slice LRU (VERDICT r4 weak #3): without it each
     # j-superblock re-uploads up to n_super times per walk on clustered
-    # panels; two resident slices is the streaming driver's budget
+    # panels. Residency bound: xi + 2 cached j-slices = 3 superblock
+    # slices (one more than the streaming count driver keeps — a
+    # deliberate trade: on the banded/clustered panels this route is
+    # auto-picked for, the few occupied partners per row hit the LRU
+    # across rows; on fully-occupied panels the ascending-j scan can't
+    # hit a bounded cache at all and the extra slice is the only cost)
     xj_cache: OrderedDict[int, jax.Array] = OrderedDict()
 
     def get_xj(j: int) -> jax.Array:
@@ -383,7 +388,9 @@ def distributed_count_histogram(
             f"method must be 'auto', 'ring' or 'stripes', got {method!r}"
         )
     if bin_width is None:
-        bin_width = max(1, -(-(bm.m_bits + 1) // n_bins))
+        from stormtpu.stream import default_hist_bin_width
+
+        bin_width = default_hist_bin_width(bm.m_bits, n_bins)
     if method == "auto":
         # C12 composition at mesh level (r5): at extreme sparsity the K4
         # COO-stripe binning (host emission, work ∝ nnz²) beats ANY mesh

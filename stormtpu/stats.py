@@ -212,6 +212,12 @@ def count_histogram(
     bm = _as_bitmatrix(x)
     if bm.n < 2:
         raise ValueError("count_histogram needs N >= 2 rows")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if bin_width is not None and bin_width < 1:
+        # a zero width would floor-divide to bin 0 for every pair, which
+        # mass conservation cannot catch — reject up front on EVERY route
+        raise ValueError("bin_width must be >= 1")
     if method not in ("auto", "dense", "streamed", "sparse", "clustered"):
         raise ValueError(
             f"method must be one of 'auto', 'dense', 'streamed', "

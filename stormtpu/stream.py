@@ -97,6 +97,13 @@ def require_device_budget(need_bytes: int, what: str, hint: str) -> None:
         )
 
 
+def default_hist_bin_width(m_bits: int, n_bins: int) -> int:
+    """Uniform bin width covering [0, m_bits] in ``n_bins`` (a pair
+    count can equal m_bits) — ONE home for the formula; the four
+    histogram routes had grown three copies (r5 review)."""
+    return max(1, -(-(m_bits + 1) // n_bins))
+
+
 def cap_hist_superblock(sb: int, unit: int) -> int:
     """Largest multiple of ``unit`` ≤ ``sb`` whose square stays below
     2³¹ — the histogram sinks accumulate per-stripe bin partials in
@@ -1274,8 +1281,7 @@ def stream_count_histogram(
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     if bin_width is None:
-        # cover [0, m_bits] (a pair count can equal m_bits) in n_bins
-        bin_width = max(1, -(-(m_bits + 1) // n_bins))
+        bin_width = default_hist_bin_width(m_bits, n_bins)
     # identical tile geometry rule to stream_count_checksums (cross-sink
     # comparability + the small-n diagonal-tile correctness note there)
     tile_rows = min(cfg.k2_tile_rows, round_up(max(n, 32), 32))
@@ -1366,29 +1372,12 @@ def stream_count_histogram(
         done += 1
         if progress is not None:
             progress(done, total)
-    expect = n * (n - 1) // 2
-    got = int(hist_total.sum())
-    if got != expect:
-        raise AssertionError(
-            f"histogram mass {got} != n*(n-1)/2 = {expect} — a tile was "
-            "double-counted or dropped; this is a bug, not an input error"
-        )
-    edges = np.minimum(
-        np.arange(n_bins + 1, dtype=np.int64) * bin_width, m_bits + 1
-    )
-    return {
-        "n": n,
-        "m_bits": m_bits,
-        "superblock_rows": superblock_rows,
-        "n_super": n_super,
-        "kernel": "mxu",
-        "sink": "histogram",
-        "n_bins": n_bins,
-        "bin_width": int(bin_width),
-        "bin_edges": edges,
-        "hist": hist_total,
-        "pairs": got,
-    }
+    # shared manifest builder (mass-conservation assert included);
+    # imported here: stream_hist imports from this module at top level
+    from stormtpu.stream_hist import _hist_manifest
+
+    return _hist_manifest(n, m_bits, superblock_rows, n_super, "mxu",
+                          n_bins, bin_width, hist_total)
 
 
 def load_streamed_matrix(out_dir: str) -> np.ndarray:

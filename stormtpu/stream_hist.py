@@ -48,6 +48,7 @@ from stormtpu.stream import (
     _SparseStripePlan,
     _superblock_pairs,
     cap_hist_superblock,
+    default_hist_bin_width as _default_bin_width,
 )
 from stormtpu.utils import round_up, triangular_tile_ids
 
@@ -56,11 +57,6 @@ __all__ = [
     "stream_hist_clustered",
     "stream_hist_streamed",
 ]
-
-
-def _default_bin_width(m_bits: int, n_bins: int) -> int:
-    # cover [0, m_bits] (a pair count can equal m_bits) in n_bins
-    return max(1, -(-(m_bits + 1) // n_bins))
 
 
 def _hist_manifest(n: int, m_bits: int, sb: int, n_super: int, kernel: str,
@@ -150,6 +146,44 @@ def _make_pair_hist_fn(tile_rows: int, tile_words: int, n_bins: int,
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _make_worklist_hist_fn(ti: int, wk: int, n_bins: int,
+                           interpret: bool, variant):
+    """Jitted K5 work-list histogram, cached per static geometry —
+    rebuilding the closure per walk would retrace/recompile every
+    (n_slots, shape) executable on repeated calls (the CLAUDE.md
+    cache-compiled-fns rule; 20–60 s per fresh compile on the relay)."""
+    from stormtpu.kernels.clustered import count_tiles_worklist
+
+    @functools.partial(jax.jit, static_argnames=("n_slots",))
+    def stripe_fn(x, ibs, jbs, gsel, slots, first, vis_ib, vis_jb,
+                  slot_ok, n_real, bw, *, n_slots):
+        tiles = count_tiles_worklist(
+            x, ibs, jbs, gsel, slots, first, n_slots=n_slots,
+            tile_rows=ti, tile_words=wk, interpret=interpret,
+            variant=variant,
+        )
+        lane = jnp.arange(ti, dtype=jnp.int32)
+        rows_g = vis_ib[:, None] * ti + lane[None, :]
+        cols_g = vis_jb[:, None] * ti + lane[None, :]
+        valid = (slot_ok[:, None, None] != 0) & (
+            rows_g[:, :, None] < cols_g[:, None, :]
+        ) & (cols_g[:, None, :] < n_real)
+        bins = jnp.minimum(tiles // bw, jnp.int32(n_bins - 1))
+
+        def one(b, _):
+            h = jnp.sum(
+                jnp.where(valid & (bins == b), 1, 0), dtype=jnp.int32
+            )
+            return b + jnp.int32(1), h
+
+        _, hist = jax.lax.scan(one, jnp.int32(0), None, length=n_bins)
+        # visited valid-pair total ≤ sb² < 2³¹ (cap_hist_superblock)
+        return hist, jnp.sum(valid, dtype=jnp.int32)
+
+    return stripe_fn
+
+
 def stream_hist_streamed(
     bm: BitMatrix,
     *,
@@ -183,6 +217,15 @@ def stream_hist_streamed(
     n_super = n_pad // sb
     if occupancy is None:
         occupancy = _superblock_occupancy(bm, n_pad, sb)
+    elif occupancy.shape[0] != n_super:
+        # a wrong-geometry occupancy is the one error the mass assert
+        # cannot catch (skipped stripes credit bin 0 arithmetically) —
+        # same guard as stream_count_histogram
+        raise ValueError(
+            f"occupancy has {occupancy.shape[0]} superblocks, walk has "
+            f"{n_super} — compute it with the same superblock_rows "
+            f"({sb} after tile rounding and the int32 cap)"
+        )
     variant = tuned_variant("k2", cfg.k2_variant)
     fn = _make_pair_hist_fn(tile_rows, tile_words, n_bins,
                             bool(interpret), variant)
@@ -365,7 +408,6 @@ def stream_hist_clustered(
     from stormtpu.kernels.clustered import (
         _block_occupancy,
         build_stripe_worklist,
-        count_tiles_worklist,
     )
     from stormtpu.stream import _device_operand_budget
     from stormtpu.tuning import tuned_variant
@@ -403,32 +445,8 @@ def stream_hist_clustered(
 
         packed_d = bm.device_cached(("padded2dz", n_sb_pad, w_pad), build)
 
-    @functools.partial(jax.jit, static_argnames=("n_slots",))
-    def stripe_fn(x, ibs, jbs, gsel, slots, first, vis_ib, vis_jb,
-                  slot_ok, n_real, bw, *, n_slots):
-        tiles = count_tiles_worklist(
-            x, ibs, jbs, gsel, slots, first, n_slots=n_slots,
-            tile_rows=ti, tile_words=wk, interpret=bool(interpret),
-            variant=variant,
-        )
-        lane = jnp.arange(ti, dtype=jnp.int32)
-        rows_g = vis_ib[:, None] * ti + lane[None, :]
-        cols_g = vis_jb[:, None] * ti + lane[None, :]
-        valid = (slot_ok[:, None, None] != 0) & (
-            rows_g[:, :, None] < cols_g[:, None, :]
-        ) & (cols_g[:, None, :] < n_real)
-        bins = jnp.minimum(tiles // bw, jnp.int32(n_bins - 1))
-
-        def one(b, _):
-            h = jnp.sum(
-                jnp.where(valid & (bins == b), 1, 0), dtype=jnp.int32
-            )
-            return b + jnp.int32(1), h
-
-        _, hist = jax.lax.scan(one, jnp.int32(0), None, length=n_bins)
-        # visited valid-pair total ≤ sb² < 2³¹ (cap_hist_superblock)
-        return hist, jnp.sum(valid, dtype=jnp.int32)
-
+    stripe_fn = _make_worklist_hist_fn(ti, wk, n_bins, bool(interpret),
+                                       variant)
     hist = np.zeros(n_bins, dtype=np.int64)
     work_items = 0
     total = n_super * (n_super + 1) // 2

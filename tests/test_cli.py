@@ -393,3 +393,18 @@ def test_cli_query_extend(tmp_path, rng):
               "--threshold", "60", "--extend"])
     with pytest.raises(SystemExit, match="--threshold"):
         main(["screen", "--in", str(new_f), "--out", str(out)])
+
+
+def test_cli_extend_against_conflict(tmp_path, rng):
+    dense = (rng.random((30, 256)) < 0.3).astype(np.uint8)
+    f = tmp_path / "x.npy"
+    np.save(f, dense)
+    out = tmp_path / "o.npz"
+    with pytest.raises(SystemExit, match="against"):
+        main(["screen", "--in", str(f), "--against", str(f),
+              "--extend", "--stream", "--ckpt-dir", str(tmp_path / "d"),
+              "--out", str(out)])
+    with pytest.raises(SystemExit, match="against"):
+        main(["topk", "--in", str(f), "--against", str(f), "--extend",
+              "--stream", "--ckpt-dir", str(tmp_path / "d"),
+              "--out", str(out)])

@@ -247,3 +247,26 @@ def test_hist_route_agreement():
     for method, man in mans.items():
         np.testing.assert_array_equal(man["hist"], base), method
     check_manifest(mans["dense"], bm.to_dense(), 12)
+
+
+def test_hist_validation_all_routes():
+    """n_bins/bin_width validation applies on EVERY route (r5 review:
+    the sparse route used to floor-divide by zero, and bin_width=0
+    buries every pair in bin 0 without tripping mass conservation)."""
+    bm = random_bitmatrix(20, 256, 0.3, seed=107)
+    for method in ("dense", "streamed", "sparse", "clustered"):
+        with pytest.raises(ValueError, match="n_bins"):
+            count_histogram(bm, n_bins=0, method=method, interpret=True)
+        with pytest.raises(ValueError, match="bin_width"):
+            count_histogram(bm, n_bins=4, bin_width=0, method=method,
+                            interpret=True)
+
+
+def test_hist_streamed_occupancy_shape_guard():
+    from stormtpu.stream_hist import stream_hist_streamed
+
+    bm = random_bitmatrix(60, 600, 0.3, seed=108)
+    with pytest.raises(ValueError, match="occupancy"):
+        stream_hist_streamed(bm, n_bins=8, superblock_rows=16,
+                             config=_small_cfg(), interpret=True,
+                             occupancy=np.ones((99, 2), dtype=bool))
