@@ -401,3 +401,37 @@ def test_merge_topk_dedup_semantics_randomized():
             real_mask = (bv[r] >= 0) if intmode else np.isfinite(bv[r])
             ids = bi[r][real_mask]
             assert len(set(ids.tolist())) == ids.size, (it, r)
+
+
+# --------------------------------------------------------- chained growth
+
+def test_extend_chained_growth(tmp_path):
+    """A panel that grows TWICE: each extend builds on the previous
+    extended (completed) state — screen and topk both exact vs
+    from-scratch at the final size."""
+    rng = np.random.default_rng(151)
+    m = 600
+    dense = (rng.random((150, m)) < 0.3).astype(np.uint8)
+    bms = [BitMatrix.from_dense(dense[:n]) for n in (50, 100, 150)]
+
+    sd = str(tmp_path / "scr")
+    stream_pairs_above(bms[0], 30, superblock_rows=32, kernel="dense",
+                       config=_small_cfg(), interpret=True, out_dir=sd)
+    for bm in bms[1:]:
+        got = extend_stream_pairs_above(bm, sd, kernel="dense",
+                                        config=_small_cfg(),
+                                        interpret=True)
+    want = stream_pairs_above(bms[-1], 30, superblock_rows=32,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    td = str(tmp_path / "tk")
+    stream_topk_neighbors(bms[0], 4, superblock_rows=16, kernel="dense",
+                          config=_small_cfg(), interpret=True, out_dir=td)
+    for bm in bms[1:]:
+        vals, idx = extend_stream_topk_neighbors(bm, td, kernel="dense",
+                                                 config=_small_cfg(),
+                                                 interpret=True)
+    _check_topk(bms[-1], vals, idx, 4)
