@@ -435,3 +435,49 @@ def test_extend_chained_growth(tmp_path):
                                                  config=_small_cfg(),
                                                  interpret=True)
     _check_topk(bms[-1], vals, idx, 4)
+
+
+@pytest.mark.heavy
+def test_extend_randomized_sweep(tmp_path):
+    """Randomized (n_old, n_new, measure, threshold) sweep over both
+    extend wrappers — every combination must equal from-scratch."""
+    rng = np.random.default_rng(161)
+    for it in range(6):
+        m = int(rng.integers(200, 900))
+        n_old = int(rng.integers(20, 90))
+        n_new = n_old + int(rng.integers(1, 80))
+        density = float(10 ** rng.uniform(-1.5, -0.3))
+        dense = (rng.random((n_new, m)) < density).astype(np.uint8)
+        bm_old = BitMatrix.from_dense(dense[:n_old])
+        bm_new = BitMatrix.from_dense(dense)
+        C = dense.astype(np.int64) @ dense.T
+        measure = ["count", "jaccard", "r2"][it % 3]
+        if measure == "count":
+            thr = max(1, int(np.percentile(C[np.triu_indices(n_new, 1)],
+                                           85)))
+        else:
+            thr = 0.15
+        sd = str(tmp_path / f"s{it}")
+        stream_pairs_above(bm_old, thr, measure=measure,
+                           superblock_rows=32, kernel="dense",
+                           config=_small_cfg(), interpret=True,
+                           out_dir=sd)
+        got = extend_stream_pairs_above(bm_new, sd, kernel="dense",
+                                        config=_small_cfg(),
+                                        interpret=True)
+        want = stream_pairs_above(bm_new, thr, measure=measure,
+                                  superblock_rows=32, kernel="dense",
+                                  config=_small_cfg(), interpret=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w, err_msg=f"screen it {it}")
+
+        k = int(rng.integers(1, 6))
+        td = str(tmp_path / f"t{it}")
+        stream_topk_neighbors(bm_old, k, superblock_rows=16,
+                              kernel="dense", config=_small_cfg(),
+                              interpret=True, out_dir=td)
+        vals, idx = extend_stream_topk_neighbors(bm_new, td,
+                                                 kernel="dense",
+                                                 config=_small_cfg(),
+                                                 interpret=True)
+        _check_topk(bm_new, vals, idx, k)
