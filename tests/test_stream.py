@@ -637,3 +637,36 @@ def test_extend_streamed_matrix_2d_mesh_modulus(tmp_path):
     assert man["n"] == 64
     got = load_streamed_matrix(out)
     np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
+
+
+def test_extend_clustered_dir_through_mesh_carries_tile_rows(tmp_path):
+    """The trickiest format branch (advisor r4 medium): a clustered
+    directory extended THROUGH THE MESH — the distributed walk writes
+    empty ti=8 tiles records and 'counts' stripes, but the manifest must
+    keep the OLD nonzero tiles' tile_rows so everything assembles."""
+    import json
+    import os
+
+    import jax
+
+    from stormtpu.layout import BitMatrix
+    from stormtpu.parallel import make_row_mesh
+    from stormtpu.stream import extend_streamed_matrix
+    from test_clustered import CFG, block_diagonal_bitmatrix
+
+    assert len(jax.devices()) >= 8
+    bm_new = block_diagonal_bitmatrix(128, 16384, 4, 0.3, seed=179)
+    bm_old = BitMatrix.from_packed(
+        np.ascontiguousarray(bm_new.packed[:96]), bm_new.m_bits)
+    out = str(tmp_path / "grow")
+    man0 = stream_count_matrix(bm_old, out, superblock_rows=32,
+                               kernel="clustered", config=CFG,
+                               interpret=True)
+    assert man0["tile_rows"] == 32
+    man = extend_streamed_matrix(bm_new, out, mesh=make_row_mesh(2),
+                                 config=CFG)
+    assert man["tile_rows"] == 32  # old nonzero tiles' ti wins
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f)["tile_rows"] == 32
+    got = load_streamed_matrix(out)
+    np.testing.assert_array_equal(got, oracle_count_matrix(bm_new.packed))
